@@ -1,0 +1,65 @@
+"""Unit tests for the as-of join algebra (SURVEY.md §4.3): window-edge
+null handling, tie semantics (>=), multiple keys, empty right side."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from uchr_scetl_spark.operators.asof import asof_join
+
+
+def _ts(s: str):
+    return dt.datetime.fromisoformat(s)
+
+
+def _mk(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_asof_basic_and_ties(spark):
+    left = _mk(
+        spark,
+        [
+            (1, _ts("2024-01-01T10:00:00"), "a"),
+            (1, _ts("2024-01-01T12:00:00"), "b"),
+            (2, _ts("2024-01-01T09:00:00"), "c"),
+        ],
+        "k long, ts timestamp_ntz, tag string",
+    )
+    right = _mk(
+        spark,
+        [
+            (1, _ts("2024-01-01T10:00:00"), 10.0),
+            (1, _ts("2024-01-01T11:00:00"), 11.0),
+            (2, _ts("2024-01-01T09:30:00"), 9.5),
+        ],
+        "k long, ts timestamp_ntz, v double",
+    )
+    out = asof_join(left, right, on="k", ts="ts", payload=["v"])
+    got = {(r.k, r.tag): r.v for r in out.collect()}
+    # tie at 10:00 matches (>= semantics); 12:00 takes latest prior (11.0)
+    assert got == {(1, "a"): 10.0, (1, "b"): 11.0, (2, "c"): None}
+
+
+def test_asof_empty_right(spark):
+    left = _mk(spark, [(1, _ts("2024-01-01T10:00:00"), "a")],
+               "k long, ts timestamp_ntz, tag string")
+    right = _mk(spark, [], "k long, ts timestamp_ntz, v double")
+    out = asof_join(left, right, on="k", ts="ts", payload=["v"]).collect()
+    assert len(out) == 1 and out[0].v is None
+
+
+def test_asof_preserves_left_rowcount(spark):
+    left = _mk(
+        spark,
+        [(1, _ts("2024-01-01T10:00:00"), "a")] * 3,
+        "k long, ts timestamp_ntz, tag string",
+    )
+    right = _mk(
+        spark,
+        [(1, _ts("2024-01-01T09:00:00"), 1.0)],
+        "k long, ts timestamp_ntz, v double",
+    )
+    assert asof_join(left, right, on="k", ts="ts", payload=["v"]).count() == 3

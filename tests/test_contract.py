@@ -1,0 +1,42 @@
+"""Driver-contract shape tests: registry completeness + entry smoke."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+import pytest
+
+from uchr_scetl_spark import load_registry
+
+
+def _load_entry_module():
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "__spark_entry__.py")
+    spec = importlib.util.spec_from_file_location("spark_entry", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_registry_keys_unique_and_callable():
+    reg = load_registry()
+    assert len(reg) >= 30
+    for key, spec in reg.items():
+        assert spec.key == key
+        assert callable(spec.fn)
+
+
+def test_oracle_sql_subset_of_queries():
+    mod = _load_entry_module()
+    q, o = mod.queries(), mod.oracle_sql()
+    assert set(o) <= set(q)
+    assert all(isinstance(s, str) and s.strip().upper().startswith(("SELECT", "WITH"))
+               for s in o.values())
+
+
+def test_entry_smoke(spark):
+    mod = _load_entry_module()
+    df = mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"r_name", "n_name", "l_returnflag", "revenue"} <= set(df.columns)

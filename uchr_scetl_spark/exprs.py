@@ -1,0 +1,64 @@
+"""Shared column expressions, chiefly the oracle-exact double-sum trick.
+
+IEEE-754 double addition is not associative, so ``SUM(double)`` differs
+between engines (and between runs at different parallelism) in the last
+few ulps — enough to break a bit-exact value hash. The engine therefore
+routes every non-integral double SUM through DECIMAL:
+
+    Spark :  CAST(SUM(CAST(x AS DECIMAL(24,6))) AS DOUBLE)
+    DuckDB:  CAST(SUM(CAST(x AS DECIMAL(24,6))) AS DOUBLE)
+
+Scale 6 (not 4): both engines round the double's shortest decimal
+representation, but Spark rounds HALF_UP and DuckDB HALF_EVEN, so any
+value whose representation terminates exactly one digit past the scale
+with a trailing 5 is a tie they resolve differently. The corpus's money
+columns are exact 2-decimal values, so 3-factor products (charge)
+terminate at 6 decimals — at scale >= 6 no tie can occur (verified
+empirically across sf0.01/sf0.1: 0 ties at scale 6, thousands at 4-5).
+
+Decimal addition is exact and order-insensitive, the double→decimal
+rounding of both engines agrees except on exact decimal ties (which
+binary doubles essentially never hit), and the final decimal→double
+cast is deterministic. Integral-valued doubles (quantities) and counts
+skip the detour: their double sums are exact anyway (< 2^53).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dec_sum(col: Column | str, alias: str, scale: int = 6) -> Column:
+    """Order-insensitive, engine-exact sum of a double column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(24,{scale})")).cast("double").alias(alias)
+
+
+def dec_avg(col: Column | str, alias: str, scale: int = 6) -> Column:
+    """Exact-sum / count average (double division is deterministic)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.sum(c.cast(f"decimal(24,{scale})")).cast("double") / F.count(c)
+    ).alias(alias)
+
+
+def sql_dec_sum(expr: str, alias: str, scale: int = 6) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(24,{scale}))) AS DOUBLE) AS {alias}"
+
+
+def sql_dec_avg(expr: str, alias: str, scale: int = 6) -> str:
+    return (
+        f"(CAST(SUM(CAST({expr} AS DECIMAL(24,{scale}))) AS DOUBLE)"
+        f" / COUNT({expr})) AS {alias}"
+    )
+
+
+# TPC-H-style revenue expression — written identically (same tree shape)
+# on both sides so the row-level double arithmetic is bit-equal.
+REVENUE = "l_extendedprice * (1 - l_discount)"
+CHARGE = "(l_extendedprice * (1 - l_discount)) * (1 + l_tax)"
+
+
+def revenue_col() -> Column:
+    return F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))

@@ -1,0 +1,86 @@
+"""Sources/sinks: parquet (primary), CSV, JSON-lines.
+
+Design notes for scale: every reader returns a plain (uncached,
+unmaterialised) DataFrame so Catalyst keeps predicate pushdown and
+column pruning into the parquet scan. Nothing here collects to the
+driver. The ``events`` nanosecond normalisation is a column expression
+(JVM-side, codegen-friendly), not a UDF.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .schemas import LOGICAL, TABLES
+from .session import configure
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one corpus table as its LOGICAL schema.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS) which Spark's
+    vectorized reader rejects; with ``nanosAsLong`` (set by
+    ``configure``) it arrives as INT64 nanos and is truncated to
+    microseconds — the same truncation every µs-native engine applies.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    configure(spark)
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)")
+        )
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str, prefix: str = "") -> None:
+    """Register the ten tables as temp views (SQL entry point, §3.3)."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(prefix + name)
+
+
+def _schema_of(schema):
+    return LOGICAL[schema] if isinstance(schema, str) else schema
+
+
+def read_csv(spark: SparkSession, path: str, schema) -> DataFrame:
+    """CSV source with a declared schema (table name or StructType) —
+    never inferSchema."""
+    configure(spark)
+    return (
+        spark.read.schema(_schema_of(schema))
+        .option("header", "true")
+        .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .csv(path)
+    )
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    (
+        df.write.mode("overwrite")
+        .option("header", "true")
+        .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .csv(path)
+    )
+
+
+def read_json(spark: SparkSession, path: str, schema) -> DataFrame:
+    """JSON-lines source with a declared schema."""
+    configure(spark)
+    return spark.read.schema(_schema_of(schema)).json(path)
+
+
+def write_json(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").json(path)

@@ -1,0 +1,217 @@
+"""§2.4 aggregations.
+
+All groupBy aggregations rely on Spark's automatic partial+final hash
+aggregation (map-side combine), so the shuffle carries one row per
+(partition, group), not per input row — the property that keeps these
+plans viable at 100 TB. Double sums go through the DECIMAL detour
+(exprs.py) for engine-exact results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..exprs import dec_avg, dec_sum, sql_dec_avg, sql_dec_sum
+from ..io import load
+from ..registry import query
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "agg_groupby",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+           {sql_dec_sum('l_extendedprice', 'sum_base_price')},
+           {sql_dec_sum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+           {sql_dec_sum('(l_extendedprice * (1 - l_discount)) * (1 + l_tax)', 'sum_charge')},
+           AVG(l_quantity) AS avg_qty,
+           {sql_dec_avg('l_extendedprice', 'avg_price')},
+           {sql_dec_avg('l_discount', 'avg_disc')},
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the engine's headline scan→filter→agg pipeline."""
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz")
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    charge = rev * (F.lit(1) + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        dec_sum("l_extendedprice", "sum_base_price"),
+        dec_sum(rev, "sum_disc_price"),
+        dec_sum(charge, "sum_charge"),
+        F.avg("l_quantity").alias("avg_qty"),
+        dec_avg("l_extendedprice", "avg_price"),
+        dec_avg("l_discount", "avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@query("agg_approx_distinct", tags=("rows-only",))
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch — engine-specific estimate, rows-only check.
+
+    At 100 TB this replaces exact COUNT DISTINCT: the sketch merges
+    associatively so the shuffle carries fixed-size state per group.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), F.sum("l_quantity").alias("sum_qty")
+    )
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_dec_sum('o_totalprice', 'total')}
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), dec_sum("o_totalprice", "total")
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets via the SQL entry point (§3.3)."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("uchr_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM uchr_gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "agg_having",
+    oracle=f"""
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_dec_sum('o_totalprice', 'total_spent')}
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 8
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dec_sum("o_totalprice", "total_spent"),
+        )
+        .where(F.col("n_orders") >= 8)
+    )
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY l_quantity)
+                AS DOUBLE) AS median_qty,
+           CAST(PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY l_quantity)
+                AS DOUBLE) AS q1_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (sort-based) percentiles; at scale prefer approx_percentile
+    — see agg_approx_distinct for the sketch-based pattern."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("median_qty"),
+        F.percentile("l_quantity", 0.25).alias("q1_qty"),
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+           CAST(SUM(CASE WHEN event_type = 'click'
+                THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS click,
+           CAST(SUM(CASE WHEN event_type = 'error'
+                THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS error,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup'
+                THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'view'
+                THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS view
+    FROM events GROUP BY 1
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit category list — never let Spark run the
+    extra distinct-collection job to discover pivot values."""
+    e = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("timestamp_ntz").alias("day")
+    pivoted = (
+        e.select(day, "event_type", F.col("value").cast("decimal(18,4)").alias("v"))
+        .groupBy("day")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.sum("v"))
+    )
+    return pivoted.select(
+        "day", *[F.col(t).cast("double").alias(t) for t in _EVENT_TYPES]
+    )

@@ -1,0 +1,108 @@
+"""As-of join (§4.3) — Spark has no native ASOF JOIN, so the engine
+implements it as pure shuffle-parallel DataFrame algebra:
+
+    union-tag both sides → one window per key ordered by (ts, side) →
+    last(right-payload, ignoreNulls) → keep left rows.
+
+One shuffle on the join key, no per-key Python, no driver loop — the
+same plan shape scales to arbitrarily many keys/rows (skew on a hot
+key is the only hazard; AQE skew handling or key salting applies).
+A ``merge_asof``-per-group Pandas fallback is deliberately NOT the
+default: Arrow transfer of the full fact table costs more than the
+window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import query
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str,
+    payload: list[str],
+) -> DataFrame:
+    """Generic as-of: for each left row, latest right row with
+    ``right.ts <= left.ts`` within the same ``on`` key.
+
+    ``right`` must be unique per (on, ts); payload columns are carried
+    from the matched right row (null when no prior right row exists).
+    """
+    lcols = left.columns
+    l_tagged = left.withColumn("_side", F.lit(1))
+    for c in payload:
+        l_tagged = l_tagged.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
+    r_tagged = right.withColumn("_side", F.lit(0))
+    for c in lcols:
+        if c not in (on, ts):
+            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    unioned = l_tagged.select(on, ts, "_side", *payload, *[c for c in lcols if c not in (on, ts)]).unionByName(
+        r_tagged.select(on, ts, "_side", *payload, *[c for c in lcols if c not in (on, ts)])
+    )
+    # right rows (side=0) sort before left rows at equal ts => `>=` semantics
+    w = (
+        Window.partitionBy(on)
+        .orderBy(ts, "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = unioned.select(
+        "*", *[F.last(c, ignorenulls=True).over(w).alias(f"_m_{c}") for c in payload]
+    )
+    return matched.where(F.col("_side") == 1).select(
+        *lcols, *[F.col(f"_m_{c}").alias(c) for c in payload]
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    WITH l AS (
+      SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'click'
+    ), r0 AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+             row_number() OVER (PARTITION BY user_id, ts
+                                ORDER BY event_id DESC) AS rn
+      FROM events WHERE event_type = 'purchase'
+    ), r AS (
+      SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value
+      FROM r0 WHERE rn = 1
+    )
+    SELECT l.click_id, l.user_id, l.ts,
+           r.purchase_id, r.purchase_value
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def join_asof_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click matched to the user's latest prior (or simultaneous)
+    purchase. Right side deduped per (user, ts) for determinism."""
+    e = load(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    w_dedup = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    purchases = (
+        e.where(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(w_dedup))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        ts="ts",
+        payload=["purchase_id", "purchase_value"],
+    )

@@ -1,0 +1,228 @@
+"""§2.3 joins.
+
+Strategy notes for 100 TB:
+- dimension tables (region/nation/supplier at typical scale) get
+  explicit ``F.broadcast`` hints — no shuffle of the fact side's keys;
+- the multiway chain joins smallest-first so intermediate results stay
+  bounded before the big fact join;
+- the theta/range join bounds both inputs first (a cross product is
+  only safe when at least one side is provably tiny);
+- semi/anti joins never materialise the right side's payload columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..exprs import dec_sum, sql_dec_sum
+from ..io import load
+from ..registry import query
+
+
+@query(
+    "join_inner_equi",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, o.o_custkey, o.o_totalprice,
+           l.l_extendedprice
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > 400000
+    """,
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return li.join(o, li.l_orderkey == o.o_orderkey, "inner").select(
+        "l_orderkey", "l_linenumber", "o_custkey", "o_totalprice", "l_extendedprice"
+    )
+
+
+@query(
+    "join_broadcast",
+    oracle=f"""
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           {sql_dec_sum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ broadcast(dim) ⋈ broadcast(dim): zero shuffle of lineitem
+    until the final aggregation."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_lines"), dec_sum(rev, "revenue"))
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+    FROM customer c
+    LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 490000) o
+      ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 490000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH a AS (
+      SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_cust
+      FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey
+    ), b AS (
+      SELECT s_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_supp
+      FROM supplier WHERE s_acctbal > 9000 GROUP BY s_nationkey
+    )
+    SELECT COALESCE(a.nk, b.nk) AS nationkey, a.n_cust, b.n_supp
+    FROM a FULL OUTER JOIN b ON a.nk = b.nk
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return c.join(s, "nk", "full").select(
+        F.col("nk").alias("nationkey"), "n_cust", "n_supp"
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@query(
+    "join_multiway",
+    oracle=f"""
+    SELECT n.n_name,
+           {sql_dec_sum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: region→nation→customer→orders→lineitem→supplier.
+
+    Dimensions are broadcast; the one unavoidable shuffle pair is
+    orders⋈lineitem on orderkey, then a hash agg on n_name.
+    """
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        c.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+               c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s),
+              (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .groupBy("n_name")
+        .agg(dec_sum(rev, "revenue"), F.count("*").alias("n_lines"))
+    )
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+    SELECT e.event_id, e.value, o.o_orderkey, o.o_totalprice
+    FROM (SELECT * FROM events
+          WHERE event_type = 'purchase' AND value > 450) e
+    JOIN (SELECT * FROM orders WHERE o_totalprice > 480000) o
+      ON o.o_totalprice / 1000.0 BETWEEN e.value - 30 AND e.value + 30
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi band join: bound both sides first, then let Catalyst use
+    a broadcast nested-loop on the provably-small side."""
+    e = load(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase") & (F.col("value") > 450)
+    )
+    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 480000)
+    cond = (F.col("o_totalprice") / 1000.0).between(
+        F.col("value") - 30, F.col("value") + 30
+    )
+    return e.join(o, cond).select("event_id", "value", "o_orderkey", "o_totalprice")
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name, n.n_regionkey
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name", "n_regionkey")

@@ -1,0 +1,130 @@
+"""§2.1 scans / sources / sinks.
+
+Scans stay declarative so Catalyst pushes predicates and prunes columns
+into the parquet reader (verify with ``.explain``: PushedFilters /
+ReadSchema). Sink round-trips write to a fresh temp dir per invocation
+(deterministic content, driver-safe).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..io import load, read_csv, read_json, write_csv, write_json
+from ..registry import query
+
+
+@query(
+    "scan_parquet",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+    FROM lineitem WHERE l_quantity >= 30
+    """,
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + filter pushed down into the parquet scan."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") >= 30)
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    )
+
+
+@query(
+    "scan_csv",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer
+    """,
+)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round-trip with an explicit schema (no inference).
+
+    Doubles survive exactly: Spark writes shortest-round-trip
+    representations and parses them back to the identical bits.
+    """
+    src = load(spark, sf_dir, "customer")
+    out = tempfile.mkdtemp(prefix="uchr_scan_csv_")
+    write_csv(src, out)
+    return read_csv(spark, out, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+
+
+@query(
+    "scan_json",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+    FROM part
+    """,
+)
+def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines round-trip with an explicit schema."""
+    src = load(spark, sf_dir, "part")
+    out = tempfile.mkdtemp(prefix="uchr_scan_json_")
+    write_json(src, out)
+    return read_json(spark, out, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"
+    )
+
+
+@query(
+    "sink_parquet_partitioned",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+    FROM lineitem WHERE l_quantity >= 45
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write partitioned parquet, read back, aggregate.
+
+    ``partitionBy`` lays out one directory per key — the layout that
+    enables static partition pruning on re-read at scale.
+    """
+    src = load(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 45)
+    out = tempfile.mkdtemp(prefix="uchr_sink_parq_")
+    src.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), F.sum("l_quantity").alias("sum_qty")
+    )
+
+
+@query(
+    "sink_csv",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_totalprice > 450000
+    """,
+)
+def sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + re-read of a projected slice."""
+    schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_custkey", LongType()),
+            StructField("o_orderstatus", StringType()),
+            StructField("o_totalprice", DoubleType()),
+        ]
+    )
+    src = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 450000)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
+    out = tempfile.mkdtemp(prefix="uchr_sink_csv_")
+    write_csv(src, out)
+    return read_csv(spark, out, schema)

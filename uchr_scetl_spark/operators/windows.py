@@ -1,0 +1,248 @@
+"""§2.5 window functions + §2.6 sort/limit/top-k.
+
+Every window is bounded by a partition key (never a global
+ORDER BY-only window — that serialises to one task at scale). Global
+top-k uses orderBy().limit(k) so Spark plans TakeOrderedAndProject
+(per-partition heaps + driver merge), never a full sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..exprs import dec_sum, sql_dec_sum
+from ..io import load
+from ..registry import query
+
+
+@query(
+    "win_rank",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(row_number() OVER (PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn,
+           CAST(rank() OVER (PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC) AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER (PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC) AS BIGINT) AS drnk
+    FROM orders
+    """,
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w_tiebreak = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.row_number().over(w_tiebreak).cast("bigint").alias("rn"),
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+    )
+
+
+@query(
+    "win_topk_per_group",
+    oracle=f"""
+    WITH rev AS (
+      SELECT p.p_brand, p.p_partkey,
+             {sql_dec_sum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand, p.p_partkey
+    )
+    SELECT p_brand, p_partkey, revenue
+    FROM rev
+    QUALIFY row_number() OVER (PARTITION BY p_brand
+                               ORDER BY revenue DESC, p_partkey) <= 3
+    """,
+)
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts by revenue per brand: agg first (shrinks input to one
+    row per part), then a bounded window."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    per_part = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(dec_sum(rev, "revenue"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("revenue").desc(), F.col("p_partkey")
+    )
+    return (
+        per_part.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "revenue")
+    )
+
+
+@query(
+    "win_running",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS running_total,
+           (CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+            / COUNT(*) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) AS moving_avg3
+    FROM orders
+    """,
+)
+def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    order = [F.col("o_orderdate"), F.col("o_orderkey")]
+    run = (
+        Window.partitionBy("o_custkey")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    mov = Window.partitionBy("o_custkey").orderBy(*order).rowsBetween(-2, 0)
+    dec = F.col("o_totalprice").cast("decimal(18,4)")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.sum(dec).over(run).cast("double").alias("running_total"),
+        (F.sum(dec).over(mov).cast("double") / F.count("*").over(mov)).alias(
+            "moving_avg3"
+        ),
+    )
+
+
+@query(
+    "win_lag_lead",
+    oracle="""
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+           lag(value) OVER w AS prev_value,
+           lead(event_type) OVER w AS next_type,
+           value - lag(value) OVER w AS delta
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("event_type").over(w).alias("next_type"),
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+@query(
+    "win_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           CAST(COUNT(*) OVER (PARTITION BY o_orderpriority
+                ORDER BY o_totalprice
+                RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS n_in_band
+    FROM orders
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based (RANGE) frame: peers within a 5000-wide price band."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice")
+        .rangeBetween(-5000, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.count("*").over(w).alias("n_in_band"),
+    )
+
+
+@query(
+    "win_ntile_percent",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def win_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@query(
+    "sort_multi",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+    FROM supplier
+    ORDER BY s_acctbal DESC NULLS LAST, s_name ASC, s_suppkey
+    """,
+)
+def sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort (range-partitioned exchange + per-partition sort)."""
+    s = load(spark, sf_dir, "supplier")
+    return s.orderBy(
+        F.col("s_acctbal").desc_nulls_last(), F.col("s_name").asc(), F.col("s_suppkey")
+    ).select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+
+
+@query(
+    "topk_global",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k → TakeOrderedAndProject (no full sort, no single-task
+    shuffle; each partition keeps a k-heap)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query(
+    "limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_orderkey LIMIT 20 OFFSET 100
+    """,
+)
+def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination over a deterministic (unique-key) order."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.orderBy("o_orderkey")
+        .offset(100)
+        .limit(20)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
