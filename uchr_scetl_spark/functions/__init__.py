@@ -1,1 +1,3 @@
 """Scalar function families (§2.8)."""
+
+from . import scalars  # noqa: F401

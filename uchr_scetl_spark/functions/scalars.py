@@ -1,0 +1,305 @@
+"""§2.8 scalar function families — one registered query per family,
+each stacking several functions over corpus columns so the family is
+genuinely covered, and each written to agree bit-exactly with the ANSI
+equivalent in the oracle engine.
+
+Cross-engine agreement notes baked into these shapes:
+
+- ``dayofweek``: Spark counts 1=Sunday..7, DuckDB 0=Sunday..6 — the
+  Spark side subtracts 1.
+- ``last_day``/``date_trunc`` return DATE/TIMESTAMP respectively in
+  both engines; DATE results are cast back to timestamp on both sides
+  so pandas comparison sees one dtype.
+- double→string casts are never compared (format differs); double→int
+  casts only on integral-valued doubles (Spark truncates, DuckDB
+  rounds — equal only when fractional part is zero).
+- natural log is ``ln`` in DuckDB, ``F.log`` (one-arg) in Spark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import query
+
+
+@query(
+    "fn_string",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_type)                                   AS type_upper,
+           lower(p_name)                                   AS name_lower,
+           trim(concat('  ', p_name, '  '))                AS name_trimmed,
+           substring(p_name, 1, 8)                         AS name_prefix,
+           concat_ws('|', p_brand, p_type)                 AS brand_type,
+           CAST(length(p_name) AS INTEGER)                 AS name_len,
+           replace(p_name, 'a', '@')                       AS name_replaced,
+           string_split(p_name, ' ')[1]                    AS first_word,
+           lpad(CAST(p_size AS VARCHAR), 4, '0')           AS size_padded
+    FROM part
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_type").alias("type_upper"),
+        F.lower("p_name").alias("name_lower"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias(
+            "name_trimmed"
+        ),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_name"), F.lit("a"), F.lit("@")).alias("name_replaced"),
+        F.element_at(F.split("p_name", " "), 1).alias("first_word"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+    )
+
+
+@query(
+    "fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER)      AS yr,
+           CAST(month(o_orderdate) AS INTEGER)     AS mth,
+           CAST(day(o_orderdate) AS INTEGER)       AS dom,
+           CAST(quarter(o_orderdate) AS INTEGER)   AS qtr,
+           date_trunc('month', o_orderdate)        AS month_start,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00')
+                AS INTEGER)                        AS days_to_y2k,
+           o_orderdate + INTERVAL 7 DAY            AS ship_by,
+           CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+           CAST(dayofweek(o_orderdate) AS INTEGER) AS dow
+    FROM orders
+    """,
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    od = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(od).alias("yr"),
+        F.month(od).alias("mth"),
+        F.dayofmonth(od).alias("dom"),
+        F.quarter(od).alias("qtr"),
+        F.date_trunc("month", od).cast("timestamp_ntz").alias("month_start"),
+        F.datediff(F.lit("2000-01-01").cast("date"), od.cast("date")).alias(
+            "days_to_y2k"
+        ),
+        (od + F.expr("INTERVAL 7 DAY")).alias("ship_by"),
+        F.last_day(od).cast("timestamp_ntz").alias("month_end"),
+        (F.dayofweek(od) - F.lit(1)).alias("dow"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+    SELECT s_suppkey,
+           abs(s_acctbal)                                   AS abs_bal,
+           CAST(sign(s_acctbal) AS DOUBLE)                  AS sign_bal,
+           floor(s_acctbal)                                 AS floor_bal,
+           ceil(s_acctbal)                                  AS ceil_bal,
+           sqrt(abs(s_acctbal))                             AS sqrt_bal,
+           pow(CAST(s_nationkey AS DOUBLE), 2)              AS nk_sq,
+           greatest(s_acctbal, 0)                           AS pos_part,
+           least(s_acctbal, 0)                              AS neg_part
+    FROM supplier
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier")
+    bal = F.col("s_acctbal")
+    return s.select(
+        "s_suppkey",
+        F.abs(bal).alias("abs_bal"),
+        F.signum(bal).alias("sign_bal"),
+        F.floor(bal).cast("double").alias("floor_bal"),
+        F.ceil(bal).cast("double").alias("ceil_bal"),
+        F.sqrt(F.abs(bal)).alias("sqrt_bal"),
+        F.pow(F.col("s_nationkey").cast("double"), F.lit(2)).alias("nk_sq"),
+        F.greatest(bal, F.lit(0).cast("double")).alias("pos_part"),
+        F.least(bal, F.lit(0).cast("double")).alias("neg_part"),
+    )
+
+
+@query("fn_math_libm", tags=("rows-only",))
+def fn_math_libm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcendental / rounding functions — rows-only.
+
+    ``ln``/``log10``/``exp`` are libm-backed and not correctly-rounded,
+    so Java (Spark) and C (DuckDB) results differ in the last ulp on
+    some inputs (observed maxdiff ~9e-16); ``round(double, n)`` differs
+    on representational ties (HALF_UP vs HALF_EVEN). Bit-exact oracle
+    comparison is therefore impossible by construction — these stay in
+    the inventory as a rows-only key.
+    """
+    s = load(spark, sf_dir, "supplier")
+    bal = F.col("s_acctbal")
+    return s.select(
+        "s_suppkey",
+        F.log(F.abs(bal) + F.lit(1)).alias("ln_bal"),
+        F.log10(F.abs(bal) + F.lit(1)).alias("log10_bal"),
+        F.exp(F.col("s_nationkey") / F.lit(10.0)).alias("exp_nk"),
+        F.round(bal, 1).alias("bal_round1"),
+    )
+
+
+@query(
+    "fn_conditional",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END                             AS bal_band,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'B')  AS seg_or_b,
+           nullif(c_nationkey, 0)                           AS nk_nonzero,
+           ifnull(nullif(c_mktsegment, 'MACHINERY'), 'M')   AS seg_or_m
+    FROM customer
+    """,
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.when(bal < 0, "negative")
+        .when(bal < 5000, "mid")
+        .otherwise("high")
+        .alias("bal_band"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("B")).alias(
+            "seg_or_b"
+        ),
+        F.nullif("c_nationkey", F.lit(0)).alias("nk_nonzero"),
+        F.ifnull(F.nullif("c_mktsegment", F.lit("MACHINERY")), F.lit("M")).alias(
+            "seg_or_m"
+        ),
+    )
+
+
+@query(
+    "fn_array",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS INTEGER)       AS n_tokens,
+           list_contains(string_split(d.text, ' '), 'join')      AS has_join,
+           list_sort(string_split(d.text, ' '))[1]               AS first_sorted,
+           array_to_string(string_split(d.text, ' ')[1:3], ' ')  AS first3,
+           CAST(len(e.embedding) AS INTEGER)                     AS emb_dim,
+           CAST(e.embedding[1] AS DOUBLE)                        AS emb_first
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    toks = F.split(F.col("text"), " ")
+    return d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.array_contains(toks, "join").alias("has_join"),
+        F.element_at(F.sort_array(toks), 1).alias("first_sorted"),
+        F.array_join(F.slice(toks, 1, 3), " ").alias("first3"),
+        F.size("embedding").alias("emb_dim"),
+        F.element_at("embedding", 1).cast("double").alias("emb_first"),
+    )
+
+
+@query("fn_map", tags=("rows-only",))
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction/access — rows-only (map ordering is
+    engine-specific, so no hashable oracle)."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    m = F.map_from_entries(
+        F.array(
+            F.struct(F.lit("k").alias("key"), k.alias("value")),
+            F.struct(F.lit("uid").alias("key"), F.col("user_id").alias("value")),
+        )
+    )
+    return e.select(
+        "event_id",
+        m.alias("props_map"),
+        F.map_keys(m).alias("keys"),
+        F.element_at(m, "k").alias("k_val"),
+    )
+
+
+@query(
+    "fn_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+           json_extract_string(props, '$.k')                 AS k_str,
+           CAST(json_extract_string(props, '$.missing') AS BIGINT) AS k_missing
+    FROM events
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_num"),
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.missing").cast("bigint").alias("k_missing"),
+    )
+
+
+@query(
+    "fn_cast",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey AS VARCHAR)                          AS key_str,
+           CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT)          AS key_roundtrip,
+           CAST(o_orderkey AS DOUBLE)                           AS key_dbl,
+           CAST(o_orderstatus = 'F' AS INTEGER)                 AS is_f,
+           CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)         AS od_day,
+           CAST('2024-06-01 12:30:00' AS TIMESTAMP)             AS fixed_ts
+    FROM orders
+    """,
+)
+def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderkey").cast("string").cast("bigint").alias("key_roundtrip"),
+        F.col("o_orderkey").cast("double").alias("key_dbl"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("is_f"),
+        F.col("o_orderdate").cast("date").cast("timestamp_ntz").alias("od_day"),
+        F.lit("2024-06-01 12:30:00").cast("timestamp_ntz").alias("fixed_ts"),
+    )
+
+
+@query(
+    "fn_hash",
+    oracle="""
+    SELECT doc_id,
+           sha256(concat_ws('|', lang, text)) AS text_sha,
+           md5(text)                          AS text_md5
+    FROM documents
+    """,
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic row hashes — the dedup building block."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.sha2(F.concat_ws("|", "lang", "text"), 256).alias("text_sha"),
+        F.md5("text").alias("text_md5"),
+    )
+
+
+@query("fn_hash_xx", tags=("rows-only",))
+def fn_hash_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xxhash64 — Spark-native 64-bit hash (no DuckDB twin → rows-only).
+    This is the hash the MinHash signatures build on."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.xxhash64("text").alias("xx"),
+        F.xxhash64("text", F.lit(1)).alias("xx_seed1"),
+    )

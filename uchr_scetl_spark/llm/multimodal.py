@@ -1,0 +1,205 @@
+"""§2.9 multimodal columns.
+
+``multimodal_enrich`` is the cross-modal relational core: one plan that
+joins text (documents) with vectors (embeddings) and computes over both
+modalities at once — SQL-checked against the oracle.
+
+``multimodal_binary`` is the opaque-binary pipeline pattern for
+image/audio payloads: a `binary` column plus typed metadata travels
+through Spark untouched; decode/feature-extract runs as an
+Arrow-batched ``mapInPandas`` stage. The actual image decode is STUBBED
+(no imaging libraries in this environment): a real deployment drops
+PIL/librosa into ``_decode_batch`` behind the same signature. The
+Spark-side plumbing — schema, binary handling, batch iteration,
+partition parallelism — is real and tested. The fake "decode" is
+deterministic (first bytes of the payload), so results are stable for
+the rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..io import load
+from ..registry import query
+from .similarity import cosine_expr, sql_cosine
+
+
+@query(
+    "multimodal_enrich",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT d.doc_id, d.lang, d.source, e.label,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+           list_contains(string_split(d.text, ' '), 'join') AS mentions_join,
+           sqrt(list_dot_product(e.v, e.v)) AS emb_norm,
+           CAST(e.v[1] AS DOUBLE) AS emb_first
+    FROM documents d JOIN e ON d.doc_id = e.vec_id
+    WHERE d.n_chars > 100
+    """,
+)
+def multimodal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text + vector in one row: join documents to embeddings, compute
+    token stats (text modality) and norms (vector modality) in a single
+    plan — the 'one table, many modalities' shape."""
+    d = load(spark, sf_dir, "documents").where(F.col("n_chars") > 100)
+    e = load(spark, sf_dir, "embeddings").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    toks = F.split("text", " ")
+    return d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id",
+        "lang",
+        "source",
+        "label",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.array_contains(toks, "join").alias("mentions_join"),
+        F.sqrt(F.expr("aggregate(zip_with(v, v, (x,y) -> x*y), 0D, (acc,x) -> acc+x)")).alias(
+            "emb_norm"
+        ),
+        F.element_at("v", 1).alias("emb_first"),
+    )
+
+
+@query(
+    "multimodal_crossmodal_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), langs AS (
+      SELECT d.lang, d.doc_id, e.v
+      FROM documents d JOIN e ON d.doc_id = e.vec_id
+    ), probes AS (
+      SELECT lang AS probe_lang, doc_id AS probe_doc, v AS pv
+      FROM langs WHERE doc_id < 3
+    )
+    SELECT p.probe_doc, l.lang, l.doc_id,
+           {sql_cosine('p.pv', 'l.v')} AS cosine
+    FROM probes p JOIN langs l ON l.doc_id <> p.probe_doc
+    QUALIFY row_number() OVER (PARTITION BY p.probe_doc, l.lang
+                               ORDER BY {sql_cosine('p.pv', 'l.v')} DESC,
+                                        l.doc_id) <= 2
+    """,
+)
+def multimodal_crossmodal_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal retrieval shape: for each probe document, the top-2
+    most vector-similar documents *per language* (text metadata drives
+    the grouping, vectors drive the ranking)."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    langs = d.join(e, d.doc_id == e.vec_id).select("lang", "doc_id", "v")
+    probes = langs.where(F.col("doc_id") < 3).select(
+        F.col("lang").alias("probe_lang"),
+        F.col("doc_id").alias("probe_doc"),
+        F.col("v").alias("pv"),
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(langs, F.col("doc_id") != F.col("probe_doc"))
+        .select(
+            "probe_doc", "lang", "doc_id", cosine_expr("pv", "v").alias("cosine")
+        )
+    )
+    w = Window.partitionBy("probe_doc", "lang").orderBy(
+        F.col("cosine").desc(), "doc_id"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select("probe_doc", "lang", "doc_id", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# opaque-binary pipeline (image/audio pattern, decode stubbed)
+# ---------------------------------------------------------------------------
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("byte_len", IntegerType()),
+        StructField("feat_mean", DoubleType()),
+        StructField("feat_first", DoubleType()),
+    ]
+)
+
+
+def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-Arrow-batch 'decode'. Real deployment: replace the body with
+    PIL.Image.open(io.BytesIO(b)) / soundfile.read / cv2.imdecode and
+    emit real features. Here: deterministic byte statistics stand in
+    for pixel statistics (imaging libs absent in this environment)."""
+    try:  # the real decode path would be gated exactly like this
+        import PIL.Image  # noqa: F401
+
+        raise NotImplementedError(
+            "real image decode intentionally not wired in this environment"
+        )
+    except ImportError:
+        pass
+    payloads = pdf["payload"]
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"],
+            "media_type": pdf["media_type"],
+            "byte_len": payloads.map(len).astype("int32"),
+            "feat_mean": payloads.map(
+                lambda b: float(sum(b) / len(b)) if len(b) else 0.0
+            ),
+            "feat_first": payloads.map(
+                lambda b: float(b[0]) if len(b) else 0.0
+            ),
+        }
+    )
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """Arrow-batched decode stage over (doc_id, media_type, payload)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _decode_batch(pdf)
+
+    return df.mapInPandas(run, DECODED_SCHEMA)
+
+
+@query("multimodal_binary", tags=("rows-only",))
+def multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary payloads + typed metadata through an Arrow-batched
+    decode stage.
+
+    Payloads are synthesised deterministically from document text
+    (stand-in for real image bytes); the mapInPandas stage demonstrates
+    the exact batch shape a real decoder plugs into. Partition count is
+    preserved — decode parallelism = input parallelism."""
+    d = load(spark, sf_dir, "documents")
+    media = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, "image/png")
+        .otherwise("audio/wav")
+        .alias("media_type"),
+        F.to_binary(F.md5("text"), F.lit("hex")).cast(BinaryType()).alias("payload"),
+    )
+    decoded = decode_media(media)
+    return decoded.orderBy("doc_id")

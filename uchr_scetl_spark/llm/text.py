@@ -1,0 +1,291 @@
+"""§2.9 text-analysis operators over the `documents` corpus.
+
+Everything is declarative DataFrame algebra — tokenization is
+``split``, statistics are explode+groupBy, rankings are bounded
+windows. At 100 TB these shapes stay shuffle-parallel: the explode
+multiplies rows but never leaves the executor, aggregations are
+partial+final, and every window is partitioned (by lang / doc), never
+global.
+
+tf-idf ranking note: the *checked* ranking orders by the pure-integer
+key (tf DESC, df ASC, term) — the same ordering tf·ln(N/df) induces
+when tf dominates — because ln is libm-backed and not bit-reproducible
+across engines (see functions/scalars.py fn_math_libm). The double
+tf-idf scores are still computed, in the rows-only companion key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import query
+
+
+def tokens(col: str = "text") -> F.Column:
+    return F.split(F.col(col), " ")
+
+
+@query(
+    "text_tokenize_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT)               AS n_tokens,
+           CAST(COUNT(DISTINCT tok) AS BIGINT)    AS n_distinct_tokens,
+           (CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT doc_id)) AS avg_tokens_per_doc
+    FROM toks
+    GROUP BY lang
+    """,
+)
+def text_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", "lang", F.explode(tokens()).alias("tok"))
+    return t.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct_tokens"),
+        (F.count("*").cast("double") / F.countDistinct("doc_id")).alias(
+            "avg_tokens_per_doc"
+        ),
+    )
+
+
+@query(
+    "text_tf",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ), counted AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tf GROUP BY doc_id, tok
+    )
+    SELECT doc_id, tok AS top_term, tf
+    FROM counted
+    QUALIFY row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tf DESC, tok) = 1
+    """,
+)
+def text_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document term frequency; emit each doc's top term."""
+    d = load(spark, sf_dir, "documents")
+    counted = (
+        d.select("doc_id", F.explode(tokens()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), "tok")
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("tok").alias("top_term"), "tf")
+    )
+
+
+@query(
+    "text_tfidf_topterms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ), tf AS (
+      SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY lang, tok
+    ), df AS (
+      SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM toks GROUP BY tok
+    )
+    SELECT tf.lang, tf.tok AS term, tf.tf, df.df,
+           CAST(row_number() OVER (PARTITION BY tf.lang
+                ORDER BY tf.tf DESC, df.df ASC, tf.tok) AS BIGINT) AS rnk
+    FROM tf JOIN df ON tf.tok = df.tok
+    QUALIFY rnk <= 5
+    """,
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 distinctive terms per language: highest in-language tf,
+    rarest corpus-wide df as tiebreak (integer-exact tf-idf ordering)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", F.explode(tokens()).alias("tok"))
+    tf = toks.groupBy("lang", "tok").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    w = Window.partitionBy("lang").orderBy(F.col("tf").desc(), F.col("df").asc(), "tok")
+    return (
+        tf.join(df, "tok")
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= 5)
+        .select("lang", F.col("tok").alias("term"), "tf", "df", "rnk")
+    )
+
+
+@query("text_tfidf_scores", tags=("rows-only",))
+def text_tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic tf·idf doubles (idf = ln(N/df)); rows-only because ln is
+    not bit-reproducible across engines."""
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.count()  # scalar, one job; at scale: sketch or metadata count
+    toks = d.select("doc_id", "lang", F.explode(tokens()).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        tf.join(df, "tok")
+        .select(
+            "doc_id",
+            "tok",
+            (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("tfidf"),
+        )
+    )
+
+
+_LANG_MARKERS: dict[str, list[str]] = {
+    # marker-token dictionaries for the n-gram/stopword language-ID
+    # heuristic; tiny on purpose (broadcast as literals into the plan)
+    "en": ["the", "and", "of", "select", "where"],
+    "de": ["der", "und", "die", "nicht", "mit"],
+    "es": ["el", "los", "que", "para", "con"],
+}
+
+
+@query(
+    "text_langid",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(list_intersect(string_split(text, ' '),
+                 ['the','and','of','select','where'])) AS s_en,
+             len(list_intersect(string_split(text, ' '),
+                 ['der','und','die','nicht','mit']))   AS s_de,
+             len(list_intersect(string_split(text, ' '),
+                 ['el','los','que','para','con']))     AS s_es
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(s_en AS INTEGER) AS s_en,
+           CAST(s_de AS INTEGER) AS s_de,
+           CAST(s_es AS INTEGER) AS s_es,
+           CASE WHEN s_en = 0 AND s_de = 0 AND s_es = 0 THEN 'und'
+                WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
+                WHEN s_de >= s_es THEN 'de'
+                ELSE 'es' END AS predicted
+    FROM scored
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-hit language ID: deterministic argmax over marker-token
+    intersection counts (priority order en > de > es on ties)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.array_distinct(tokens())
+    scores = {
+        lang: F.size(
+            F.array_intersect(toks, F.array(*[F.lit(m) for m in markers]))
+        ).alias(f"s_{lang}")
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    scored = d.select("doc_id", "lang", *scores.values())
+    s_en, s_de, s_es = F.col("s_en"), F.col("s_de"), F.col("s_es")
+    return scored.select(
+        "doc_id",
+        "lang",
+        "s_en",
+        "s_de",
+        "s_es",
+        F.when((s_en == 0) & (s_de == 0) & (s_es == 0), "und")
+        .when((s_en >= s_de) & (s_en >= s_es), "en")
+        .when(s_de >= s_es, "de")
+        .otherwise("es")
+        .alias("predicted"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(length(text) AS BIGINT) AS n_chars_actual,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           (CAST(length(replace(text, ' ', '')) AS DOUBLE)
+              / len(string_split(text, ' ')))             AS avg_token_len,
+           (CAST(len(list_intersect(string_split(text, ' '),
+                 ['select','from','join','where','group'])) AS DOUBLE)
+              / len(list_distinct(string_split(text, ' ')))) AS stopword_ratio,
+           (CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+              / length(text))                              AS alpha_ratio
+    FROM documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / token-shape / stopword / alphabetic-ratio quality
+    signals — the standard cheap pre-filters for LLM training data."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens()
+    stop = F.array(*[F.lit(t) for t in ["select", "from", "join", "where", "group"]])
+    return d.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        (
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / F.size(toks)
+        ).alias("avg_token_len"),
+        (
+            F.size(F.array_intersect(F.array_distinct(toks), stop)).cast("double")
+            / F.size(F.array_distinct(toks))
+        ).alias("stopword_ratio"),
+        (
+            F.length(F.regexp_replace("text", "[^a-z]", "")).cast("double")
+            / F.length("text")
+        ).alias("alpha_ratio"),
+    )
+
+
+@query(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT)            AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+                AS BIGINT)                                          AS bpe_ish_tokens,
+           CAST(ceil(CAST(length(text) AS DOUBLE) / 4) AS BIGINT)   AS est_tokens_len4
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace split, a BPE-ish regex
+    (alpha runs / digit runs / single punctuation), and the chars/4
+    heuristic."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(tokens()).cast("bigint").alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
+        ).cast("bigint").alias("bpe_ish_tokens"),
+        F.ceil(F.length("text").cast("double") / F.lit(4)).cast("bigint").alias(
+            "est_tokens_len4"
+        ),
+    )
+
+
+@query("text_fingerprint", tags=("rows-only",))
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint per document, computed
+    with a higher-order ``aggregate`` over the token array — all
+    JVM-side modular integer arithmetic (bounded < 2^63, ANSI-safe),
+    no UDF. rows-only: relies on xxhash64, which has no oracle twin."""
+    d = load(spark, sf_dir, "documents")
+    rolling = F.aggregate(
+        tokens(),
+        F.lit(0).cast("bigint"),
+        lambda acc, tok: F.pmod(
+            acc * F.lit(31) + F.pmod(F.xxhash64(tok), F.lit(1000003)),
+            F.lit(1000000007),
+        ),
+    )
+    return d.select("doc_id", rolling.alias("fingerprint"), F.length("text").alias("n"))
