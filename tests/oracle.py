@@ -25,7 +25,10 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         s = df[c]
         if pd.api.types.is_datetime64_any_dtype(s):
-            df[c] = pd.to_datetime(s).astype("datetime64[us]")
+            ser = pd.to_datetime(s)
+            if getattr(ser.dt, "tz", None) is not None:
+                ser = ser.dt.tz_convert("UTC").dt.tz_localize(None)
+            df[c] = ser.astype("datetime64[us]")
     key = df.apply(lambda r: tuple(str(x) for x in r), axis=1)
     return df.iloc[key.argsort(kind="stable").to_numpy()].reset_index(drop=True)
 

@@ -1,0 +1,163 @@
+"""Structured Streaming tests (§2.10): each streaming mirror must agree
+with its oracle-checked batch twin when fed the same events, and the
+watermark must actually drop late data. All synchronous
+(processAllAvailable + memory sink), single event directory."""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from uchr_scetl_spark.streaming import batch as B
+from uchr_scetl_spark.streaming.streams import (
+    EVENTS_STREAM_SCHEMA,
+    dedup_stream,
+    read_events_stream,
+    run_to_memory,
+    session_windows_stream,
+    tumbling_counts_stream,
+    user_running_state_stream,
+)
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark):
+    """events table re-written as a multi-file parquet dir (a realistic
+    file-stream source: several files → several micro-batches)."""
+    out = tempfile.mkdtemp(prefix="uchr_stream_src_")
+    (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .withColumn(
+            "ts",
+            F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP)"),
+        )
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    yield out
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_tumbling_counts_matches_batch(spark, events_dir):
+    stream = tumbling_counts_stream(
+        read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    )
+    run_to_memory(stream, "t_tumbling", output_mode="complete")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.table("t_tumbling").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in B.stream_tumbling_counts(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
+def test_session_windows_stream_runs(spark, events_dir):
+    stream = session_windows_stream(
+        read_events_stream(spark, events_dir)
+    )
+    run_to_memory(stream, "t_sessions", output_mode="complete")
+    rows = spark.table("t_sessions").collect()
+    assert len(rows) > 0
+    # session bounds are ordered and event counts positive
+    assert all(r.session_start <= r.session_end and r.n_events > 0 for r in rows)
+
+
+def test_dedup_stream_drops_duplicates(spark, events_dir):
+    # feed the SAME directory twice worth of rows by unioning two reads
+    # is not possible in one file stream; instead duplicate files:
+    dup_dir = tempfile.mkdtemp(prefix="uchr_stream_dup_")
+    src = spark.read.parquet(events_dir)
+    src.unionByName(src).repartition(3).write.mode("overwrite").parquet(dup_dir)
+    try:
+        stream = dedup_stream(read_events_stream(spark, dup_dir))
+        run_to_memory(stream, "t_dedup", output_mode="append")
+        n_distinct = src.select("event_id").distinct().count()
+        got = spark.table("t_dedup").select("event_id").distinct().count()
+        total = spark.table("t_dedup").count()
+        assert got == n_distinct
+        # every id exactly once (dup tracking within watermark horizon)
+        assert total == n_distinct
+    finally:
+        shutil.rmtree(dup_dir, ignore_errors=True)
+
+
+def test_user_running_state(spark, events_dir):
+    stream = user_running_state_stream(
+        read_events_stream(spark, events_dir)
+    )
+    run_to_memory(stream, "t_state", output_mode="update")
+    # last update per user must equal the batch per-user totals
+    final = (
+        spark.table("t_state")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )
+    want = (
+        spark.read.parquet(events_dir).groupBy("user_id").count()
+    )
+    got = {r.user_id: r.n_events for r in final.collect()}
+    expect = {r.user_id: r["count"] for r in want.collect()}
+    assert got == expect
+
+
+def test_watermark_drops_late_rows(spark):
+    """Two micro-batches: batch 1 advances the watermark far ahead;
+    batch 2's stale row falls behind the watermark and must be dropped
+    from an append-mode windowed aggregation."""
+    src = tempfile.mkdtemp(prefix="uchr_late_src_")
+    ckpt = tempfile.mkdtemp(prefix="uchr_late_ckpt_")
+
+    def write_batch(rows, path):
+        spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    on_time = [
+        (1, t0, 1, "click", 1.0, "{}"),
+        (2, t0 + dt.timedelta(hours=3), 1, "click", 1.0, "{}"),
+    ]
+    late = [(3, t0 + dt.timedelta(minutes=30), 1, "click", 1.0, "{}")]
+
+    write_batch(on_time, f"{src}/b1")
+    stream = tumbling_counts_stream(
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a row 2.5h older than the max event time seen (3h),
+        # beyond the 10-minute watermark and its window already closed
+        write_batch(late, f"{src}/b2")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    emitted = spark.table("t_late").collect()
+    # append mode emits only closed windows; the late row's 00:00 window
+    # closed when the watermark passed 00:10 + 1h — its count must NOT
+    # include event_id 3
+    counts = {r.window_start: r.n_events for r in emitted}
+    assert counts.get(t0) == 1, f"late row leaked into closed window: {counts}"

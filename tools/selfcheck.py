@@ -42,7 +42,10 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         s = df[c]
         if pd.api.types.is_datetime64_any_dtype(s):
-            df[c] = pd.to_datetime(s).astype("datetime64[us]")
+            ser = pd.to_datetime(s)
+            if getattr(ser.dt, "tz", None) is not None:
+                ser = ser.dt.tz_convert("UTC").dt.tz_localize(None)
+            df[c] = ser.astype("datetime64[us]")
         elif s.dtype == object:
             df[c] = s.map(lambda v: None if v is None else v)
     key = df.apply(lambda r: tuple(str(x) for x in r), axis=1)

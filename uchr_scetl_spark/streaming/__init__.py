@@ -1,1 +1,4 @@
-"""Streaming operators (§2.10)."""
+"""Streaming operators (§2.10): batch-checkable forms + Structured
+Streaming mirrors."""
+
+from . import batch  # noqa: F401

@@ -1,0 +1,167 @@
+"""§2.10 event-stream operators, batch-checkable forms.
+
+Each of these is the exact aggregation its streaming mirror
+(streaming.py) runs incrementally — same expressions, same window
+semantics — so the DuckDB oracle checks the logic once and the
+streaming tests only have to prove the incremental execution path.
+
+Window-start alignment: Spark's ``window(ts, d, s)`` aligns to the
+epoch; the oracle replicates it as epoch-second floor arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..exprs import sql_dec_sum
+from ..io import load
+from ..registry import query
+
+
+@query(
+    "stream_tumbling_counts",
+    oracle=f"""
+    SELECT CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600) AS TIMESTAMP) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dec_sum('value', 'total_value')}
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows per event type. Streaming mirror adds
+    ``withWatermark("ts", "10 minutes")`` and runs incrementally."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(24,6)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "stream_sliding_avg",
+    oracle=f"""
+    WITH windows AS (
+      SELECT e.*,
+             CAST(to_timestamp(floor(epoch(e.ts) / 900) * 900
+                          - g.i * 900) AS TIMESTAMP) AS window_start
+      FROM events e CROSS JOIN generate_series(0, 3) AS g(i)
+      WHERE CAST(to_timestamp(floor(epoch(e.ts) / 900) * 900 - g.i * 900)
+              AS TIMESTAMP) + INTERVAL 1 HOUR > e.ts
+    )
+    SELECT window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           (CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE)
+              / COUNT(value)) AS avg_value
+    FROM windows
+    GROUP BY 1, 2
+    """,
+)
+def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 minutes: each event lands in 4
+    overlapping windows (the oracle materialises the same 4 via
+    generate_series arithmetic)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            (
+                F.sum(F.col("value").cast("decimal(24,6)")).cast("double")
+                / F.count("value")
+            ).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+@query(
+    "stream_session_windows",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             SUM(is_new_session) OVER (PARTITION BY user_id
+                 ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dec_sum('value', 'session_value')}
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap via the
+    lag + running-sum-of-boundaries trick (the batch equivalent of
+    ``F.session_window``, which the streaming mirror uses)."""
+    e = load(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_ts = F.lag("ts").over(w_order)
+    new_session = (
+        prev_ts.isNull()
+        | ((F.col("ts") - prev_ts) > F.expr("INTERVAL 30 MINUTES"))
+    ).cast("int")
+    sessions = e.withColumn("is_new_session", new_session).withColumn(
+        "session_id", F.sum("is_new_session").over(w_run).cast("bigint")
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(24,6)")).cast("double").alias(
+            "session_value"
+        ),
+    )
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+    SELECT DISTINCT event_id, ts, user_id, event_type, value
+    FROM (SELECT event_id, ts, user_id, event_type, value FROM events
+          UNION ALL
+          SELECT event_id, ts, user_id, event_type, value FROM events)
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-event elimination: a doubled stream collapses back to
+    one row per event_id (full-row duplicates, so dropDuplicates is
+    value-deterministic). Streaming mirror:
+    ``dropDuplicatesWithinWatermark``."""
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    doubled = e.unionByName(e)
+    return doubled.dropDuplicates(["event_id"])

@@ -1,0 +1,161 @@
+"""§2.10 Structured Streaming mirrors of the batch event operators.
+
+The `events` parquet directory doubles as a file-stream source
+(``readStream`` with an explicit schema — a stream source never
+infers). Each builder returns an *unstarted* streaming DataFrame whose
+transformation is shared with the batch twin in batch.py; tests run
+them synchronously through a memory sink (``run_to_memory``).
+
+Watermarks: every stateful operator carries one so state is bounded —
+the difference between a pipeline that runs forever at 100 TB/day and
+one whose state store grows without limit. Late rows beyond the
+watermark are dropped in append mode (unit-tested with a crafted late
+batch in tests/test_streaming.py).
+
+``applyInPandasWithState`` demonstrates the custom-stateful path:
+per-user running aggregates with explicit GroupState, Arrow-batched.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# File-stream schema: plain TIMESTAMP (not NTZ) — streaming state ops
+# (watermarks, session windows) require TimestampType event time. The
+# session pins UTC so wall-clock values match the batch NTZ reads.
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, events_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(events_dir)
+
+
+def tumbling_counts_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of stream_tumbling_counts (+10 min watermark)."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(24,6)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events",
+                "total_value")
+    )
+
+
+def sliding_avg_stream(events: DataFrame) -> DataFrame:
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def session_windows_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native streaming sessionization (``session_window``)."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame) -> DataFrame:
+    """Drop duplicate event_ids with bounded state: duplicates are only
+    tracked within the watermark horizon."""
+    return events.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+_USER_STATE_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("total", DoubleType())]
+)
+
+
+def _update_user_state(key, pdfs, state: GroupState):
+    """Running per-user (count, sum) with explicit GroupState."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+    )
+
+
+def user_running_state_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: applyInPandasWithState, update mode."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_state,
+            outputStructType=_USER_STATE_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(
+    sdf: DataFrame, name: str, output_mode: str = "append"
+) -> None:
+    """Run a streaming DataFrame synchronously to a memory sink; results
+    land in the temp view ``name``. Caller queries and stops."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()

@@ -1,1 +1,168 @@
-"""UDF/UDAF/UDTF surface (§2.11)."""
+"""§2.11 UDF / UDAF / UDTF surface.
+
+Rule of thumb enforced across the engine: built-in expressions beat
+pandas UDFs beat row-at-a-time Python (which appears nowhere). These
+three keys exist to *cover the extension surface*, each deliberately
+chosen so an oracle can still check it:
+
+- ``udf_pandas_scalar`` — Arrow-batched scalar pandas UDF; the function
+  (lower+strip+collapse-whitespace) is SQL-replicable, so the Python
+  path itself is what's under test.
+- ``udaf_grouped`` — ``applyInPandas`` per-group aggregation (IQR-
+  trimmed mean). Works on integral-valued doubles so every intermediate
+  (linear-interpolated quartiles on sorted integers = dyadic rationals,
+  sums of integers) is exactly representable — bit-agreement with the
+  SQL oracle is by construction, not luck.
+- ``udtf_explode_custom`` — Spark 4 Python UDTF emitting (pos, token)
+  rows; oracle = generate_series positional unnest.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udtf
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .io import load
+from .registry import query
+
+
+@pandas_udf(StringType())
+def normalize_text(s: pd.Series) -> pd.Series:
+    """Vectorized normalize: lower, strip, collapse internal runs of
+    whitespace to single spaces."""
+    return s.str.lower().str.strip().str.replace(r"\s+", " ", regex=True)
+
+
+@query(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm_text,
+           CAST(length(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+                AS BIGINT) AS norm_len
+    FROM documents
+    """,
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched scalar pandas UDF on the text column."""
+    d = load(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).cast("bigint").alias("norm_len"),
+    )
+
+
+_TRIMMED_SCHEMA = StructType(
+    [
+        StructField("l_returnflag", StringType()),
+        StructField("q1", DoubleType()),
+        StructField("q3", DoubleType()),
+        StructField("trimmed_mean_qty", DoubleType()),
+        StructField("n_kept", LongType()),
+    ]
+)
+
+
+def _trimmed_mean(pdf: pd.DataFrame) -> pd.DataFrame:
+    """IQR-trimmed mean of l_quantity for one group. All arithmetic is
+    exact: quantities are integral, linear-interpolated quartiles land
+    on dyadic rationals, and the trimmed sum stays < 2^53."""
+    q = pdf["l_quantity"]
+    q1 = q.quantile(0.25, interpolation="linear")
+    q3 = q.quantile(0.75, interpolation="linear")
+    kept = q[(q >= q1) & (q <= q3)]
+    return pd.DataFrame(
+        {
+            "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+            "q1": [float(q1)],
+            "q3": [float(q3)],
+            "trimmed_mean_qty": [float(kept.sum() / len(kept))],
+            "n_kept": [len(kept)],
+        }
+    )
+
+
+@query(
+    "udaf_grouped",
+    oracle="""
+    WITH bounds AS (
+      SELECT l_returnflag,
+             quantile_cont(l_quantity, 0.25) AS q1,
+             quantile_cont(l_quantity, 0.75) AS q3
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT b.l_returnflag, b.q1, b.q3,
+           (CAST(SUM(l.l_quantity) AS DOUBLE) / COUNT(*)) AS trimmed_mean_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM lineitem l JOIN bounds b ON l.l_returnflag = b.l_returnflag
+    WHERE l.l_quantity >= b.q1 AND l.l_quantity <= b.q3
+    GROUP BY b.l_returnflag, b.q1, b.q3
+    """,
+)
+def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group pandas aggregation (applyInPandas): IQR-trimmed mean.
+
+    Scale note: each group materialises in one worker's memory — only
+    appropriate when groups are bounded (3 return flags here). Unbounded
+    groups belong in built-in aggregates instead."""
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    return li.groupBy("l_returnflag").applyInPandas(_trimmed_mean, _TRIMMED_SCHEMA)
+
+
+@udtf(returnType="pos: int, token: string, token_len: int")
+class TokenEmitter:
+    """One row in → one row per token out, with position and length."""
+
+    def eval(self, text: str):  # noqa: D102
+        if text is None:
+            return
+        for pos, tok in enumerate(text.split(" "), start=1):
+            yield pos, tok, len(tok)
+
+
+@query(
+    "udtf_explode_custom",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE doc_id < 20
+    ), ex AS (
+      SELECT doc_id,
+             unnest([{'pos': i, 'tok': t[i]}
+                     for i in generate_series(1, len(t))]) AS u
+      FROM base
+    )
+    SELECT doc_id,
+           CAST(u.pos AS INTEGER) AS pos,
+           u.tok AS token,
+           CAST(length(u.tok) AS INTEGER) AS token_len
+    FROM ex
+    """,
+)
+def udtf_explode_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4): custom one-to-many row emitter with
+    position — the extensible version of posexplode."""
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+    d.createOrReplaceTempView("uchr_udtf_docs")
+    spark.udtf.register("uchr_token_emitter", TokenEmitter)
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token, t.token_len
+        FROM uchr_udtf_docs d,
+             LATERAL uchr_token_emitter(d.text) t
+        """
+    )
