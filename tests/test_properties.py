@@ -1,0 +1,91 @@
+"""Property-based tests (SURVEY.md §5.3): algebraic invariants that
+must hold for any input, checked with Hypothesis over small generated
+relations. Spark jobs are expensive, so examples are capped low and
+inputs kept tiny — the point is shrinking counterexamples, not volume."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+texts = st.lists(
+    st.text(alphabet="abc ", min_size=0, max_size=12), min_size=0, max_size=8
+)
+ints = st.lists(st.integers(min_value=-1000, max_value=1000), min_size=0, max_size=12)
+
+
+@given(rows=texts)
+@settings(**SETTINGS)
+def test_dedup_exact_idempotent(spark, rows):
+    """dedup(dedup(x)) == dedup(x), and output hashes are unique."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(rows)], "doc_id long, text string"
+    )
+    hashed = df.select(
+        "doc_id", F.sha2(F.lower(F.trim("text")), 256).alias("h")
+    )
+    once = hashed.dropDuplicates(["h"])
+    twice = once.dropDuplicates(["h"])
+    assert once.count() == twice.count()
+    assert once.select("h").distinct().count() == once.count()
+
+
+@given(rows=ints)
+@settings(**SETTINGS)
+def test_topk_is_prefix_of_sort(spark, rows):
+    df = spark.createDataFrame([(x,) for x in rows], "v int")
+    k = 3
+    topk = [r.v for r in df.orderBy(F.col("v").desc(), "v").limit(k).collect()]
+    full = [r.v for r in df.orderBy(F.col("v").desc(), "v").collect()]
+    assert topk == full[:k]
+
+
+@given(a=ints, b=ints)
+@settings(**SETTINGS)
+def test_union_distinct_commutative(spark, a, b):
+    da = spark.createDataFrame([(x,) for x in a], "v int")
+    db = spark.createDataFrame([(x,) for x in b], "v int")
+    ab = set(r.v for r in da.unionByName(db).distinct().collect())
+    ba = set(r.v for r in db.unionByName(da).distinct().collect())
+    assert ab == ba == set(a) | set(b)
+
+
+@given(rows=ints)
+@settings(**SETTINGS)
+def test_rollup_total_matches_grand_sum(spark, rows):
+    df = spark.createDataFrame(
+        [(x % 3, x) for x in rows], "k int, v int"
+    )
+    roll = {
+        (r.k): r.s
+        for r in df.rollup("k").agg(F.sum("v").alias("s")).collect()
+    }
+    grand = df.agg(F.sum("v")).collect()[0][0]
+    assert roll.get(None, None) == grand  # the rollup total row
+
+
+def test_asof_never_matches_future(spark):
+    """As-of join must never pick a right row strictly after the left ts
+    (deterministic single case; the generic algebra is in test_asof)."""
+    import datetime as dt
+
+    from uchr_scetl_spark.operators.asof import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    left = spark.createDataFrame(
+        [(1, t(5), "x")], "k long, ts timestamp_ntz, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, t(6), 99.0)], "k long, ts timestamp_ntz, v double"
+    )
+    out = asof_join(left, right, on="k", ts="ts", payload=["v"]).collect()
+    assert out[0].v is None

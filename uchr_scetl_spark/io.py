@@ -84,3 +84,24 @@ def read_json(spark: SparkSession, path: str, schema) -> DataFrame:
 
 def write_json(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
+
+
+def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame:
+    """JDBC source — present for API completeness; no JDBC driver jar
+    ships in this environment, so the call fails fast with a clear
+    message instead of a Py4J class-not-found at action time."""
+    try:
+        spark._jvm.java.lang.Class.forName("java.sql.Driver")  # sanity only
+    except Exception:  # pragma: no cover
+        pass
+    driver = options.get("driver")
+    if not driver:
+        raise NotImplementedError(
+            "read_jdbc requires a JDBC driver jar on the Spark classpath "
+            "(none is bundled in this environment); pass driver= and add "
+            "the jar via spark.jars"
+        )
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from ..io import load
 from ..registry import query
+from ..session import default_parallelism
 
 # MinHash runs on 3-gram SHINGLES, not tokens: the corpus draws from a
 # tiny vocabulary, so token-SET Jaccard barely discriminates (22% of all
@@ -95,74 +96,133 @@ def _band(col: F.Column, width: int = 10) -> F.Column:
                             for i in generate_series(1, len(t) - 2)]) AS toks,
              CAST(floor(len(t) / 10) AS BIGINT) AS band
       FROM base
+    ), sized AS (
+      SELECT *, len(toks) AS n FROM docs
     )
     SELECT a.doc_id AS a_id, b.doc_id AS b_id,
            (CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-              / len(list_distinct(list_concat(a.toks, b.toks)))) AS jaccard
-    FROM docs a JOIN docs b
+              / (a.n + b.n - len(list_intersect(a.toks, b.toks)))) AS jaccard
+    FROM sized a JOIN sized b
       ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
     WHERE (CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-              / len(list_distinct(list_concat(a.toks, b.toks)))) >= 0.6
+              / (a.n + b.n - len(list_intersect(a.toks, b.toks)))) >= 0.6
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram-shingle Jaccard over bounded candidate groups
-    (same lang, same token-count band)."""
-    d = load(spark, sf_dir, "documents")
-    docs = d.withColumn("t", F.split("text", " ")).select(
-        "doc_id",
-        "lang",
-        shingles_expr().alias("toks"),
-        _band(F.size("t")).alias("band"),
+    (same lang, same token-count band). Union size via
+    inclusion-exclusion (|A|+|B|-|A∩B|) with per-doc sizes projected
+    before the join — materialising union arrays per pair was the
+    single biggest cost in the pairwise stage."""
+    # Inverted-index formulation: shingle rows self-joined on the
+    # shingle (within lang+band), counting shared shingles per pair.
+    # Only pairs with >=1 common shingle ever materialise — identical
+    # output to all-pairs (inter=0 implies J=0 < tau) at a fraction of
+    # the cost, and the shape that survives 100 TB: shuffles on
+    # shingle and pair keys, never a quadratic block product.
+    sh = shingled_docs(spark, sf_dir).select(
+        "doc_id", "lang", "band", "n", F.explode("toks").alias("tok")
     )
-    a = docs.alias("a")
-    b = docs.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
-    union = F.size(F.array_distinct(F.concat(F.col("a.toks"), F.col("b.toks"))))
-    jaccard = inter.cast("double") / union
-    return (
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
         a.join(
             b,
-            (F.col("a.lang") == F.col("b.lang"))
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.band") == F.col("b.band"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .where(jaccard >= 0.6)
-        .select(
+        .groupBy(
             F.col("a.doc_id").alias("a_id"),
             F.col("b.doc_id").alias("b_id"),
-            jaccard.alias("jaccard"),
+            F.col("a.n").alias("a_n"),
+            F.col("b.n").alias("b_n"),
         )
+        .agg(F.count("*").alias("inter"))
+    )
+    jaccard = F.col("inter").cast("double") / (
+        F.col("a_n") + F.col("b_n") - F.col("inter")
+    )
+    return (
+        pairs.withColumn("jaccard", jaccard)
+        .where(F.col("jaccard") >= 0.6)
+        .select("a_id", "b_id", "jaccard")
     )
 
 
-def shingles_expr(toks_col: str = "t", n: int = SHINGLE_N) -> F.Column:
-    """Distinct word n-gram shingles over a PRE-PROJECTED token-array
-    column. Two traps this shape avoids: (a) building from ``split(text)``
-    inline re-evaluates the split once per output element — O(tokens²)
-    per document (measured 10×+ slowdown); (b) Spark's ``sequence``
-    counts backwards on a negative span, hence the short-doc guard."""
-    t = toks_col
-    grams = " || ' ' || ".join(
-        f"element_at({t}, i + {j})" for j in range(n)
-    )
-    return F.expr(
-        f"""
-        CASE WHEN size({t}) < {n} THEN array()
-        ELSE array_distinct(transform(
-          sequence(1, size({t}) - {n - 1}), i -> {grams}
-        )) END
-        """
+_SHINGLE_GRAMS = " || ' ' || ".join(
+    f"element_at(t, i + {j})" for j in range(SHINGLE_N)
+)
+_SHINGLE_SQL = f"""
+    CASE WHEN size(t) < {SHINGLE_N} THEN array()
+    ELSE array_distinct(transform(
+      sequence(1, size(t) - {SHINGLE_N - 1}), i -> {_SHINGLE_GRAMS}
+    )) END
+"""
+
+# One shingled-documents relation per sf_dir, cached and shared by the
+# three shingle consumers (ngram Jaccard, MinHash LSH, verify step).
+_shingled_memo: dict[tuple[int, str], DataFrame] = {}
+
+
+def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, band, toks, n) with distinct 3-gram shingle
+    arrays, repartitioned across the cluster and CACHED.
+
+    The cache is load-bearing twice over, not just a speedup:
+
+    - Multi-reference: every consumer self-joins or re-joins this
+      relation; uncached, Spark re-executes the whole shingle subtree
+      once per reference (measured 4× at sf0.01).
+    - Optimizer barrier: Spark's InferFiltersFromGenerate +
+      CollapseProject otherwise inline the shingle expression —
+      including a per-element re-evaluation of split(text) — into a
+      pushed-down scan filter, making it O(tokens²) per document
+      (measured 65 s of the 137 s sf0.1 runtime). An InMemoryRelation
+      stops predicate pushdown at the cache boundary.
+
+    The cached relation is tiny relative to the corpus (arrays of
+    short strings, one row per doc); at 100 TB the same role is played
+    by persisting the shingled/signature table once per pipeline run.
+
+    The explicit repartition fixes the other sf0.1 pathology: a
+    single-file parquet table scans as ONE partition, so all shingle
+    CPU otherwise lands on one core.
+    """
+    key = (id(spark), sf_dir)
+    if key not in _shingled_memo:
+        d = load(spark, sf_dir, "documents")
+        df = (
+            d.repartition(default_parallelism(), "doc_id")
+            .withColumn("t", F.split("text", " "))
+            .select(
+                "doc_id",
+                "lang",
+                _band(F.size("t")).alias("band"),
+                F.expr(_SHINGLE_SQL).alias("toks"),
+            )
+            .withColumn("n", F.size("toks"))
+            .cache()
+        )
+        _shingled_memo[key] = df
+    return _shingled_memo[key]
+
+
+def shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, shingle) rows off the cached shingled docs."""
+    return shingled_docs(spark, sf_dir).select(
+        "doc_id", F.explode("toks").alias("shingle")
     )
 
 
-def minhash_signatures(docs: DataFrame, n: int = N_MINHASH) -> DataFrame:
+def minhash_signatures(
+    spark: SparkSession, sf_dir: str, n: int = N_MINHASH
+) -> DataFrame:
     """(doc_id, sig[0..n)) via n seeded xxhash64 minima over distinct
-    shingles. One explode + one groupBy(doc_id): linear, shuffle-light
-    (n partial minima per doc travel the wire, not shingles)."""
-    toks = docs.withColumn("t", F.split("text", " ")).select(
-        "doc_id", F.explode(shingles_expr()).alias("tok")
-    )
+    shingles. Linear and shuffle-light: n partial minima per doc travel
+    the wire, not shingles."""
+    toks = shingle_rows(spark, sf_dir).withColumnRenamed("shingle", "tok")
     return toks.groupBy("doc_id").agg(
         *[F.min(F.xxhash64("tok", F.lit(i))).alias(f"mh{i}") for i in range(n)]
     )
@@ -177,8 +237,7 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard ≥ 0.8. rows-only (xxhash64 banding has no oracle twin);
     the verify step guarantees zero false positives in the output.
     """
-    d = load(spark, sf_dir, "documents")
-    sigs = minhash_signatures(d)
+    sigs = minhash_signatures(spark, sf_dir)
     bands = sigs.select(
         "doc_id",
         *[
@@ -207,38 +266,56 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    tok_sets = d.withColumn("t", F.split("text", " ")).select(
-        "doc_id", shingles_expr().alias("toks")
+    rows = shingle_rows(spark, sf_dir)
+    sizes = shingled_docs(spark, sf_dir).select("doc_id", "n")
+    # exact-Jaccard verify via shared-shingle counting joined to the
+    # (few) LSH candidates — no arrays are ever materialised per pair
+    inter_counts = (
+        candidates.join(
+            rows.select(F.col("doc_id").alias("a_id"), "shingle"), "a_id"
+        )
+        .join(
+            rows.select(F.col("doc_id").alias("b_id"), "shingle"),
+            ["b_id", "shingle"],
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("inter"))
     )
     verified = (
-        candidates.join(
-            tok_sets.select(F.col("doc_id").alias("a_id"), F.col("toks").alias("a_toks")),
+        inter_counts.join(
+            sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("a_n")),
             "a_id",
         )
         .join(
-            tok_sets.select(F.col("doc_id").alias("b_id"), F.col("toks").alias("b_toks")),
+            sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("b_n")),
             "b_id",
         )
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("a_toks", "b_toks")).cast("double")
-            / F.size(F.array_distinct(F.concat("a_toks", "b_toks"))),
+            F.col("inter").cast("double")
+            / (F.col("a_n") + F.col("b_n") - F.col("inter")),
         )
         .where(F.col("jaccard") >= JACCARD_T)
     )
     return verified.select("a_id", "b_id", "jaccard").orderBy("a_id", "b_id")
 
 
-def simhash_expr(toks_sql: str) -> F.Column:
-    """64-bit SimHash as 4×16-bit chunk array, pure higher-order
-    functions: fold each token's xxhash64 into per-bit +1/-1 votes,
-    then threshold. Constant-size state per row — no explode, no UDF.
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, chunks[4]) 64-bit SimHash as one higher-order-function
+    expression: hash each distinct token ONCE (the per-bit lambda sees
+    the pre-hashed value — hashing inside the bit loop costs 64×), fold
+    per-bit +1/-1 votes, threshold, pack 16-bit chunks MSB-first.
+
+    Constant-size state per row, no shuffle at all for the signature
+    itself; the explicit repartition spreads the CPU (a single-file
+    parquet table otherwise scans as one partition). An explode+64-
+    aggregate formulation was tried and measured 2-3× slower — the
+    wide aggregate loses to a tight fold over an in-row array.
 
     Written as one SQL expression because ``shiftright`` with a
-    column-valued shift amount is SQL-only (the PySpark wrapper takes a
-    Python int).
-    """
-    return F.expr(
+    column-valued shift amount is SQL-only (the PySpark wrapper takes
+    a Python int)."""
+    expr = F.expr(
         f"""
         transform(
           sequence(0, {SIMHASH_CHUNKS - 1}),
@@ -246,13 +323,13 @@ def simhash_expr(toks_sql: str) -> F.Column:
             slice(
               transform(
                 aggregate(
-                  {toks_sql},
+                  transform(array_distinct(split(text, ' ')), tok -> xxhash64(tok)),
                   array_repeat(0L, {SIMHASH_BITS}),
-                  (acc, tok) -> zip_with(
+                  (acc, h) -> zip_with(
                     acc,
                     transform(
                       sequence(0, {SIMHASH_BITS - 1}),
-                      b -> CASE WHEN (shiftright(xxhash64(tok), b) & 1L) = 1L
+                      b -> CASE WHEN (shiftright(h, b) & 1L) = 1L
                                 THEN 1L ELSE -1L END
                     ),
                     (x, y) -> x + y
@@ -268,6 +345,9 @@ def simhash_expr(toks_sql: str) -> F.Column:
         )
         """
     )
+    return docs.repartition(default_parallelism(), "doc_id").select(
+        "doc_id", expr.alias("chunks")
+    )
 
 
 @query("dedup_simhash", tags=("rows-only",))
@@ -276,10 +356,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (≡ guaranteed recall for Hamming distance ≤ 3), verified by exact
     Hamming distance ≤ 8 over the full 64 bits."""
     d = load(spark, sf_dir, "documents")
-    sig = d.select(
-        "doc_id",
-        simhash_expr("array_distinct(split(text, ' '))").alias("chunks"),
-    )
+    # cached: the banding self-join references the signature relation
+    # twice, and signatures are 4 longs per doc — pennies to hold
+    sig = simhash_signatures(d).cache()
     exploded = sig.select(
         "doc_id",
         "chunks",

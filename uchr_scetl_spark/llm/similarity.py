@@ -3,7 +3,9 @@
 Cosine arithmetic is pure JVM-side higher-order-function algebra
 (``zip_with`` products folded with ``aggregate``), mirrored term-for-
 term by DuckDB's ``list_dot_product`` — verified bit-exact, so the
-brute-force operators are fully SQL-checked.
+brute-force operators are fully SQL-checked. Norms are projected ONCE
+per vector before any pairwise join (recomputing them per pair tripled
+the pairwise operators' cost at sf0.1).
 
 Scale design: brute force is the *correctness baseline* and is only
 ever probe-bounded (small probe set × corpus = a broadcast join, one
@@ -60,12 +62,16 @@ def sql_cosine(a: str, b: str) -> str:
     "sim_topk",
     oracle=f"""
     WITH e AS (
-      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
     ), probes AS (
-      SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < {N_PROBES}
+      SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm
+      FROM e WHERE vec_id < {N_PROBES}
     ), scored AS (
       SELECT p.probe_id, e.vec_id AS neighbor_id, e.label,
-             {sql_cosine('p.pv', 'e.v')} AS cosine
+             (list_dot_product(p.pv, e.v) / (p.pnrm * e.nrm)) AS cosine
       FROM probes p JOIN e ON e.vec_id <> p.probe_id
     )
     SELECT probe_id, neighbor_id, label, cosine
@@ -82,9 +88,11 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows per probe."""
     e = load(spark, sf_dir, "embeddings").withColumn(
         "v", F.col("embedding").cast("array<double>")
-    )
+    ).withColumn("nrm", F.sqrt(dot_expr("v", "v")))
     probes = e.where(F.col("vec_id") < N_PROBES).select(
-        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+        F.col("vec_id").alias("probe_id"),
+        F.col("v").alias("pv"),
+        F.col("nrm").alias("pnrm"),
     )
     scored = (
         F.broadcast(probes)
@@ -93,7 +101,7 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "probe_id",
             F.col("vec_id").alias("neighbor_id"),
             "label",
-            cosine_expr("pv", "v").alias("cosine"),
+            (dot_expr("pv", "v") / (F.col("pnrm") * F.col("nrm"))).alias("cosine"),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(
@@ -108,14 +116,17 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sim_pairwise_threshold",
-    oracle=f"""
+    oracle="""
     WITH e AS (
-      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
     )
     SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label,
-           {sql_cosine('a.v', 'b.v')} AS cosine
+           (list_dot_product(a.v, b.v) / (a.nrm * b.nrm)) AS cosine
     FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {sql_cosine('a.v', 'b.v')} >= 0.3
+    WHERE (list_dot_product(a.v, b.v) / (a.nrm * b.nrm)) >= 0.3
     """,
 )
 def sim_pairwise_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -124,10 +135,10 @@ def sim_pairwise_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise only inside each group)."""
     e = load(spark, sf_dir, "embeddings").withColumn(
         "v", F.col("embedding").cast("array<double>")
-    )
+    ).withColumn("nrm", F.sqrt(dot_expr("v", "v")))
     a = e.alias("a")
     b = e.alias("b")
-    cos = cosine_expr("a.v", "b.v")
+    cos = dot_expr("a.v", "b.v") / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(
             b,
@@ -146,13 +157,16 @@ def sim_pairwise_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_embedding",
-    oracle=f"""
+    oracle="""
     WITH e AS (
-      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
     ), dup_pairs AS (
       SELECT b.vec_id AS b_id
       FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-      WHERE {sql_cosine('a.v', 'b.v')} >= 0.45
+      WHERE (list_dot_product(a.v, b.v) / (a.nrm * b.nrm)) >= 0.45
     )
     SELECT e.vec_id, e.label FROM e
     WHERE e.vec_id NOT IN (SELECT b_id FROM dup_pairs)
@@ -164,10 +178,10 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the duplicate side of the pair relation)."""
     e = load(spark, sf_dir, "embeddings").withColumn(
         "v", F.col("embedding").cast("array<double>")
-    )
+    ).withColumn("nrm", F.sqrt(dot_expr("v", "v")))
     a = e.alias("a")
     b = e.alias("b")
-    cos = cosine_expr("a.v", "b.v")
+    cos = dot_expr("a.v", "b.v") / (F.col("a.nrm") * F.col("b.nrm"))
     dup_ids = (
         a.join(
             b,
