@@ -194,6 +194,168 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.join(dup_ids, "vec_id", "left_anti").select("vec_id", "label")
 
 
+N_CENTROIDS = 8  # IVF coarse-quantizer cells
+N_PROBE_CELLS = 2  # nprobe: cells searched per probe
+KMEANS_ITERS = 2  # Lloyd iterations (deterministic seed init)
+
+
+def _cell_udf(cents: list[list[float]]):
+    """Vectorized nearest-centroid assignment: one numpy matmul per
+    Arrow batch. A pure-SQL formulation (transform over a literal
+    centroid array + aggregate/zip_with dot) measured ~2 ms/row —
+    nested higher-order lambdas are interpreted and re-materialise the
+    literal per row — vs microseconds/batch here. argmax ties break to
+    the lowest cell id (deterministic). Cells are 1-indexed."""
+    C = np.asarray(cents)
+
+    @F.pandas_udf("int")
+    def cell_of(v):
+        if len(v) == 0:
+            return v.astype("int32")
+        import pandas as pd
+
+        M = np.stack(v.to_numpy())
+        return pd.Series(np.argmax(M @ C.T, axis=1) + 1).astype("int32")
+
+    return cell_of
+
+
+def _probe_cells_udf(cents: list[list[float]], nprobe: int = N_PROBE_CELLS):
+    """The nprobe nearest 1-indexed cell ids per probe vector (stable
+    argsort → ties to the lowest cell id)."""
+    C = np.asarray(cents)
+
+    @F.pandas_udf("array<int>")
+    def cells_of(v):
+        import pandas as pd
+
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        M = np.stack(v.to_numpy())
+        order = np.argsort(-(M @ C.T), axis=1, kind="stable")[:, :nprobe] + 1
+        return pd.Series([row.tolist() for row in order])
+
+    return cells_of
+
+
+# One normalized-vector relation per sf_dir, cached and shared by every
+# IVF phase (init scan, each Lloyd iteration, corpus assign, probe
+# assign) — the MLlib-KMeans pattern: persist the feature vectors once,
+# iterate over the cached relation. Uncached, each of the 5 phases
+# re-scans parquet and re-normalizes.
+_ivf_base_memo: dict[tuple[int, str], DataFrame] = {}
+
+
+def _ivf_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    if key not in _ivf_base_memo:
+
+        @F.pandas_udf("array<double>")
+        def l2_normalize(v):
+            import pandas as pd
+
+            if len(v) == 0:
+                return pd.Series([], dtype=object)
+            M = np.stack(v.to_numpy())
+            n = np.linalg.norm(M, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            return pd.Series(list(M / n))
+
+        e = load(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            "label",
+            l2_normalize(F.col("embedding").cast("array<double>")).alias("vn"),
+        )
+        _ivf_base_memo[key] = e.cache()
+    return _ivf_base_memo[key]
+
+
+def _ivf_centroids(e: DataFrame) -> list[list[float]]:
+    """Deterministic mini k-means over UNIT vectors. Per iteration the
+    only driver round-trip is the centroid table itself (C×dim doubles
+    — the same thing MLlib KMeans collects every iteration), so the
+    pattern holds at 100 TB: assign = one vectorized map over the
+    corpus against closure-captured centroids, update = posexplode +
+    groupBy(cell, dim) avg — one shuffle of C×dim partial sums, never
+    the vectors themselves.
+
+    Init = the C lowest-vec_id vectors (seeded-deterministic corpus →
+    deterministic plan; no rand())."""
+    init = (
+        e.orderBy("vec_id")
+        .limit(N_CENTROIDS)
+        .select("vn")
+        .collect()
+    )
+    cents = [list(r.vn) for r in init]
+    for _ in range(KMEANS_ITERS):
+        cell = _cell_udf(cents)(F.col("vn"))
+        sums = (
+            e.select(cell.alias("cell"), F.posexplode("vn").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in sums:
+            by_cell.setdefault(r.cell, {})[r.pos] = r.m
+        new = []
+        for j in range(N_CENTROIDS):
+            if (j + 1) in by_cell:
+                d = by_cell[j + 1]
+                v = np.array([d[p] for p in sorted(d)])
+                n = float(np.linalg.norm(v))
+                new.append((v / n).tolist() if n > 0 else cents[j])
+            else:  # empty cell keeps its previous centroid
+                new.append(cents[j])
+        cents = new
+    return cents
+
+
+@query("sim_topk_ivf", tags=("rows-only",))
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN #2: IVF — k-means coarse quantizer, nprobe-bounded
+    search, exact re-rank inside the probed cells.
+
+    Complements ``sim_topk_lsh``: LSH buckets are data-independent;
+    IVF cells adapt to the corpus distribution (better recall per
+    candidate at equal fan-out). Corpus side: one pass to assign each
+    vector to its nearest centroid (literal centroids — no shuffle, no
+    broadcast var). Probe side: nprobe nearest cells per probe, then a
+    broadcast join restricted to those cells, so candidate volume is
+    ~|corpus|·nprobe/C. rows-only: approximate by construction."""
+    e = _ivf_base(spark, sf_dir)
+    cents = _ivf_centroids(e)
+    corpus = e.select(
+        "vec_id", "label", "vn", _cell_udf(cents)(F.col("vn")).alias("cell")
+    )
+    probes = e.where(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("vn").alias("pv"),
+        _probe_cells_udf(cents)(F.col("vn")).alias("pcells"),
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(
+            corpus,
+            F.expr("array_contains(pcells, cell)")
+            & (F.col("vec_id") != F.col("probe_id")),
+        )
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot_expr("pv", "vn").alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("probe_id", "neighbor_id", "cosine")
+        .orderBy("probe_id", "neighbor_id")
+    )
+
+
 def _hyperplanes(dim: int = 64, n: int = N_HYPERPLANES) -> list[list[float]]:
     """Deterministic random hyperplanes (fixed seed) baked into the
     plan as literals — every executor sees identical planes with no
@@ -202,55 +364,71 @@ def _hyperplanes(dim: int = 64, n: int = N_HYPERPLANES) -> list[list[float]]:
     return rng.standard_normal((n, dim)).tolist()
 
 
+LSH_TABLES = 4  # L independent hash tables ...
+LSH_BITS = 4  # ... of b sign-bits each (16 buckets/table)
+
+
 @query("sim_topk_lsh", tags=("rows-only",))
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale-path ANN: random-hyperplane LSH bucket prefilter + exact
-    re-rank inside the bucket.
+    """Scale-path ANN: multi-table random-hyperplane LSH + exact re-rank
+    over the union of candidates.
 
-    sign(v·h_i) bits pack into a bucket id; probes only compare
-    against their own bucket (~|corpus|/2^n candidates). rows-only:
-    approximate by construction (bucket boundaries cost recall).
-    """
+    L independent tables of b sign-bits each: a probe and its true
+    neighbour collide in table t with prob (1−θ/π)^b, so the miss
+    probability across tables is (1−(1−θ/π)^b)^L — multi-table recovers
+    the recall a single wide band destroys (single 8-bit band measured
+    0.33 recall on this corpus; 4×4-bit tables ≥0.8) at candidate
+    volume ~L·|corpus|/2^b. Bucket ids compute as one numpy matmul per
+    Arrow batch (the literal-plane HOF formulation is interpreted per
+    row — same pathology as the IVF cell assignment, see _cell_udf).
+    Shape at 100 TB: explode corpus to L rows, shuffle-join on the
+    (table,bucket) key — never a pairwise product; candidate dedup is
+    a groupBy on (probe, neighbor)."""
     e = load(spark, sf_dir, "embeddings").withColumn(
         "v", F.col("embedding").cast("array<double>")
     )
-    planes = _hyperplanes()
-    # bucket id = packed sign bits of v·h_i (SQL for the nested-lambda
-    # plane iteration)
-    plane_sql = ", ".join(
-        "array(" + ", ".join(f"{x!r}D" for x in p) + ")" for p in planes
-    )
-    bucket = F.expr(
-        f"""
-        aggregate(
-          zip_with(
-            array({plane_sql}),
-            sequence(0, {N_HYPERPLANES - 1}),
-            (p, i) -> CASE WHEN {_DOT.format(a='v', b='p')} >= 0D
-                      THEN shiftleft(1, i) ELSE 0 END
-          ),
-          0, (acc, x) -> acc + x
-        )
-        """
-    )
-    bucketed = e.select("vec_id", "label", "v", bucket.alias("bucket"))
-    probes = bucketed.where(F.col("vec_id") < N_PROBES).select(
+    planes = _hyperplanes(n=LSH_TABLES * LSH_BITS)
+    H = np.asarray(planes)  # (L*b, dim), rows grouped by table
+
+    @F.pandas_udf("array<int>")
+    def buckets_of(v):
+        """Per vector: L bucket keys, table index packed into the high
+        bits so one int column keys the (table, bucket) join."""
+        import pandas as pd
+
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        M = np.stack(v.to_numpy())
+        bits = (M @ H.T >= 0).astype(np.int64).reshape(len(M), LSH_TABLES, LSH_BITS)
+        packed = bits @ (1 << np.arange(LSH_BITS))  # (n, L)
+        keyed = packed + (np.arange(LSH_TABLES) << LSH_BITS)
+        return pd.Series([row.tolist() for row in keyed.astype("int32")])
+
+    hashed = e.select("vec_id", "v", buckets_of(F.col("v")).alias("buckets"))
+    corpus = hashed.select("vec_id", F.explode("buckets").alias("bucket"))
+    probes = hashed.where(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"),
-        F.col("v").alias("pv"),
-        F.col("bucket").alias("pbucket"),
+        F.explode("buckets").alias("pbucket"),
     )
-    scored = (
+    # dedup multi-table collisions on the int pair key alone — the
+    # vectors re-attach afterwards, so no shuffle ever carries arrays
+    candidates = (
         F.broadcast(probes)
         .join(
-            bucketed,
+            corpus,
             (F.col("bucket") == F.col("pbucket"))
             & (F.col("vec_id") != F.col("probe_id")),
         )
-        .select(
-            "probe_id",
-            F.col("vec_id").alias("neighbor_id"),
-            cosine_expr("pv", "v").alias("cosine"),
-        )
+        .select("probe_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    pvecs = e.where(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+    )
+    scored = (
+        candidates.join(F.broadcast(pvecs), "probe_id")
+        .join(e.select(F.col("vec_id").alias("neighbor_id"), "v"), "neighbor_id")
+        .select("probe_id", "neighbor_id", cosine_expr("pv", "v").alias("cosine"))
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), "neighbor_id")
     return (
