@@ -303,3 +303,33 @@ def fn_hash_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.xxhash64("text").alias("xx"),
         F.xxhash64("text", F.lit(1)).alias("xx_seed1"),
     )
+
+
+@query(
+    "fn_regex",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '^([a-z]+)', 1)            AS first_word,
+           regexp_replace(text, '[aeiou]', '', 'g')        AS devoweled,
+           regexp_matches(text, 'data')                    AS has_data,
+           CAST(len(regexp_extract_all(text, ' ')) AS BIGINT) AS n_spaces
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex family: extract / global replace / match / count-matches.
+
+    Patterns stay in the portable common subset of Java regex and RE2
+    (character classes, literals, capture groups) so both engines
+    interpret them identically. Spark's regexp_replace is global by
+    default — the oracle needs DuckDB's explicit 'g' option."""
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"^([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("text", r"[aeiou]", "").alias("devoweled"),
+        F.col("text").rlike("data").alias("has_data"),
+        F.size(F.regexp_extract_all("text", F.lit(" "), 0))
+        .cast("bigint")
+        .alias("n_spaces"),
+    )

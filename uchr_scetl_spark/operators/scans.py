@@ -104,6 +104,48 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scan_orc",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+    FROM supplier WHERE s_acctbal > 0
+    """,
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip (Spark-native columnar format besides parquet).
+
+    ORC self-describes like parquet, so the re-read needs no schema;
+    the filter on re-read pushes into the ORC reader the same way
+    (min/max stripe skipping at scale)."""
+    src = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    out = tempfile.mkdtemp(prefix="uchr_scan_orc_")
+    src.write.mode("overwrite").orc(out)
+    return spark.read.orc(out).where(F.col("s_acctbal") > 0)
+
+
+@query(
+    "sink_orc_partitioned",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_totalprice) AS DOUBLE) AS sum_price
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def sink_orc_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned ORC sink + pruned re-read aggregate."""
+    src = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    out = tempfile.mkdtemp(prefix="uchr_sink_orc_")
+    src.write.mode("overwrite").partitionBy("o_orderpriority").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"), F.sum("o_totalprice").alias("sum_price")
+    )
+
+
+@query(
     "sink_csv",
     oracle="""
     SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
