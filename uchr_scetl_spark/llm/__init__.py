@@ -1,3 +1,3 @@
 """LLM-data-pipeline operators (§2.9)."""
 
-from . import dedup, multimodal, similarity, text  # noqa: F401
+from . import dedup, multimodal, sampling, similarity, text  # noqa: F401
