@@ -40,3 +40,16 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert {"r_name", "n_name", "l_returnflag", "revenue"} <= set(df.columns)
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """The join of the two bucketed tables must read co-located buckets:
+    no Exchange may appear between the table scans and the join."""
+    from uchr_scetl_spark import load_registry
+    from .conftest import SF_SMOKE
+
+    df = load_registry()["join_bucketed"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    join_part = plan.split("SortMergeJoin")[-1] if "SortMergeJoin" in plan else plan
+    # below the join there are only scans/sorts/filters — no Exchange
+    assert "Exchange" not in join_part, plan

@@ -161,3 +161,29 @@ def test_watermark_drops_late_rows(spark):
     # include event_id 3
     counts = {r.window_start: r.n_events for r in emitted}
     assert counts.get(t0) == 1, f"late row leaked into closed window: {counts}"
+
+
+def test_enrich_static_stream_matches_batch(spark, events_dir):
+    from uchr_scetl_spark.io import load
+    from uchr_scetl_spark.streaming.streams import enrich_static_stream
+
+    customer = load(spark, SF_SMOKE, "customer")
+    stream = enrich_static_stream(
+        read_events_stream(spark, events_dir, max_files_per_trigger=2), customer
+    )
+    run_to_memory(stream, "t_enrich", output_mode="complete")
+    got = {
+        (r.window_start, r.c_mktsegment): r.n_events
+        for r in spark.table("t_enrich").collect()
+    }
+    want = {
+        (r.window_start, r.c_mktsegment): r.n_events
+        for r in (
+            spark.read.parquet(events_dir)
+            .join(customer, F.col("user_id") == F.col("c_custkey"))
+            .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+            .agg(F.count("*").alias("n_events"))
+            .select(F.col("w.start").alias("window_start"), "c_mktsegment", "n_events")
+        ).collect()
+    }
+    assert got == want

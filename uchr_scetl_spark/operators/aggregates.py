@@ -215,3 +215,37 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pivoted.select(
         "day", *[F.col(t).cast("double").alias(t) for t in _EVENT_TYPES]
     )
+
+
+@query(
+    "agg_skew_salted",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_dec_sum('value', 'total_value')}
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation — the explicit skew pattern.
+
+    ``event_type`` has ~5 values, so a naive groupBy parks all rows on
+    5 reducers no matter how many executors exist. Stage 1 groups on
+    (key, salt) — 16× the reducers, each a partial (count, decimal
+    sum); stage 2 merges the 16 partials per key. Salt derives from
+    xxhash64(event_id), not rand(): deterministic under retries. The
+    sums stay DECIMAL through both stages (exact, order-insensitive),
+    so the result is bit-identical to the single-stage oracle."""
+    e = load(spark, sf_dir, "events")
+    partial = (
+        e.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count("*").alias("pn"),
+            F.sum(F.col("value").cast("decimal(24,6)")).alias("psum"),
+        )
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        F.sum("psum").cast("double").alias("total_value"),
+    )

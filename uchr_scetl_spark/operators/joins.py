@@ -226,3 +226,63 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load(spark, sf_dir, "region")
     n = load(spark, sf_dir, "nation")
     return r.crossJoin(n).select("r_name", "n_name", "n_regionkey")
+
+
+@query(
+    "join_bucketed",
+    oracle=f"""
+    SELECT o.o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           {sql_dec_sum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_custkey
+    """,
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via bucketing — the shuffle-free big-big join.
+
+    Both sides are written once as tables bucketed AND sorted on the
+    join key with equal bucket counts; the join then reads bucket i of
+    each side into the same task — a sort-merge join with NO exchange
+    on either side (tests assert the plan has no Exchange above the
+    scans). At 100 TB this converts every recurring fact-fact join on
+    the same key from a full shuffle into a local merge: bucketing is
+    paid once at write time, reused by every downstream join/agg on
+    that key."""
+    import tempfile
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # external tables at a fresh temp location: bucketed tables need the
+    # catalog (bucket metadata lives there), but a managed location
+    # would collide with stale dirs left by previous sessions
+    out = tempfile.mkdtemp(prefix="uchr_bucketed_")
+    for name in ("uchr_b_lineitem", "uchr_b_orders"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (
+        li.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", f"{out}/lineitem")
+        .saveAsTable("uchr_b_lineitem")
+    )
+    (
+        o.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", f"{out}/orders")
+        .saveAsTable("uchr_b_orders")
+    )
+    lb = spark.table("uchr_b_lineitem")
+    ob = spark.table("uchr_b_orders")
+    # the merge hint models the 100 TB reality (neither fact side is
+    # broadcastable); with both sides bucketed+sorted on the key the
+    # SMJ needs no exchange and no sort — at this tiny SF Spark would
+    # otherwise just broadcast the orders side and prove nothing
+    joined = lb.join(ob.hint("merge"), lb.l_orderkey == ob.o_orderkey)
+    return joined.groupBy("o_custkey").agg(
+        F.count("*").alias("n_lines"),
+        dec_sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), "revenue"),
+    )

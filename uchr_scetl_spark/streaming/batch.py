@@ -165,3 +165,34 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     doubled = e.unionByName(e)
     return doubled.dropDuplicates(["event_id"])
+
+
+@query(
+    "stream_enrich_static",
+    oracle=f"""
+    SELECT c.c_mktsegment, e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_dec_sum('e.value', 'total_value')}
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment, batch-checkable form: events joined to
+    the customer dimension (broadcast — a stream side never shuffles
+    against a static dim at scale), aggregated per segment×type. The
+    streaming mirror is enrich_static_stream (streams.py)."""
+    from ..io import load as _load
+
+    e = _load(spark, sf_dir, "events")
+    c = _load(spark, sf_dir, "customer")
+    return (
+        e.join(F.broadcast(c), e.user_id == c.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(24,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )

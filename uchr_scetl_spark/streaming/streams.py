@@ -159,3 +159,17 @@ def run_to_memory(
     finally:
         q.stop()
         q.awaitTermination()
+
+
+def enrich_static_stream(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Streaming twin of stream_enrich_static: stream-static broadcast
+    join + windowed aggregate (stream-static joins need no watermark —
+    the static side is re-read per micro-batch; the agg carries one so
+    its state stays bounded)."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .join(F.broadcast(customer), events.user_id == customer.c_custkey)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "c_mktsegment", "n_events")
+    )
