@@ -249,3 +249,96 @@ def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n"),
         F.sum("psum").cast("double").alias("total_value"),
     )
+
+
+@query(
+    "agg_corr_stats",
+    oracle="""
+    WITH d AS (
+      SELECT l_returnflag,
+             CAST(l_quantity AS DECIMAL(20,1)) AS dx,
+             CAST(l_discount AS DECIMAL(20,2)) AS dy
+      FROM lineitem
+    ), s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(dx) AS DOUBLE) AS sx,
+             CAST(SUM(dy) AS DOUBLE) AS sy,
+             CAST(SUM(dx * dy) AS DOUBLE) AS sxy,
+             CAST(SUM(dx * dx) AS DOUBLE) AS sxx,
+             CAST(SUM(dy * dy) AS DOUBLE) AS syy
+      FROM d GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           ((n * sxy) - (sx * sy))
+             / (sqrt((n * sxx) - (sx * sx)) * sqrt((n * syy) - (sy * sy)))
+             AS corr_qty_disc,
+           sqrt(((n * sxx) - (sx * sx)) / (n * (n - 1))) AS stddev_qty,
+           ((sxy - ((sx * sy) / n)) / (n - 1)) AS covar_qty_disc
+    FROM s
+    """,
+)
+def agg_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates — but NOT via the built-in corr/stddev:
+    those accumulate doubles in engine-specific order, so their last
+    ulps differ between engines (and between partitionings of the same
+    data). Instead: one pass of exact DECIMAL moment sums (associative,
+    order-free — the shuffle-safe form), then the closed-form double
+    arithmetic written with identical parenthesization on both sides.
+    Two constraints make the moments bit-identical across engines:
+    (1) cast to decimal BEFORE multiplying — a double product cast to
+    decimal lands at the precision edge where the engines' rounding
+    styles disagree by an ulp; decimal×decimal is exact in both;
+    (2) every moment's scaled mantissa (value·10^scale) must stay
+    below 2^53 — beyond that, engines that cast decimal→double via
+    int→double-then-divide double-round while BigDecimal.doubleValue
+    rounds once (measured: sum(qty·price) at scale 8 differed in the
+    last ulp). qty (scale 1) × discount (scale 2) keeps every moment
+    orders of magnitude inside the bound at any realistic row count.
+    Deterministic at any parallelism — what a 100 TB job needs for
+    reproducible metrics."""
+    li = load(spark, sf_dir, "lineitem")
+    dx = F.col("l_quantity").cast("decimal(16,1)")
+    dy = F.col("l_discount").cast("decimal(16,2)")
+    s = li.select("l_returnflag", dx.alias("dx"), dy.alias("dy")).groupBy(
+        "l_returnflag"
+    ).agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("dx").cast("double").alias("sx"),
+        F.sum("dy").cast("double").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("double").alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("double").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return s.select(
+        "l_returnflag",
+        (
+            ((n * sxy) - (sx * sy))
+            / (F.sqrt((n * sxx) - (sx * sx)) * F.sqrt((n * syy) - (sy * sy)))
+        ).alias("corr_qty_disc"),
+        F.sqrt(((n * sxx) - (sx * sx)) / (n * (n - F.lit(1.0)))).alias("stddev_qty"),
+        ((sxy - ((sx * sy) / n)) / (n - F.lit(1.0))).alias("covar_qty_disc"),
+    )
+
+
+@query(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           list_sort(array_agg(DISTINCT source)) AS sources
+    FROM documents GROUP BY lang
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: the collected set is sorted so the result is
+    deterministic (collect order is partitioning-dependent in every
+    engine — never emit an unsorted collected array from a checked
+    query)."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.array_sort(F.collect_set("source")).alias("sources"),
+    )
