@@ -1,0 +1,117 @@
+"""ETL-script patterns: upsert/merge snapshots and data-quality audits.
+
+The reference's category is batch ETL scripts; these are the two
+recurring shapes such scripts need beyond plain transforms: applying a
+change set to the previous snapshot (no Delta/Iceberg jars in this
+environment, so the merge is expressed as pure join algebra over
+immutable snapshots — the same plan a MERGE INTO compiles to), and
+auditing a load before publishing it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import query
+
+
+@query(
+    "etl_upsert_snapshot",
+    oracle="""
+    WITH updates AS (
+      SELECT o_orderkey,
+             o_custkey,
+             'P' AS o_orderstatus,
+             o_totalprice * 1.1 AS o_totalprice
+      FROM orders WHERE o_orderkey % 100 = 0
+    )
+    SELECT COALESCE(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+           COALESCE(u.o_custkey,  b.o_custkey)  AS o_custkey,
+           COALESCE(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+           COALESCE(u.o_totalprice,  b.o_totalprice)  AS o_totalprice
+    FROM orders b FULL OUTER JOIN updates u ON b.o_orderkey = u.o_orderkey
+    """,
+)
+def etl_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert: apply a change set to the previous snapshot — the core
+    of every incremental load. Expressed as FULL OUTER JOIN on the
+    business key + COALESCE(update, base) per column: exactly what
+    MERGE INTO compiles to, with no table-format dependency. At scale
+    the join shuffles on the key (or stays shuffle-free if both
+    snapshot and change set are bucketed on it — see join_bucketed);
+    the change set here is derived from the corpus so the query is
+    self-contained and deterministic."""
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = (
+        base.where(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.lit("P").alias("o_orderstatus"),
+            (F.col("o_totalprice") * F.lit(1.1)).alias("o_totalprice"),
+        )
+    )
+    b = base.alias("b")
+    u = updates.alias("u")
+    merged = b.join(u, F.col("b.o_orderkey") == F.col("u.o_orderkey"), "full_outer")
+    return merged.select(
+        F.coalesce("u.o_orderkey", "b.o_orderkey").alias("o_orderkey"),
+        F.coalesce("u.o_custkey", "b.o_custkey").alias("o_custkey"),
+        F.coalesce("u.o_orderstatus", "b.o_orderstatus").alias("o_orderstatus"),
+        F.coalesce("u.o_totalprice", "b.o_totalprice").alias("o_totalprice"),
+    )
+
+
+@query(
+    "etl_dq_audit",
+    oracle="""
+    SELECT
+      CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_rows,
+      CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice IS NULL)
+           AS BIGINT) AS null_price,
+      CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0)
+           AS BIGINT) AS nonpositive_price,
+      CAST((SELECT COUNT(*) FROM orders
+            WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
+           AS BIGINT) AS bad_status,
+      CAST((SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+           AS BIGINT) AS orphan_custkey,
+      CAST((SELECT COUNT(*) FROM
+             (SELECT o_orderkey FROM orders
+              GROUP BY o_orderkey HAVING COUNT(*) > 1))
+           AS BIGINT) AS dup_orderkey
+    """,
+)
+def etl_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-publish data-quality audit: one row of violation counters —
+    nulls, domain violations, referential integrity against the
+    customer dimension (broadcast anti-join), duplicate business keys.
+    Everything folds into single-pass conditional aggregates plus one
+    anti-join, so the audit costs one scan of the fact table — cheap
+    enough to gate every load at 100 TB."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    scalars = o.agg(
+        F.count("*").alias("n_rows"),
+        F.count_if(F.col("o_totalprice").isNull()).alias("null_price"),
+        F.count_if(F.col("o_totalprice") <= 0).alias("nonpositive_price"),
+        F.count_if(~F.col("o_orderstatus").isin("O", "F", "P")).alias("bad_status"),
+    )
+    orphans = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count("*").alias("orphan_custkey"))
+    )
+    dups = (
+        o.groupBy("o_orderkey")
+        .count()
+        .where(F.col("count") > 1)
+        .agg(F.count("*").alias("dup_orderkey"))
+    )
+    # three single-row relations → one audit row, still one lazy plan
+    return scalars.crossJoin(orphans).crossJoin(dups)
