@@ -53,3 +53,17 @@ def test_bucketed_join_has_no_shuffle(spark):
     join_part = plan.split("SortMergeJoin")[-1] if "SortMergeJoin" in plan else plan
     # below the join there are only scans/sorts/filters — no Exchange
     assert "Exchange" not in join_part, plan
+
+
+def test_frame_sample_expansion(spark):
+    """Every 32-byte payload must expand to exactly 4 frames with
+    stride-2 indices (0, 2, 4, 6)."""
+    from uchr_scetl_spark import load_registry
+    from .conftest import SF_SMOKE
+
+    rows = load_registry()["multimodal_frame_sample"].fn(spark, SF_SMOKE).collect()
+    by_doc: dict[int, list[int]] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+        assert 0.0 <= r.frame_feat <= 255.0
+    assert all(sorted(v) == [0, 2, 4, 6] for v in by_doc.values())

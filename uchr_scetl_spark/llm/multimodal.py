@@ -203,3 +203,111 @@ def multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     decoded = decode_media(media)
     return decoded.orderBy("doc_id")
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("orig_len", IntegerType()),
+        StructField("resized_len", IntegerType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+TARGET_LEN = 16  # stand-in for target resolution
+
+
+def _resize_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Stub 'resize': truncate/pad payload to TARGET_LEN bytes. A real
+    deployment swaps the body for PIL resize / audio resample behind
+    the identical (pdf in → pdf out, binary in → binary out) shape."""
+    payloads = pdf["payload"]
+    resized = payloads.map(
+        lambda b: bytes(b[:TARGET_LEN]).ljust(TARGET_LEN, b"\0")
+    )
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"],
+            "media_type": pdf["media_type"],
+            "orig_len": payloads.map(len).astype("int32"),
+            "resized_len": resized.map(len).astype("int32"),
+            "payload": resized,
+        }
+    )
+
+
+@query("multimodal_resize", tags=("rows-only",))
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage for opaque media payloads: binary in → binary out
+    through mapInPandas, 1:1 rows, partition-preserving — the shape a
+    real thumbnailing / resampling stage plugs into."""
+    d = load(spark, sf_dir, "documents")
+    media = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, "image/png")
+        .otherwise("audio/wav")
+        .alias("media_type"),
+        F.to_binary(F.md5("text"), F.lit("hex")).cast(BinaryType()).alias("payload"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _resize_batch(pdf)
+
+    return media.mapInPandas(run, RESIZED_SCHEMA).orderBy("doc_id")
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_feat", DoubleType()),
+    ]
+)
+
+FRAME_BYTES = 4
+FRAME_STRIDE = 2  # keep every 2nd frame
+
+
+def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """1→many: each 'video' payload yields one row per sampled frame.
+    Real deployment: cv2.VideoCapture + grab every k-th frame behind
+    the same expanding-batch shape."""
+    for pdf in batches:
+        ids, idxs, feats = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_frames = len(payload) // FRAME_BYTES
+            for i in range(0, n_frames, FRAME_STRIDE):
+                frame = payload[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
+                ids.append(doc_id)
+                idxs.append(i)
+                feats.append(float(sum(frame) / len(frame)))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "frame_feat": pd.Series(feats, dtype="float64"),
+            }
+        )
+
+
+@query("multimodal_frame_sample", tags=("rows-only",))
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling for video-like payloads: mapInPandas that EXPANDS
+    rows (one output row per sampled frame) — the other batch shape a
+    media pipeline needs besides 1:1 decode/resize. Payloads here are
+    32 deterministic bytes = 8 four-byte 'frames'; stride 2 keeps 4."""
+    d = load(spark, sf_dir, "documents")
+    video = d.select(
+        "doc_id",
+        F.to_binary(
+            F.concat(F.md5("text"), F.md5(F.concat(F.lit("f:"), "text"))),
+            F.lit("hex"),
+        )
+        .cast(BinaryType())
+        .alias("payload"),
+    )
+    return video.mapInPandas(_sample_frames, FRAME_SCHEMA).orderBy(
+        "doc_id", "frame_idx"
+    )
