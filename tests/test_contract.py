@@ -67,3 +67,16 @@ def test_frame_sample_expansion(spark):
         by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
         assert 0.0 <= r.frame_feat <= 255.0
     assert all(sorted(v) == [0, 2, 4, 6] for v in by_doc.values())
+
+
+def test_partition_pruning_in_plan(spark):
+    """The status filter must reach the scan as a PartitionFilter (not
+    a post-scan Filter over all partitions)."""
+    from uchr_scetl_spark import load_registry
+    from .conftest import SF_SMOKE
+
+    df = load_registry()["scan_pruned_partition"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan or (
+        "PartitionFilters" in plan and "o_orderstatus" in plan.split("PartitionFilters")[1][:200]
+    ), plan

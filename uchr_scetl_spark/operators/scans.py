@@ -170,3 +170,29 @@ def sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="uchr_sink_csv_")
     write_csv(src, out)
     return read_csv(spark, out, schema)
+
+
+@query(
+    "scan_pruned_partition",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def scan_pruned_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static partition pruning: the snapshot is laid out partitioned
+    by status, and the equality filter resolves at PLANNING time to a
+    single directory — the scan never opens the other partitions
+    (tests assert PartitionFilters carries the predicate). At 100 TB
+    partition layout + pruning is the difference between scanning one
+    day and scanning the lake."""
+    src = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    out = tempfile.mkdtemp(prefix="uchr_pruned_")
+    src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    return (
+        spark.read.parquet(out)
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
