@@ -1,0 +1,571 @@
+"""TPC-H-shaped analytical pipelines adapted to the corpus schema.
+
+The single-operator keys in ``operators/`` prove each primitive; these
+prove the *composed* plans an analyst actually runs — multiway joins
+feeding aggregates feeding top-k, correlated-style filters, conditional
+shares. Each is the classic TPC-H query shape re-parameterised for the
+columns this corpus has (no partsupp/shipmode/commitdate/phone, so
+Q2/9/11/12/16/19-22 have no faithful adaptation and are omitted;
+Q4/Q8/Q13/Q17 substitute an equivalent predicate on an existing
+column where the original filters a missing one).
+
+100 TB notes baked into every plan below:
+- dimension sides (region/nation/supplier at real scale, plus any
+  filtered-small relation) carry explicit ``F.broadcast`` hints;
+- join chains run selective-first so intermediate cardinality shrinks
+  before the fact-fact joins;
+- all money sums ride the DECIMAL path (`exprs.dec_sum`) so results
+  are order-insensitive — re-runnable identically at any parallelism;
+- top-k uses orderBy+limit (TakeOrderedAndProject — per-partition
+  heaps, no global sort) with full tiebreaks for determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..exprs import CHARGE, REVENUE, dec_avg, dec_sum, revenue_col, sql_dec_avg, sql_dec_sum
+from ..io import load
+from ..registry import query
+
+
+def _ts(s: str) -> F.Column:
+    return F.lit(s).cast("timestamp_ntz")
+
+
+@query(
+    "tpch_q1",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+           {sql_dec_sum('l_extendedprice', 'sum_base_price')},
+           {sql_dec_sum(REVENUE, 'sum_disc_price')},
+           {sql_dec_sum(CHARGE, 'sum_charge')},
+           (CAST(SUM(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE)
+              / COUNT(l_quantity)) AS avg_qty,
+           {sql_dec_avg('l_extendedprice', 'avg_price')},
+           {sql_dec_avg('l_discount', 'avg_disc')},
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 pricing summary: the canonical scan→filter→hash-agg plan.
+
+    Single shuffle on a 6-value grouping key; partial aggregation
+    (map-side combine) reduces 100 TB of lineitem to six rows per
+    map task before the exchange."""
+    li = load(spark, sf_dir, "lineitem")
+    charge = revenue_col() * (F.lit(1) + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= _ts("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            dec_sum("l_extendedprice", "sum_base_price"),
+            dec_sum(revenue_col(), "sum_disc_price"),
+            dec_sum(charge, "sum_charge"),
+            dec_avg("l_quantity", "avg_qty"),
+            dec_avg("l_extendedprice", "avg_price"),
+            dec_avg("l_discount", "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "tpch_q3",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {sql_dec_sum(REVENUE, 'revenue')},
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-06-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shipping priority: selective dim filter → two joins → agg →
+    global top-10 via TakeOrderedAndProject (never a full sort)."""
+    c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < _ts("1998-06-15")
+    )
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > _ts("1998-06-15")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dec_sum(revenue_col(), "revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q4",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 order-priority checking, adapted: EXISTS(line returned) for
+    EXISTS(commit<receipt) — same semi-join plan (the right side's
+    payload never crosses the shuffle)."""
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= _ts("1998-01-01"))
+        & (F.col("o_orderdate") < _ts("1998-07-01"))
+    )
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "tpch_q5",
+    oracle=f"""
+    SELECT n.n_name, {sql_dec_sum(REVENUE, 'revenue')}
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 local supplier volume: the canonical star-join chain.
+
+    region/nation/supplier are broadcast (no fact shuffle for dim
+    joins); the only key shuffle is lineitem⋈orders."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= _ts("1998-01-01"))
+        & (F.col("o_orderdate") < _ts("1999-01-01"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dec_sum(revenue_col(), "revenue"))
+    )
+
+
+@query(
+    "tpch_q6",
+    oracle=f"""
+    SELECT {sql_dec_sum('l_extendedprice * l_discount', 'revenue')}
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 forecast revenue change: pure scan-side computation — every
+    predicate pushes into the parquet scan, zero joins, one scalar."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= _ts("1998-01-01"))
+        & (F.col("l_shipdate") < _ts("1999-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(dec_sum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+
+
+@query(
+    "tpch_q7",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+           {sql_dec_sum(REVENUE, 'revenue')}
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '2002-01-01 00:00:00'
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 volume shipping between two nations, both directions."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("2000-01-01"))
+        & (F.col("l_shipdate") < _ts("2002-01-01"))
+    )
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(dec_sum(revenue_col(), "revenue"))
+    )
+
+
+@query(
+    "tpch_q8",
+    oracle=f"""
+    WITH flat AS (
+      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+             CAST({REVENUE} AS DECIMAL(24,6)) AS volume,
+             n2.n_name AS supp_nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n1.n_regionkey
+      JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'AMERICA' AND p.p_type = 'PROMO'
+        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '2002-01-01 00:00:00'
+    )
+    SELECT o_year,
+           (CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                          ELSE CAST(0 AS DECIMAL(24,6)) END) AS DOUBLE)
+              / CAST(SUM(volume) AS DOUBLE)) AS mkt_share
+    FROM flat GROUP BY o_year
+    """,
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 national market share, adapted to existing p_type values.
+
+    Share = conditional-decimal-sum / decimal-sum: both sums are exact,
+    the single double division is deterministic — identical on both
+    engines at any parallelism."""
+    p = load(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= _ts("2000-01-01"))
+        & (F.col("o_orderdate") < _ts("2002-01-01"))
+    )
+    c = load(spark, sf_dir, "customer")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    volume = revenue_col().cast("decimal(24,6)")
+    zero = F.lit(0).cast("decimal(24,6)")
+    flat = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            volume.alias("volume"),
+            "supp_nation",
+        )
+    )
+    return flat.groupBy("o_year").agg(
+        (
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
+                    zero
+                )
+            ).cast("double")
+            / F.sum("volume").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "tpch_q10",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           {sql_dec_sum(REVENUE, 'revenue')},
+           c.c_acctbal, n.n_name, c.c_mktsegment
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1998-10-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name, c.c_mktsegment
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 returned-item reporting: who lost us the most revenue."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= _ts("1998-10-01"))
+        & (F.col("o_orderdate") < _ts("1999-01-01"))
+    )
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name", "c_mktsegment")
+        .agg(dec_sum(revenue_col(), "revenue"))
+        .select(
+            "c_custkey", "c_name", "revenue", "c_acctbal", "n_name", "c_mktsegment"
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q13",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 customer order-count distribution, adapted: the original
+    excludes comment-LIKE orders; this excludes urgent ones. Left join
+    keeps zero-order customers (count(o_orderkey) ignores the nulls)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "tpch_q14",
+    oracle=f"""
+    SELECT (100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                     THEN CAST({REVENUE} AS DECIMAL(24,6))
+                     ELSE CAST(0 AS DECIMAL(24,6)) END) AS DOUBLE)
+            / CAST(SUM(CAST({REVENUE} AS DECIMAL(24,6))) AS DOUBLE))
+           AS promo_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1998-09-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-10-01 00:00:00'
+    """,
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 promotion effect: conditional share over one month."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1998-09-01"))
+        & (F.col("l_shipdate") < _ts("1998-10-01"))
+    )
+    p = load(spark, sf_dir, "part")
+    vol = revenue_col().cast("decimal(24,6)")
+    zero = F.lit(0).cast("decimal(24,6)")
+    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+        (
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(zero)).cast(
+                "double"
+            )
+            / F.sum(vol).cast("double")
+        ).alias("promo_revenue")
+    )
+
+
+@query(
+    "tpch_q15",
+    oracle=f"""
+    WITH revenue0 AS (
+      SELECT l_suppkey AS supplier_no,
+             {sql_dec_sum(REVENUE, 'total_revenue')}
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1998-07-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-10-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue0 r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue0)
+    """,
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 top supplier: per-supplier quarterly revenue, keep the max.
+
+    The max-filter is a window MAX over an unpartitioned frame — at
+    scale the revenue0 relation is one row per supplier (tiny), so the
+    single-partition window is safe; determinism comes from the exact
+    decimal revenue (no double ties to resolve)."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1998-07-01"))
+        & (F.col("l_shipdate") < _ts("1998-10-01"))
+    )
+    s = load(spark, sf_dir, "supplier")
+    revenue0 = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dec_sum(revenue_col(), "total_revenue")
+    )
+    top = revenue0.withColumn(
+        "max_rev", F.max("total_revenue").over(Window.partitionBy())
+    ).where(F.col("total_revenue") == F.col("max_rev"))
+    return top.join(F.broadcast(s), top.supplier_no == s.s_suppkey).select(
+        "s_suppkey", "s_name", "total_revenue"
+    )
+
+
+@query(
+    "tpch_q17",
+    oracle="""
+    SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(24,6)))
+                AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (
+        SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(24,6)))
+                      AS DOUBLE) / COUNT(l2.l_quantity))
+        FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+    """,
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 small-quantity-order revenue.
+
+    The correlated scalar subquery (per-part average quantity)
+    decorrelates to a pre-aggregated broadcast join — one pass over
+    lineitem computes the per-part threshold, a second filtered pass
+    joins against it. Exact decimal sum / count on both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
+    per_part = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(24,6)")).cast("double")
+                / F.count("l_quantity")
+            )
+        ).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(per_part, li.l_partkey == F.col("t_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(24,6)")).cast("double")
+                / F.lit(7.0)
+            )
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "tpch_q18",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, CAST(SUM(l.l_quantity) AS DOUBLE) AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)
+    GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+             o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 large-volume customers (threshold re-fit to this corpus's
+    ~4 lines/order). The IN-subquery is a semi join against a
+    pre-aggregated keys-only relation — at 100 TB that relation is one
+    long per qualifying order, broadcastable after the HAVING."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .where(F.col("q") > 150)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        o.join(
+            F.broadcast(big), o.o_orderkey == F.col("big_orderkey"), "left_semi"
+        )
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )

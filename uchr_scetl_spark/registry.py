@@ -48,6 +48,7 @@ def load_registry() -> dict[str, QuerySpec]:
     from . import operators  # noqa: F401
     from . import functions  # noqa: F401
     from . import llm  # noqa: F401
+    from . import plans  # noqa: F401
     from . import streaming  # noqa: F401
     from . import udfs  # noqa: F401
 
