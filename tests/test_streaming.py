@@ -187,3 +187,42 @@ def test_enrich_static_stream_matches_batch(spark, events_dir):
         ).collect()
     }
     assert got == want
+
+
+def test_interval_join_stream_matches_batch(spark, events_dir):
+    from uchr_scetl_spark.streaming.streams import interval_join_stream
+
+    ev = read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    stream = interval_join_stream(
+        ev.where(F.col("event_type") == "view"),
+        ev.where(F.col("event_type") == "purchase"),
+    )
+    run_to_memory(stream, "t_ivjoin", output_mode="append")
+    got = {
+        (r.user_id, r.view_id, r.purchase_id)
+        for r in spark.table("t_ivjoin").collect()
+    }
+    src = spark.read.parquet(events_dir)
+    v = src.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = src.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    want = {
+        (r.user_id, r.view_id, r.purchase_id)
+        for r in v.join(
+            p,
+            (F.col("v_user_id") == F.col("user_id"))
+            & (F.col("purchase_ts") >= F.col("view_ts"))
+            & (
+                F.col("purchase_ts")
+                < F.col("view_ts") + F.expr("INTERVAL 1 HOUR")
+            ),
+        ).collect()
+    }
+    assert got == want

@@ -333,3 +333,32 @@ def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_spaces"),
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_orderkey & l_partkey AS b_and,
+           l_orderkey | l_partkey AS b_or,
+           xor(l_orderkey, l_partkey) AS b_xor,
+           l_linenumber << 3 AS b_shl,
+           l_orderkey >> 2 AS b_shr,
+           CAST(bit_count(l_partkey) AS INTEGER) AS b_popcount
+    FROM lineitem WHERE l_orderkey % 7 = 0
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family: and/or/xor, shifts, popcount — the building
+    blocks the sketch operators (SimHash banding, HLL) rely on."""
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 7 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_orderkey").bitwiseAND(F.col("l_partkey")).alias("b_and"),
+        F.col("l_orderkey").bitwiseOR(F.col("l_partkey")).alias("b_or"),
+        F.col("l_orderkey").bitwiseXOR(F.col("l_partkey")).alias("b_xor"),
+        F.shiftleft(F.col("l_linenumber"), 3).alias("b_shl"),
+        F.shiftright(F.col("l_orderkey"), 2).alias("b_shr"),
+        F.bit_count(F.col("l_partkey")).cast("int").alias("b_popcount"),
+    )

@@ -289,3 +289,46 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return d.select("doc_id", rolling.alias("fingerprint"), F.length("text").alias("n"))
+
+
+@query(
+    "text_pack_sequences",
+    oracle="""
+    WITH sized AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(floor(
+             (SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens)
+             / 512) AS BIGINT) AS bin_id
+    FROM sized
+    """,
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training: assign documents to
+    fixed-token-budget bins (512 tokens) by deterministic order.
+
+    The cumulative-sum formulation (bin = floor(tokens_before/budget))
+    is the shuffle-parallel approximation of greedy first-fit: one
+    window over (lang, doc_id order), no sequential driver loop. At
+    100 TB the partition key becomes (lang, shard) so no single window
+    partition grows unbounded — packing quality is unchanged because
+    bins never cross shards in a real pipeline anyway."""
+    d = load(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sized = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    return sized.withColumn(
+        "bin_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(512)),
+    )

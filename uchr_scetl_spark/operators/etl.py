@@ -115,3 +115,69 @@ def etl_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # three single-row relations → one audit row, still one lazy plan
     return scalars.crossJoin(orphans).crossJoin(dups)
+
+
+@query(
+    "etl_scd2",
+    oracle="""
+    WITH changes AS (
+      SELECT c_custkey, 'DELINQUENT' AS new_segment
+      FROM customer WHERE c_acctbal < 0
+    )
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment AS segment,
+           TIMESTAMP '2020-01-01 00:00:00' AS valid_from,
+           CASE WHEN ch.c_custkey IS NOT NULL
+                THEN TIMESTAMP '2021-01-01 00:00:00' END AS valid_to,
+           (ch.c_custkey IS NULL) AS is_current
+    FROM customer c LEFT JOIN changes ch ON c.c_custkey = ch.c_custkey
+    UNION ALL
+    SELECT c.c_custkey, c.c_name, ch.new_segment AS segment,
+           TIMESTAMP '2021-01-01 00:00:00' AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to,
+           TRUE AS is_current
+    FROM changes ch JOIN customer c ON c.c_custkey = ch.c_custkey
+    """,
+)
+def etl_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: apply a change set to a
+    versioned dimension, closing superseded rows and appending new
+    current ones.
+
+    Pure join algebra (the table-format-free form of the classic
+    MERGE-based SCD2 load): one LEFT join marks which current rows the
+    change set supersedes (those get valid_to = effective date,
+    is_current = false), one UNION appends the new versions
+    (open-ended validity). The change set here is derived
+    deterministically from the corpus (negative-balance customers get
+    re-segmented). At scale both branches shuffle on the business key
+    once, and the dimension is typically small enough that the change
+    set broadcasts."""
+    eff = F.lit("2021-01-01").cast("timestamp_ntz")
+    c = load(spark, sf_dir, "customer")
+    changes = c.where(F.col("c_acctbal") < 0).select(
+        F.col("c_custkey").alias("ch_custkey"),
+        F.lit("DELINQUENT").alias("new_segment"),
+    )
+    closed_or_current = (
+        c.join(F.broadcast(changes), c.c_custkey == F.col("ch_custkey"), "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("c_mktsegment").alias("segment"),
+            F.lit("2020-01-01").cast("timestamp_ntz").alias("valid_from"),
+            F.when(F.col("ch_custkey").isNotNull(), eff).alias("valid_to"),
+            F.col("ch_custkey").isNull().alias("is_current"),
+        )
+    )
+    new_versions = (
+        c.join(F.broadcast(changes), c.c_custkey == F.col("ch_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("new_segment").alias("segment"),
+            eff.alias("valid_from"),
+            F.lit(None).cast("timestamp_ntz").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    return closed_or_current.unionByName(new_versions)

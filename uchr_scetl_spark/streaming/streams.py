@@ -173,3 +173,32 @@ def enrich_static_stream(events: DataFrame, customer: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("n_events"))
         .select(F.col("w.start").alias("window_start"), "c_mktsegment", "n_events")
     )
+
+
+def interval_join_stream(views: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Streaming twin of stream_stream_join: a watermarked
+    stream-stream interval join. Both sides carry a watermark and the
+    join predicate bounds purchase_ts to [view_ts, view_ts + 1h), so
+    Spark can evict view state older than watermark + 1h and purchase
+    state older than the watermark — bounded state at any throughput.
+    Append mode: a match emits once both sides' watermarks pass it."""
+    v = views.withWatermark("ts", "10 minutes").select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = purchases.withWatermark("ts", "10 minutes").select(
+        F.col("user_id").alias("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return v.join(
+        p,
+        (F.col("v_user_id") == F.col("user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") < F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "user_id", "view_id", "purchase_id", "view_ts", "purchase_ts",
+        "purchase_value",
+    )
