@@ -1,0 +1,186 @@
+"""Event-analytics pipelines over the `events` table: funnel
+conversion, cohort retention, incremental high-watermark extract.
+
+These are the recurring product-analytics shapes an ETL/analytics
+engine is asked for beyond plain windows/aggs. All are pure DataFrame
+algebra: at 100 TB each shuffles once on user_id (funnel, retention)
+or not at all (watermark extract: a scalar-subquery broadcast +
+pushed-down range filter on the new partition's scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import query
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(t_signup) AS BIGINT) AS n_signup,
+           CAST(COUNT(CASE WHEN t_view > t_signup THEN 1 END) AS BIGINT)
+             AS n_signup_then_view,
+           CAST(COUNT(CASE WHEN t_purchase > t_view AND t_view > t_signup
+                      THEN 1 END) AS BIGINT) AS n_full_funnel
+    FROM per_user
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel signup → view → purchase.
+
+    One conditional-min aggregation per user collapses the event log to
+    a single row per user (the only shuffle — partial min per map task,
+    so the exchange carries 3 timestamps per user, not events); the
+    step counts are then conditional counts over that tiny relation.
+    The strictly-greater ordering requires each later stage to happen
+    after the earlier one — the textbook ordered-funnel semantics."""
+    e = load(spark, sf_dir, "events")
+
+    def first_ts(t: str) -> F.Column:
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    per_user = e.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("view").alias("t_view"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    stepped = F.col("t_view") > F.col("t_signup")
+    full = (F.col("t_purchase") > F.col("t_view")) & stepped
+    return per_user.agg(
+        F.count("t_signup").alias("n_signup"),
+        F.count(F.when(stepped, F.lit(1))).alias("n_signup_then_view"),
+        F.count(F.when(full, F.lit(1))).alias("n_full_funnel"),
+    )
+
+
+@query(
+    "events_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(date_trunc('day', min(ts) OVER (PARTITION BY user_id))
+               AS TIMESTAMP) AS cohort_day,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS active_day
+      FROM events
+    )
+    SELECT cohort_day,
+           CAST(date_diff('day', cohort_day, active_day) AS BIGINT)
+             AS day_offset,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+    FROM firsts
+    WHERE date_diff('day', cohort_day, active_day) <= 7
+    GROUP BY cohort_day, day_offset
+    """,
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, distinct
+    actives per day-offset for the first week.
+
+    The cohort day is a per-user window min (one shuffle on user_id);
+    the retention matrix is a distinct-count per (cohort, offset) —
+    at scale the distinct shuffles on (cohort, offset, user) which is
+    already nearly unique, so partial aggregation absorbs it."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    firsts = e.select(
+        "user_id",
+        F.date_trunc("day", F.min("ts").over(w))
+        .cast("timestamp_ntz")
+        .alias("cohort_day"),
+        F.date_trunc("day", F.col("ts")).cast("timestamp_ntz").alias("active_day"),
+    )
+    offset = F.datediff("active_day", "cohort_day").cast("bigint")
+    return (
+        firsts.withColumn("day_offset", offset)
+        .where(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+@query(
+    "etl_incremental_extract",
+    oracle="""
+    WITH previous_load AS (
+      SELECT max(o_orderdate) AS high_watermark
+      FROM orders WHERE o_orderdate < TIMESTAMP '2001-01-01 00:00:00'
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, o.o_totalprice
+    FROM orders o, previous_load p
+    WHERE o.o_orderdate > p.high_watermark
+    """,
+)
+def etl_incremental_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-watermark incremental extract: pull only rows newer than
+    the previous load's max timestamp.
+
+    The watermark relation is a one-row aggregate, cross-joined
+    (broadcast nested loop of a single row) so the comparison reaches
+    the big scan as a runtime filter — the 100 TB shape of every
+    incremental batch extract. The 'previous load' is modeled as the
+    pre-2001 slice so the query is self-contained and deterministic."""
+    o = load(spark, sf_dir, "orders")
+    prev = (
+        o.where(F.col("o_orderdate") < F.lit("2001-01-01").cast("timestamp_ntz"))
+        .agg(F.max("o_orderdate").alias("high_watermark"))
+    )
+    return (
+        o.crossJoin(F.broadcast(prev))
+        .where(F.col("o_orderdate") > F.col("high_watermark"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    )
+
+
+@query(
+    "agg_mode_per_group",
+    oracle="""
+    WITH counted AS (
+      SELECT c_mktsegment, o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment, o_orderpriority
+    )
+    SELECT c_mktsegment, o_orderpriority AS mode_priority, n
+    FROM counted
+    QUALIFY row_number() OVER (PARTITION BY c_mktsegment
+                               ORDER BY n DESC, o_orderpriority) = 1
+    """,
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode (most frequent value, ties to the
+    lexicographically smallest) via count + ranked window — the
+    engine-portable formulation (`F.mode`'s tie choice is
+    unspecified, so it can't be oracle-checked)."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    counted = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("n").desc(), "o_orderpriority"
+    )
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "n",
+        )
+    )
