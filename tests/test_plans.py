@@ -1,0 +1,71 @@
+"""Physical-plan shape assertions: the properties that make these
+plans survive a 1000-executor / 100 TB scale-up, checked on the actual
+executed plan string so a regression (lost broadcast hint, filter that
+stops pushing down, a window sneaking into global top-k) fails CI."""
+
+from __future__ import annotations
+
+from uchr_scetl_spark import load_registry
+
+from .conftest import SF_SMOKE
+
+REGISTRY = load_registry()
+
+
+def plan_of(spark, key: str) -> str:
+    df = REGISTRY[key].fn(spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_tpch_q5_broadcasts_dimensions(spark):
+    plan = plan_of(spark, "tpch_q5")
+    # supplier/nation/region joins must all be broadcast — no shuffle
+    # of the fact side on dimension keys
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_tpch_q3_pushes_date_filters_to_scan(spark):
+    plan = plan_of(spark, "tpch_q3")
+    assert "PushedFilters" in plan
+    pushed = [
+        seg[:300] for seg in plan.split("PushedFilters: ")[1:]
+    ]
+    assert any("l_shipdate" in s for s in pushed), plan
+    assert any("o_orderdate" in s for s in pushed), plan
+
+
+def test_tpch_q1_prunes_columns(spark):
+    plan = plan_of(spark, "tpch_q1")
+    # the lineitem scan must not read join keys it doesn't need
+    scan = plan.split("ReadSchema")[-1]
+    assert "l_orderkey" not in scan.split("\n")[0], plan
+
+
+def test_topk_global_uses_take_ordered(spark):
+    plan = plan_of(spark, "topk_global")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_tpch_q3_top10_uses_take_ordered(spark):
+    plan = plan_of(spark, "tpch_q3")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_tpch_q18_semi_join_is_broadcast(spark):
+    plan = plan_of(spark, "tpch_q18")
+    assert "LeftSemi, BuildRight" in plan, plan
+
+
+def test_q1_partial_aggregation_present(spark):
+    # partial (map-side) + final hash aggregation: the exchange must
+    # sit between two HashAggregates, i.e. combine happens before the
+    # shuffle
+    plan = plan_of(spark, "tpch_q1")
+    assert plan.count("HashAggregate") >= 2, plan
+    first_agg = plan.index("HashAggregate")
+    assert "Exchange" in plan[first_agg:], plan
+
+
+def test_etl_incremental_extract_broadcasts_watermark(spark):
+    plan = plan_of(spark, "etl_incremental_extract")
+    assert "BroadcastNestedLoopJoin" in plan, plan

@@ -196,3 +196,32 @@ def scan_pruned_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("o_orderstatus") == "F")
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+@query(
+    "sink_json",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+    FROM customer WHERE c_acctbal < 0
+    """,
+)
+def sink_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + schema'd re-read of a projected slice —
+    completes the source/sink matrix (parquet/CSV/JSON/ORC each have
+    both directions)."""
+    schema = StructType(
+        [
+            StructField("c_custkey", LongType()),
+            StructField("c_name", StringType()),
+            StructField("c_mktsegment", StringType()),
+            StructField("c_acctbal", DoubleType()),
+        ]
+    )
+    src = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") < 0)
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+    )
+    out = tempfile.mkdtemp(prefix="uchr_sink_json_")
+    write_json(src, out)
+    return read_json(spark, out, schema)
