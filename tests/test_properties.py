@@ -11,6 +11,8 @@ from hypothesis import strategies as st
 
 from pyspark.sql import functions as F
 
+from .conftest import SF_SMOKE
+
 SETTINGS = dict(
     max_examples=12,
     deadline=None,
@@ -89,3 +91,53 @@ def test_asof_never_matches_future(spark):
     )
     out = asof_join(left, right, on="k", ts="ts", payload=["v"]).collect()
     assert out[0].v is None
+
+
+def test_funnel_counts_monotone(spark):
+    """Each funnel stage can only lose users: n_signup >=
+    signup-then-view >= full funnel, all non-negative."""
+    from uchr_scetl_spark import load_registry
+
+    r = load_registry()["events_funnel"].fn(spark, SF_SMOKE).collect()[0]
+    assert r.n_signup >= r.n_signup_then_view >= r.n_full_funnel >= 0
+
+
+def test_scd2_exactly_one_current_row_per_key(spark):
+    """SCD2 invariants: every business key has exactly one current row;
+    closed rows end exactly where a successor begins."""
+    from uchr_scetl_spark import load_registry
+
+    rows = load_registry()["etl_scd2"].fn(spark, SF_SMOKE).collect()
+    by_key: dict[int, list] = {}
+    for r in rows:
+        by_key.setdefault(r.c_custkey, []).append(r)
+    for key, versions in by_key.items():
+        current = [r for r in versions if r.is_current]
+        assert len(current) == 1, f"custkey {key}: {len(current)} current rows"
+        for r in versions:
+            if not r.is_current:
+                successors = [
+                    s for s in versions if s.valid_from == r.valid_to
+                ]
+                assert successors, f"custkey {key}: closed row with no successor"
+
+
+def test_pack_sequences_bins_respect_budget(spark):
+    """Within each lang, every bin's token total stays under budget +
+    one document's overshoot (the cumsum formulation packs a doc into
+    the bin its *preceding* total falls in), and bin ids are dense."""
+    from uchr_scetl_spark import load_registry
+
+    rows = load_registry()["text_pack_sequences"].fn(spark, SF_SMOKE).collect()
+    by_bin: dict[tuple, int] = {}
+    max_doc: dict[tuple, int] = {}
+    for r in rows:
+        k = (r.lang, r.bin_id)
+        by_bin[k] = by_bin.get(k, 0) + r.n_tokens
+        max_doc[k] = max(max_doc.get(k, 0), r.n_tokens)
+    for k, total in by_bin.items():
+        assert total < 512 + max_doc[k], f"bin {k} total {total}"
+    langs = {lang for lang, _ in by_bin}
+    for lang in langs:
+        bins = sorted(b for l, b in by_bin if l == lang)
+        assert bins == list(range(len(bins))), f"{lang}: sparse bins {bins}"

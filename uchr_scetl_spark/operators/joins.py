@@ -286,3 +286,54 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_lines"),
         dec_sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), "revenue"),
     )
+
+
+N_JOIN_SALT = 8
+
+
+@query(
+    "join_skew_salted",
+    oracle=f"""
+    SELECT e.event_type, c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_dec_sum('e.value', 'total_value')}
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY e.event_type, c.c_mktsegment
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted shuffle join — the skew pattern for when BOTH sides are
+    too big to broadcast and the key is hot.
+
+    The skewed (fact) side gets a deterministic salt in [0, S); the
+    other side is replicated S ways via a literal salt array explode.
+    The join key becomes (key, salt), so one hot key's rows spread
+    over S reducers instead of one. Identical result to the unsalted
+    join — the oracle checks against the plain formulation. (With AQE
+    on, Spark's skew-join split handles moderate skew automatically;
+    explicit salting is the portable form for extreme single-key skew
+    and for engines/stages AQE can't rewrite, e.g. streaming joins.)
+    Salt derives from xxhash64(event_id) — deterministic under retry."""
+    e = load(spark, sf_dir, "events").withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(N_JOIN_SALT)).cast("int")
+    )
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.explode(
+            F.array(*[F.lit(i).cast("int") for i in range(N_JOIN_SALT)])
+        ).alias("salt"),
+    )
+    return (
+        # shuffle_hash hint: at real scale neither side broadcasts —
+        # without it Spark would broadcast the tiny replicated side
+        # here and the salt would demonstrate nothing
+        e.join(c.hint("shuffle_hash"), (e.user_id == c.c_custkey) & (e.salt == c.salt))
+        .groupBy("event_type", "c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(24,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )

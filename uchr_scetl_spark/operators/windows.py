@@ -279,3 +279,41 @@ def win_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_totalprice").over(w).alias("last_price"),
         F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
     )
+
+
+@query(
+    "win_time_range",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+           CAST(SUM(CAST(value AS DECIMAL(24,6))) OVER w AS DOUBLE)
+             AS sum_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval range frame: per-user trailing-1-hour count and
+    sum — the moving-aggregate shape of time-series feature
+    engineering. The frame is RANGE over whole-second event time
+    (identically truncated on both engines), so co-timestamped rows
+    share a frame — deterministic regardless of their relative order,
+    which is why a rows-frame can't express it. Partitioned by user:
+    no global-order window, scales with users."""
+    e = load(spark, sf_dir, "events")
+    # NTZ has no direct long cast; the ltz detour is exact (session
+    # timezone is pinned UTC)
+    epoch_s = F.col("ts").cast("timestamp_ltz").cast("long")
+    w = Window.partitionBy("user_id").orderBy(epoch_s).rangeBetween(-3600, 0)
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(w).alias("n_last_hour"),
+        F.sum(F.col("value").cast("decimal(24,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_last_hour"),
+    )
