@@ -226,3 +226,49 @@ def test_interval_join_stream_matches_batch(spark, events_dir):
         ).collect()
     }
     assert got == want
+
+
+def test_foreach_batch_idempotent_parquet_sink(spark, events_dir):
+    """foreachBatch → parquet, the streaming-ETL load pattern: each
+    micro-batch overwrites its own batch_id partition (dynamic
+    partition overwrite), so a retried batch rewrites the same
+    partition instead of duplicating rows — exactly-once at the sink
+    without a transactional table format."""
+    out = tempfile.mkdtemp(prefix="uchr_febatch_out_")
+    shutil.rmtree(out, ignore_errors=True)
+    ckpt = tempfile.mkdtemp(prefix="uchr_febatch_ckpt_")
+
+    def write_batch(df, batch_id: int):
+        (
+            df.withColumn("batch_id", F.lit(batch_id))
+            .write.option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(out)
+        )
+
+    q = (
+        read_events_stream(spark, events_dir, max_files_per_trigger=1)
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    try:
+        written = spark.read.parquet(out)
+        src_n = spark.read.parquet(events_dir).count()
+        assert written.count() == src_n
+        # several micro-batches actually happened (one per file)
+        assert written.select("batch_id").distinct().count() > 1
+        # re-writing batch 0's partition with the same data must not
+        # change the total (idempotence of the per-partition overwrite)
+        b0 = written.where(F.col("batch_id") == 0).drop("batch_id")
+        write_batch(b0, 0)
+        assert spark.read.parquet(out).count() == src_n
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

@@ -362,3 +362,29 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(F.col("l_orderkey"), 2).alias("b_shr"),
         F.bit_count(F.col("l_partkey")).cast("int").alias("b_popcount"),
     )
+
+
+@query(
+    "fn_encode",
+    oracle="""
+    SELECT p_partkey,
+           to_base64(CAST(p_name AS BLOB)) AS b64,
+           lower(hex(p_name)) AS hexed,
+           CAST(from_base64(to_base64(CAST(p_name AS BLOB))) AS VARCHAR)
+             AS roundtrip
+    FROM part WHERE p_partkey % 10 = 0
+    """,
+)
+def fn_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary encode/decode family: base64 and hex over UTF-8 bytes,
+    with a decode round-trip (the wire-format plumbing under opaque
+    binary columns — see multimodal_binary)."""
+    p = load(spark, sf_dir, "part").where(F.col("p_partkey") % 10 == 0)
+    return p.select(
+        "p_partkey",
+        F.base64(F.col("p_name").cast("binary")).alias("b64"),
+        F.lower(F.hex("p_name")).alias("hexed"),
+        F.unbase64(F.base64(F.col("p_name").cast("binary")))
+        .cast("string")
+        .alias("roundtrip"),
+    )

@@ -342,3 +342,39 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.array_sort(F.collect_set("source")).alias("sources"),
     )
+
+
+@query("agg_hll_sketch_merge", tags=("rows-only",))
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch pattern: per-group HLL sketches built once,
+    then UNIONED to coarser groups without touching the raw data —
+    the 100 TB shape for distinct-count rollups (daily sketches merge
+    into monthly; no re-scan). Datasketches binary images are
+    engine-specific → rows-only."""
+    li = load(spark, sf_dir, "lineitem")
+    per_flag = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk")
+    )
+    return (
+        per_flag.groupBy("l_returnflag")
+        .agg(F.hll_union_agg("sk").alias("sk"))
+        .select(
+            "l_returnflag",
+            F.hll_sketch_estimate("sk").alias("approx_parts"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query("agg_approx_percentile", tags=("rows-only",))
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (single-pass quantile sketch) — the
+    scale path where agg_percentile's exact form needs a full sort of
+    each group. Sketch internals are engine-specific → rows-only."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000).alias(
+            "price_quartiles"
+        ),
+        F.percentile_approx("l_quantity", 0.5, 10000).alias("median_qty"),
+    )

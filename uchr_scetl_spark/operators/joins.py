@@ -337,3 +337,46 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_value"),
         )
     )
+
+
+@query(
+    "join_fuzzy_levenshtein",
+    oracle="""
+    SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+           a.c_name AS a_name, b.c_name AS b_name,
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey
+     AND a.c_custkey < b.c_custkey
+     AND levenshtein(a.c_name, b.c_name) <= 2
+    """,
+)
+def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string-match join: edit distance ≤ 2 inside blocking
+    groups (same nation) — the entity-resolution primitive.
+
+    Blocking is what makes it scale: the quadratic comparison runs only
+    within each block (shuffle on the block key), never across the full
+    corpus. At 100 TB the block key is a cheap canonical form
+    (soundex/prefix/zip) chosen so blocks stay thousands-of-rows; the
+    edit-distance evaluation itself is JVM codegen (F.levenshtein),
+    no UDF."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_name")
+    a = c.alias("a")
+    b = c.alias("b")
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey"))
+            & (dist <= 2),
+        )
+        .select(
+            F.col("a.c_custkey").alias("a_key"),
+            F.col("b.c_custkey").alias("b_key"),
+            F.col("a.c_name").alias("a_name"),
+            F.col("b.c_name").alias("b_name"),
+            dist.cast("int").alias("dist"),
+        )
+    )
