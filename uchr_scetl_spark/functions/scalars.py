@@ -388,3 +388,39 @@ def fn_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string")
         .alias("roundtrip"),
     )
+
+
+@query(
+    "fn_struct",
+    oracle="""
+    WITH nested AS (
+      SELECT o_orderkey,
+             {'cust': o_custkey, 'price': o_totalprice,
+              'prio': o_orderpriority} AS o
+      FROM orders WHERE o_totalprice > 470000
+    )
+    SELECT o_orderkey, o.cust AS cust, o.price AS price,
+           upper(o.prio) AS prio_uc
+    FROM nested
+    """,
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StructType build + field access: pack columns into a nested
+    struct, then project fields back out (the shape every nested
+    parquet/JSON schema round-trips through). Catalyst collapses the
+    pack/unpack — the executed plan reads the flat columns directly."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 470000)
+    nested = o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_custkey").alias("cust"),
+            F.col("o_totalprice").alias("price"),
+            F.col("o_orderpriority").alias("prio"),
+        ).alias("o"),
+    )
+    return nested.select(
+        "o_orderkey",
+        F.col("o.cust").alias("cust"),
+        F.col("o.price").alias("price"),
+        F.upper(F.col("o.prio")).alias("prio_uc"),
+    )

@@ -378,3 +378,38 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.percentile_approx("l_quantity", 0.5, 10000).alias("median_qty"),
     )
+
+
+@query(
+    "agg_unpivot",
+    oracle=f"""
+    WITH wide AS (
+      SELECT o_orderstatus,
+             CAST(COUNT(*) AS DOUBLE) AS n_orders,
+             {sql_dec_sum('o_totalprice', 'total_price')},
+             {sql_dec_avg('o_totalprice', 'avg_price')}
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, 'n_orders' AS measure, n_orders AS value FROM wide
+    UNION ALL
+    SELECT o_orderstatus, 'total_price', total_price FROM wide
+    UNION ALL
+    SELECT o_orderstatus, 'avg_price', avg_price FROM wide
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt): the inverse of agg_pivot, via the
+    native ``DataFrame.unpivot`` (expression-level — each input row
+    emits one row per value column, no shuffle)."""
+    o = load(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderstatus").agg(
+        F.count("*").cast("double").alias("n_orders"),
+        dec_sum("o_totalprice", "total_price"),
+        dec_avg("o_totalprice", "avg_price"),
+    )
+    return wide.unpivot(
+        ["o_orderstatus"],
+        ["n_orders", "total_price", "avg_price"],
+        "measure",
+        "value",
+    )

@@ -225,3 +225,37 @@ def sink_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="uchr_sink_json_")
     write_json(src, out)
     return read_json(spark, out, schema)
+
+
+@query(
+    "scan_merge_schema",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS load_tag
+    FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'batch2' AS load_tag
+    FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two loads of the same table where the
+    second added a column, read back with ``mergeSchema`` — rows from
+    the old files carry NULL for the new column. The everyday ETL
+    reality of append-only datasets whose schema grows."""
+    o = load(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="uchr_evolve_")
+    (
+        o.where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(f"{out}/b1")
+    )
+    (
+        o.where(F.col("o_orderstatus") == "O")
+        .select("o_orderkey", "o_totalprice", F.lit("batch2").alias("load_tag"))
+        .write.mode("overwrite")
+        .parquet(f"{out}/b2")
+    )
+    return spark.read.option("mergeSchema", "true").parquet(
+        f"{out}/b1", f"{out}/b2"
+    )

@@ -317,3 +317,72 @@ def win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_last_hour"),
     )
+
+
+@query(
+    "win_distinct_count",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(count(DISTINCT o_orderpriority)
+                OVER (PARTITION BY o_custkey) AS BIGINT)
+             AS n_distinct_prio
+    FROM orders
+    """,
+)
+def win_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct count over a window. Spark has no DISTINCT window
+    aggregate — the portable form is size(collect_set() OVER w), which
+    keeps one set per partition in the window state (bounded by the
+    distinct-value cardinality, fine for low-cardinality attributes;
+    for high-cardinality use a two-step groupBy+join instead)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.size(F.collect_set("o_orderpriority").over(w))
+        .cast("bigint")
+        .alias("n_distinct_prio"),
+    )
+
+
+@query(
+    "win_gaps_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS active_day
+      FROM events
+    ), numbered AS (
+      SELECT user_id, active_day,
+             date_diff('day', TIMESTAMP '1970-01-01 00:00:00', active_day)
+               - row_number() OVER (PARTITION BY user_id ORDER BY active_day)
+               AS grp
+      FROM days
+    )
+    SELECT user_id, min(active_day) AS island_start,
+           max(active_day) AS island_end,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM numbered GROUP BY user_id, grp
+    """,
+)
+def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive active days per
+    user via the day-number-minus-row-number constant — pure window
+    algebra, one shuffle on user_id. The calendar twin of
+    sessionization (stream_session_windows does it on event-time
+    gaps)."""
+    e = load(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("timestamp_ntz").alias("active_day")
+    ).distinct()
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy("active_day")
+    )
+    day_num = F.datediff(F.col("active_day"), F.lit("1970-01-01").cast("date"))
+    numbered = days.withColumn("grp", day_num - rn)
+    return numbered.groupBy("user_id", "grp").agg(
+        F.min("active_day").alias("island_start"),
+        F.max("active_day").alias("island_end"),
+        F.count("*").alias("n_days"),
+    ).drop("grp")
