@@ -141,3 +141,23 @@ def test_pack_sequences_bins_respect_budget(spark):
     for lang in langs:
         bins = sorted(b for l, b in by_bin if l == lang)
         assert bins == list(range(len(bins))), f"{lang}: sparse bins {bins}"
+
+
+def test_dedup_clusters_consistent_with_pairs(spark):
+    """CC invariants: both endpoints of every near-dup pair share a
+    cluster; every cluster id is the min doc_id of its members."""
+    from uchr_scetl_spark import load_registry
+
+    reg = load_registry()
+    labels = {
+        r.doc_id: r.cluster_id
+        for r in reg["dedup_clusters"].fn(spark, SF_SMOKE).collect()
+    }
+    pairs = reg["dedup_ngram_jaccard"].fn(spark, SF_SMOKE).collect()
+    for p in pairs:
+        assert labels[p.a_id] == labels[p.b_id], (p.a_id, p.b_id)
+    members: dict[int, list[int]] = {}
+    for doc, cl in labels.items():
+        members.setdefault(cl, []).append(doc)
+    for cl, docs in members.items():
+        assert cl == min(docs), (cl, min(docs))

@@ -424,3 +424,44 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o.price").alias("price"),
         F.upper(F.col("o.prio")).alias("prio_uc"),
     )
+
+
+@query(
+    "fn_array_lambda",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE doc_id % 5 = 0
+    )
+    SELECT doc_id,
+           list_transform(list_filter(toks, x -> len(x) > 3),
+                          x -> upper(x)) AS long_upper,
+           CAST(list_reduce(list_prepend(0,
+                list_transform(toks, x -> len(x))), (a, b) -> a + b)
+             AS BIGINT) AS total_chars,
+           CAST(len(list_filter(toks, x -> x LIKE '%e%')) AS BIGINT)
+             AS n_with_e
+    FROM t
+    """,
+)
+def fn_array_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions as first-class surface: transform /
+    filter / aggregate lambdas run inside codegen on the in-row array —
+    the zero-shuffle way to process nested data (the explode
+    alternative multiplies rows through a Generate + later re-group)."""
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.transform(
+            F.filter(toks, lambda x: F.length(x) > 3), lambda x: F.upper(x)
+        ).alias("long_upper"),
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("total_chars"),
+        F.size(F.filter(toks, lambda x: x.like("%e%")))
+        .cast("bigint")
+        .alias("n_with_e"),
+    )

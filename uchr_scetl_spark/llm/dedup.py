@@ -397,3 +397,60 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", "hamming")
         .orderBy("a_id", "b_id")
     )
+
+
+@query("dedup_clusters", tags=("rows-only",))
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the
+    near-dup pair graph via iterative min-label propagation — the
+    iterative-algorithm pattern (Pregel-style) in pure DataFrame
+    algebra.
+
+    Each doc starts labelled with its own id; each round every doc
+    takes the min of its label and its neighbours' labels. Converges in
+    O(graph diameter) rounds — near-dup clusters are small and dense,
+    so diameter is tiny. Per round: one shuffle join edges⋈labels + one
+    groupBy — at 100 TB this is the standard big-graph CC recipe
+    (GraphX/GraphFrames run the same plan). The driver loop only reads
+    a scalar changed-count per round (no data collect); localCheckpoint
+    truncates the growing lineage. rows-only: the fixpoint loop is not
+    single-statement SQL (DuckDB could via WITH RECURSIVE, but the
+    driver compares one statement)."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
+    edges = pairs.union(
+        pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+    ).withColumnsRenamed({"a_id": "src", "b_id": "dst"})
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    labels = docs.withColumn("cluster_id", F.col("doc_id")).localCheckpoint()
+    for _ in range(10):
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("dst"),
+                    F.col("cluster_id").alias("n_label"),
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("n_label").alias("n_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("n_min", "cluster_id")
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.orderBy("doc_id")

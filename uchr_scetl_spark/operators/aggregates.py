@@ -413,3 +413,27 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure",
         "value",
     )
+
+
+@query(
+    "agg_conditional",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_discounted,
+           CAST(count_if(l_quantity >= 40) AS BIGINT) AS n_bulk,
+           bool_and(l_extendedprice > 0) AS all_positive,
+           bool_or(l_tax > 0.07) AS any_high_tax
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/boolean aggregate family: count_if, bool_and,
+    bool_or — the data-quality assertion primitives (etl_dq_audit
+    composes these)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.count_if(F.col("l_quantity") >= 40).alias("n_bulk"),
+        F.bool_and(F.col("l_extendedprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+    )
