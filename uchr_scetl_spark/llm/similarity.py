@@ -437,3 +437,46 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe_id", "neighbor_id", "cosine")
         .orderBy("probe_id", "neighbor_id")
     )
+
+
+@query(
+    "sim_label_centroids",
+    oracle="""
+    SELECT label, CAST(i AS INTEGER) AS pos,
+           (CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+                          AS BIGINT)) AS DOUBLE)
+              / 1000000.0 / COUNT(*)) AS centroid
+    FROM embeddings, generate_series(1, 64) g(i)
+    GROUP BY label, i
+    """,
+)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids, flat (label, dim, value) form —
+    the aggregate under IVF training and class prototypes.
+
+    posexplode → groupBy(label, pos): the shuffle carries per-dim
+    integer partial sums (exact, order-insensitive → engine-identical
+    averages), so 100 TB of vectors reduces map-side to |labels|×dim
+    rows. Components are floor-quantized at 1e-6 before summing:
+    floats are dyadic rationals whose exact decimal expansions can
+    terminate with a trailing 5 at ANY decimal-cast scale, where Spark
+    (HALF_UP) and DuckDB (HALF_EVEN) disagree — floor of the same
+    double is tie-free and bit-identical in both engines."""
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        e.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos0", "x"
+            ),
+        )
+        .groupBy("label", (F.col("pos0") + 1).cast("int").alias("pos"))
+        .agg(
+            (
+                F.sum(F.floor(F.col("x") * 1000000.0).cast("bigint"))
+                .cast("double")
+                / F.lit(1000000.0)
+                / F.count("*")
+            ).alias("centroid")
+        )
+    )

@@ -184,3 +184,45 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@query(
+    "events_top_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS s1,
+             lead(event_type, 1) OVER w AS s2,
+             lead(event_type, 2) OVER w AS s3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT s1, s2, s3, CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE s3 IS NOT NULL
+    GROUP BY s1, s2, s3
+    ORDER BY n DESC, s1, s2, s3
+    LIMIT 10
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: the 10 most common 3-step event-type sequences.
+
+    Two lead() windows per user build the sliding triple in one pass
+    (shuffle on user_id), then a hash agg on the triple and a global
+    top-10 via TakeOrderedAndProject. The sequence-mining primitive
+    behind funnels you haven't defined yet."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("s1"),
+        F.lead("event_type", 1).over(w).alias("s2"),
+        F.lead("event_type", 2).over(w).alias("s3"),
+    )
+    return (
+        seq.where(F.col("s3").isNotNull())
+        .groupBy("s1", "s2", "s3")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "s1", "s2", "s3")
+        .limit(10)
+    )
