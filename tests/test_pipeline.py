@@ -102,3 +102,51 @@ def test_sink_error_mode_refuses_to_clobber(spark):
     with pytest.raises(Exception):
         Pipeline(source=nation, sink=Sink("parquet", out, mode="error")).run(spark)
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_csv_malformed_rows_permissive_and_dropped(spark, tmp_path):
+    """ETL robustness: a CSV batch with broken rows. PERMISSIVE mode
+    quarantines them in _corrupt_record (the audit path);
+    DROPMALFORMED silently keeps only clean rows (the load path)."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    p = tmp_path / "dirty.csv"
+    p.write_text(
+        "k,name,v\n"
+        "1,alpha,10\n"
+        "2,beta,not_a_number\n"
+        "3,gamma,30\n"
+    )
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("name", StringType()),
+            StructField("v", LongType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    permissive = (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(str(p))
+        .cache()  # corrupt-record column requires the raw row to survive
+    )
+    rows = permissive.collect()
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert len(rows) == 3 and len(bad) == 1 and bad[0].k == 2
+
+    clean_schema = StructType(schema.fields[:-1])
+    dropped = (
+        spark.read.schema(clean_schema)
+        .option("header", "true")
+        .option("mode", "DROPMALFORMED")
+        .csv(str(p))
+    )
+    assert sorted(r.k for r in dropped.collect()) == [1, 3]
