@@ -261,15 +261,23 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="uchr_bucketed_")
     for name in ("uchr_b_lineitem", "uchr_b_orders"):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+    # repartition on the bucket key BEFORE the bucketed write: bucket-id
+    # assignment and repartition use the same Murmur3 hash, so each
+    # write task then holds exactly one bucket and emits one file —
+    # without this, every task writes a sliver of every bucket it saw
+    # (up to tasks×buckets small files per table), which at 100 TB is
+    # the classic bucketed-write small-files failure mode
     (
-        li.write.mode("overwrite")
+        li.repartition(8, "l_orderkey")
+        .write.mode("overwrite")
         .bucketBy(8, "l_orderkey")
         .sortBy("l_orderkey")
         .option("path", f"{out}/lineitem")
         .saveAsTable("uchr_b_lineitem")
     )
     (
-        o.write.mode("overwrite")
+        o.repartition(8, "o_orderkey")
+        .write.mode("overwrite")
         .bucketBy(8, "o_orderkey")
         .sortBy("o_orderkey")
         .option("path", f"{out}/orders")
