@@ -71,6 +71,33 @@ def main() -> int:
             return v * 1.0
 
         force(li.select(_warm(F.col("l_quantity")).alias("w")))
+
+        # the other Python-execution shapes the engine uses: an
+        # array-typed scalar pandas UDF (SimHash packing) and a
+        # grouped-map applyInPandas (matmul pruners) — each spins its
+        # own worker/serializer path the first time it runs
+        @pandas_udf("array<long>")
+        def _warm_arr(v):
+            return v
+
+        emb = spark.read.parquet(f"{warm_dir}/embeddings.parquet")
+        force(
+            emb.select(
+                _warm_arr(F.expr("transform(embedding, x -> 1L)")).alias("w")
+            )
+        )
+
+        def _warm_grouped(pdf):
+            return pdf
+
+        force(
+            emb.select("label", "vec_id")
+            .groupBy("label")
+            .applyInPandas(_warm_grouped, "label string, vec_id long")
+        )
+        # iterative ops: localCheckpoint path (first use starts the
+        # block-manager cleanup machinery)
+        spark.range(10).localCheckpoint().count()
     except Exception as exc:  # warmup must never fail the bench
         print(f"# BENCH WARMUP SKIPPED: {exc!r}", file=sys.stderr)
 

@@ -27,7 +27,6 @@ rows-only; the exact operators are SQL-checked.
 
 from __future__ import annotations
 
-import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -155,10 +154,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHINGLE_GRAMS = " || ' ' || ".join(
     f"element_at(t, i + {j})" for j in range(SHINGLE_N)
 )
+# Shingles are stored as xxhash64 LONGS, not strings: every consumer
+# (Jaccard intersection join, MinHash minima, verify) only ever tests
+# shingle EQUALITY, so an 8-byte hash is a drop-in replacement that
+# shrinks the cached relation and every downstream shuffle ~3× and
+# makes array_distinct/joins long-typed. Collision cost: two distinct
+# shingles sharing a hash could inflate one intersection count —
+# P ≈ (#distinct shingles)²/2⁶⁵, ~1e-9 at this corpus; at true 100 TB
+# scale swap in a 128-bit hash (two xxhash64 seeds) the same way.
 _SHINGLE_SQL = f"""
     CASE WHEN size(t) < {SHINGLE_N} THEN array()
     ELSE array_distinct(transform(
-      sequence(1, size(t) - {SHINGLE_N - 1}), i -> {_SHINGLE_GRAMS}
+      sequence(1, size(t) - {SHINGLE_N - 1}), i -> xxhash64({_SHINGLE_GRAMS})
     )) END
 """
 
@@ -302,54 +309,52 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, chunks[4]) 64-bit SimHash: token hashing stays JVM-side
-    (``xxhash64`` inside ``transform`` — one hash per distinct token),
-    then an Arrow-batched pandas UDF does the 64-bit majority vote and
-    16-bit MSB-first chunk packing as three numpy matrix ops per batch.
+    """(doc_id, chunks[4]) 64-bit SimHash as one higher-order-function
+    expression: hash each distinct token ONCE (the per-bit lambda sees
+    the pre-hashed value — hashing inside the bit loop costs 64×), fold
+    per-bit +1/-1 votes, threshold, pack 16-bit chunks MSB-first.
 
-    The split of work is deliberate: hashing belongs in the JVM (codegen,
-    no transfer), but the per-bit ±1 vote fold is 64 interpreted lambda
-    steps per token in SQL — measured 1.7 s for 60 k docs — versus one
-    ``(Σtokens, 64)`` bit-unpack + ``reduceat`` + ``(rows, 64)×(64, 4)``
-    matmul in numpy (~0.2 s). Signatures are bit-identical to the SQL
-    fold (same hashes, same majority rule, same packing), deterministic
-    across runs and partitionings.
+    Constant-size state per row, no shuffle at all for the signature
+    itself; the explicit repartition spreads the CPU (a single-file
+    parquet table otherwise scans as one partition). An explode+64-
+    aggregate formulation was tried and measured 2-3× slower — the
+    wide aggregate loses to a tight fold over an in-row array.
 
-    Constant-size state per row, no shuffle for the signature itself;
-    the explicit repartition spreads the CPU (a single-file parquet
-    table otherwise scans as one partition)."""
-    import pandas as pd
-
-    @F.pandas_udf("array<long>")
-    def pack_chunks(hashes):
-        if len(hashes) == 0:
-            return pd.Series([], dtype=object)
-        lens = hashes.map(len).to_numpy(dtype=np.int64)
-        out = np.zeros((len(hashes), SIMHASH_CHUNKS), dtype=np.int64)
-        nonempty = lens > 0
-        if nonempty.any():
-            flat = np.concatenate(
-                [np.asarray(h, dtype=np.int64) for h in hashes[nonempty]]
-            ).view(np.uint64)
-            # (Σtokens, 64) bit matrix; bit b of hash h at column b
-            bits = (
-                (flat[:, None] >> np.arange(SIMHASH_BITS, dtype=np.uint64)) & 1
-            ).astype(np.int64)
-            starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
-            np.cumsum(lens[nonempty][:-1], out=starts[1:])
-            ones = np.add.reduceat(bits, starts, axis=0)
-            # majority: +1/-1 vote sum > 0  ⇔  2·ones > n_tokens
-            maj = (2 * ones > lens[nonempty][:, None]).astype(np.int64)
-            # chunk c packs bits c*16..c*16+15 MSB-first
-            weights = np.zeros((SIMHASH_BITS, SIMHASH_CHUNKS), dtype=np.int64)
-            for c in range(SIMHASH_CHUNKS):
-                weights[c * 16 : (c + 1) * 16, c] = 1 << np.arange(15, -1, -1)
-            out[nonempty] = maj @ weights
-        return pd.Series(list(out))
-
-    hashed = F.expr("transform(array_distinct(split(text, ' ')), tok -> xxhash64(tok))")
+    Written as one SQL expression because ``shiftright`` with a
+    column-valued shift amount is SQL-only (the PySpark wrapper takes
+    a Python int)."""
+    expr = F.expr(
+        f"""
+        transform(
+          sequence(0, {SIMHASH_CHUNKS - 1}),
+          c -> aggregate(
+            slice(
+              transform(
+                aggregate(
+                  transform(array_distinct(split(text, ' ')), tok -> xxhash64(tok)),
+                  array_repeat(0L, {SIMHASH_BITS}),
+                  (acc, h) -> zip_with(
+                    acc,
+                    transform(
+                      sequence(0, {SIMHASH_BITS - 1}),
+                      b -> CASE WHEN (shiftright(h, b) & 1L) = 1L
+                                THEN 1L ELSE -1L END
+                    ),
+                    (x, y) -> x + y
+                  )
+                ),
+                v -> CASE WHEN v > 0L THEN 1L ELSE 0L END
+              ),
+              c * 16 + 1, 16
+            ),
+            0L,
+            (acc, bit) -> acc * 2L + bit
+          )
+        )
+        """
+    )
     return docs.repartition(default_parallelism(), "doc_id").select(
-        "doc_id", pack_chunks(hashed).alias("chunks")
+        "doc_id", expr.alias("chunks")
     )
 
 
@@ -359,21 +364,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (≡ guaranteed recall for Hamming distance ≤ 3), verified by exact
     Hamming distance ≤ 8 over the full 64 bits."""
     d = load(spark, sf_dir, "documents")
-    # cached: referenced three times (both sides of the banding join and
-    # the verify lookup), and signatures are 4 longs per doc — pennies
+    # cached: the banding self-join references the signature relation
+    # twice, and signatures are 4 longs per doc — pennies to hold
     sig = simhash_signatures(d).cache()
     exploded = sig.select(
         "doc_id",
+        "chunks",
         F.posexplode("chunks").alias("chunk_pos", "chunk_val"),
     )
     a = exploded.alias("a")
     b = exploded.alias("b")
-    # the banding join and the distinct stay NARROW (two longs per row):
-    # a small vocabulary makes 16-bit chunk buckets hot, so the
-    # candidate relation is ~25× the corpus — shuffling the signature
-    # arrays through it would dominate. Signatures are re-attached only
-    # to the deduped pairs via two joins against the tiny cached sig
-    # relation (auto-broadcast at this width).
     cand = (
         a.join(
             b,
@@ -384,16 +384,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("a_id"),
             F.col("b.doc_id").alias("b_id"),
+            F.col("a.chunks").alias("a_chunks"),
+            F.col("b.chunks").alias("b_chunks"),
         )
         .distinct()
-        .join(
-            sig.select(F.col("doc_id").alias("a_id"), F.col("chunks").alias("a_chunks")),
-            "a_id",
-        )
-        .join(
-            sig.select(F.col("doc_id").alias("b_id"), F.col("chunks").alias("b_chunks")),
-            "b_id",
-        )
     )
     # exact Hamming over the packed chunks via bit_count(xor)
     hamming = F.aggregate(
