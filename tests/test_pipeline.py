@@ -150,3 +150,31 @@ def test_csv_malformed_rows_permissive_and_dropped(spark, tmp_path):
         .csv(str(p))
     )
     assert sorted(r.k for r in dropped.collect()) == [1, 3]
+
+
+def test_compact_small_files_reduces_file_count(spark, monkeypatch):
+    """Compaction must preserve content exactly while collapsing the
+    64-file landing zone to ceil(bytes/128MiB) files (1 at this SF)."""
+    import glob
+
+    captured = {}
+    import tempfile as _tf
+
+    real_mkdtemp = _tf.mkdtemp
+
+    def spy_mkdtemp(*a, **kw):
+        d = real_mkdtemp(*a, **kw)
+        captured.setdefault(kw.get("prefix", a[0] if a else ""), d)
+        return d
+
+    monkeypatch.setattr(_tf, "mkdtemp", spy_mkdtemp)
+    from uchr_scetl_spark.operators.etl import etl_compact_small_files
+
+    out = etl_compact_small_files(spark, SF_SMOKE)
+    n_rows = out.count()
+    landing = captured["uchr_landing_"]
+    compacted = captured["uchr_compacted_"]
+    n_before = len(glob.glob(f"{landing}/*.parquet"))
+    n_after = len(glob.glob(f"{compacted}/*.parquet"))
+    assert n_before == 64 and n_after == 1
+    assert n_rows == spark.read.parquet(landing).count()

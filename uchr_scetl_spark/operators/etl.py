@@ -181,3 +181,55 @@ def etl_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return closed_or_current.unionByName(new_versions)
+
+
+@query(
+    "etl_compact_small_files",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem WHERE l_orderkey % 10 = 0
+    """,
+)
+def etl_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the maintenance pass every long-running
+    ingest pipeline needs. A landing zone written by many parallel
+    tasks (simulated here: 64-way write of one slice) accumulates files
+    far below the scan-efficient size; compaction reads it back and
+    rewrites at ceil(total_bytes / target_file_size) files.
+
+    Sizing uses the actual on-disk byte count, never a row-count guess
+    (row width varies). ``repartition`` (not ``coalesce``) on the
+    rewrite: compaction is a one-off maintenance job, and the shuffle
+    buys evenly-sized output files, which is the entire point — skewed
+    coalesce output would recreate the problem for downstream scans.
+    At 100 TB the same job runs per partition-directory with the
+    listing coming from the catalog / FileSystem API instead of a
+    local walk, and target_file_size stays at the parquet-friendly
+    128 MiB."""
+    import math
+    import os
+    import tempfile
+
+    src = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 10 == 0)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+    landing = tempfile.mkdtemp(prefix="uchr_landing_")
+    src.repartition(64).write.mode("overwrite").parquet(landing)
+
+    total_bytes = sum(
+        e.stat().st_size
+        for e in os.scandir(landing)
+        if e.name.endswith(".parquet")
+    )
+    target_file_size = 128 * 1024 * 1024
+    n_files = max(1, math.ceil(total_bytes / target_file_size))
+
+    compacted = tempfile.mkdtemp(prefix="uchr_compacted_")
+    spark.read.parquet(landing).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(compacted)
+    return spark.read.parquet(compacted).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )

@@ -259,3 +259,51 @@ def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.option("mergeSchema", "true").parquet(
         f"{out}/b1", f"{out}/b2"
     )
+
+
+@query(
+    "scan_binary_files",
+    oracle="""
+    SELECT doc_id,
+           sha256(text) AS content_sha,
+           CAST(strlen(text) AS BIGINT) AS content_len
+    FROM documents WHERE doc_id < 32
+    """,
+)
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``binaryFile`` source — the ingest path for multimodal blobs
+    (images/audio/video land as opaque files; see llm/multimodal.py for
+    the downstream decode/resize stages). Each file becomes one row of
+    (path, modificationTime, length, content binary); the id is carved
+    from the filename, exactly how blob+sidecar datasets are keyed.
+
+    The landing files here are corpus text bytes (one .bin per doc, a
+    bounded 32-doc slice written driver-side as setup), so the oracle
+    can verify the binary path end-to-end: sha256 over file CONTENT
+    must equal sha256 over the source text. At scale binaryFile scans
+    parallelise per-file and push ``pathGlobFilter``; files larger
+    than ~2 GB need the streaming read in mapInPandas instead."""
+    import tempfile
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 32)
+        .select("doc_id", "text")
+        .collect()
+    )
+    out = tempfile.mkdtemp(prefix="uchr_bin_")
+    for r in docs:
+        with open(f"{out}/doc_{r.doc_id:05d}.bin", "wb") as fh:
+            fh.write(r.text.encode("utf-8"))
+    back = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(out)
+    )
+    return back.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.sha2(F.col("content"), 256).alias("content_sha"),
+        F.col("length").alias("content_len"),
+    )
