@@ -497,3 +497,26 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.try_variant_get("pv", "$.missing", "bigint").alias("k_missing"),
     ).where(F.col("k_num") >= 50)
+
+
+@query(
+    "fn_interval",
+    oracle="""
+    SELECT event_id,
+           ts + INTERVAL 3 DAY     AS plus_3d,
+           ts - INTERVAL 90 MINUTE AS minus_90m,
+           ts + INTERVAL 1 MONTH   AS plus_1mo
+    FROM events WHERE event_id < 1000
+    """,
+)
+def fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-interval arithmetic on timestamps. Month addition
+    clamps to month-end identically in Spark and DuckDB (Jan 31 + 1
+    month = Feb 29 in 2024)."""
+    e = load(spark, sf_dir, "events").where(F.col("event_id") < 1000)
+    return e.select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 3 DAYS")).alias("plus_3d"),
+        (F.col("ts") - F.expr("INTERVAL 90 MINUTES")).alias("minus_90m"),
+        (F.col("ts") + F.expr("INTERVAL 1 MONTH")).alias("plus_1mo"),
+    )

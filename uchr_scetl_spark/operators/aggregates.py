@@ -437,3 +437,25 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("l_extendedprice") > 0).alias("all_positive"),
         F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
     )
+
+
+@query(
+    "agg_grouping_id",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``grouping()`` markers on a rollup: the only way a consumer can
+    tell a subtotal row from a genuine NULL group key. Required by any
+    BI layer reading multi-level aggregates."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+        F.grouping("l_linestatus").cast("bigint").alias("g_status"),
+        F.count("*").alias("n"),
+    )

@@ -233,3 +233,56 @@ def etl_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(compacted).select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
     )
+
+
+@query(
+    "etl_incremental_agg_merge",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def etl_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: a per-(day, event_type)
+    rollup table is kept current by MERGING the new batch's partial
+    aggregates into the stored partials — history is never recomputed.
+    This only works for decomposable aggregates, so the partials are
+    (count, DECIMAL sum): counts add, decimal sums add exactly in any
+    order (double partials would drift by association order — see
+    exprs.py). The merge itself is the upsert full-outer-join shape.
+    At 100 TB this is the difference between reprocessing the corpus
+    per load and touching one day's partition: the merged result here
+    is verified identical to a full recompute by the oracle."""
+    e = load(spark, sf_dir, "events")
+    cutoff = F.lit("2024-04-01").cast("timestamp")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(day, "event_type").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(24,6)")).alias("tv"),
+        )
+
+    hist = partials(e.where(F.col("ts") < cutoff))
+    batch = partials(e.where(F.col("ts") >= cutoff))
+    h = hist.alias("h")
+    b = batch.alias("b")
+    zero = F.lit(0).cast("decimal(24,6)")
+    merged = h.join(
+        b,
+        (F.col("h.day") == F.col("b.day"))
+        & (F.col("h.event_type") == F.col("b.event_type")),
+        "full_outer",
+    )
+    return merged.select(
+        F.coalesce("h.day", "b.day").alias("day"),
+        F.coalesce("h.event_type", "b.event_type").alias("event_type"),
+        (
+            F.coalesce("h.n", F.lit(0)) + F.coalesce("b.n", F.lit(0))
+        ).alias("n"),
+        (
+            F.coalesce("h.tv", zero) + F.coalesce("b.tv", zero)
+        ).cast("double").alias("total_value"),
+    )

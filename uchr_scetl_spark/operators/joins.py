@@ -394,3 +394,42 @@ def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.cast("int").alias("dist"),
         )
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH l AS (
+      SELECT nullif(o_orderkey % 5, 0) AS k, o_totalprice FROM orders
+    ), r AS (
+      SELECT nullif(x, 0) AS k, x * 10 AS w
+      FROM (SELECT unnest(generate_series(0, 4)) AS x)
+    )
+    SELECT l.k,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(r.w) AS BIGINT) AS w_sum
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    GROUP BY l.k
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of silently dropping — the semantic corner
+    every dedup/merge on nullable business keys trips over. Catalyst
+    plans ``<=>`` as a hash join key just like ``=``, so the scale
+    story is unchanged (one shuffle or a broadcast)."""
+    o = load(spark, sf_dir, "orders")
+    left = o.select(
+        F.nullif(F.col("o_orderkey") % 5, F.lit(0)).alias("k"),
+        "o_totalprice",
+    )
+    right = spark.range(0, 5).select(
+        F.nullif(F.col("id"), F.lit(0)).alias("k"),
+        (F.col("id") * 10).alias("w"),
+    )
+    return (
+        left.alias("l")
+        .join(F.broadcast(right.alias("r")), F.col("l.k").eqNullSafe(F.col("r.k")))
+        .groupBy(F.col("l.k").alias("k"))
+        .agg(F.count("*").alias("n"), F.sum("r.w").alias("w_sum"))
+    )
