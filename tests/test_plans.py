@@ -69,3 +69,63 @@ def test_q1_partial_aggregation_present(spark):
 def test_etl_incremental_extract_broadcasts_watermark(spark):
     plan = plan_of(spark, "etl_incremental_extract")
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE skew-join: a join keyed so ~90% of rows share one key must be
+    re-planned at runtime with the hot partition split (the SMJ node is
+    marked skew=true). This is the no-code-change answer to skew; the
+    engine's salted join (join_skew_salted) is the explicit-control
+    alternative."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "512b",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # repartition(8): AQE splits a skewed reduce partition at
+        # map-output granularity, so a single-file scan (1 map task)
+        # can never be split — need >1 mapper feeding the shuffle
+        e = spark.read.parquet(f"{SF_SMOKE}/events.parquet").repartition(8)
+        # ~90% of rows collapse onto key 0: a guaranteed hot partition
+        skewed = e.select(
+            F.when(F.col("event_id") % 10 < 9, 0)
+            .otherwise(F.col("event_id"))
+            .alias("k"),
+            "value",
+            "props",
+        )
+        right = e.select(
+            F.when(F.col("event_id") % 10 < 9, 0)
+            .otherwise(F.col("event_id"))
+            .alias("k"),
+            F.col("user_id").alias("w"),
+        )
+        # aggregate over the payload columns so column pruning can't
+        # shrink the join rows below the skew threshold
+        joined = skewed.join(right.hint("merge"), "k").groupBy().agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("v"),
+            F.max("props").alias("p"),
+            F.sum("w").alias("ws"),
+        )
+        # collect on THIS DataFrame so its own AQE execution finalizes
+        # (a sink write executes a copy whose final plan we can't read)
+        assert joined.collect()[0].n > 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan[:500]
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

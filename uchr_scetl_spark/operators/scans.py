@@ -307,3 +307,46 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(F.col("content"), 256).alias("content_sha"),
         F.col("length").alias("content_len"),
     )
+
+
+@query(
+    "scan_text_lines",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_totalprice > 100000
+    """,
+)
+def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-file ingestion: ``spark.read.text`` + regex field carving —
+    the unstructured-to-typed path every scraped/legacy feed needs.
+    The engine first renders an orders slice as pipe-delimited lines
+    (the simulated log), then parses it back with one
+    ``regexp_extract`` per field and typed casts. The parse stays in
+    whole-stage codegen (no UDF), and at 100 TB text scans
+    parallelise per-file split exactly like CSV. Doubles survive
+    because Spark renders shortest-round-trip decimal strings."""
+    import tempfile
+
+    src = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 100000)
+        .select(
+            F.concat_ws(
+                "|",
+                F.col("o_orderkey"),
+                F.col("o_custkey"),
+                F.col("o_orderstatus"),
+                F.col("o_totalprice"),
+            ).alias("value")
+        )
+    )
+    out = tempfile.mkdtemp(prefix="uchr_textlines_")
+    src.write.mode("overwrite").text(out)
+    lines = spark.read.text(out)
+    pat = r"^(\d+)\|(\d+)\|([A-Z])\|([0-9.]+)$"
+    return lines.select(
+        F.regexp_extract("value", pat, 1).cast("bigint").alias("o_orderkey"),
+        F.regexp_extract("value", pat, 2).cast("bigint").alias("o_custkey"),
+        F.regexp_extract("value", pat, 3).alias("o_orderstatus"),
+        F.regexp_extract("value", pat, 4).cast("double").alias("o_totalprice"),
+    )

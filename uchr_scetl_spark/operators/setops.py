@@ -82,3 +82,20 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.select("o_custkey")
     b = o.where(F.col("o_totalprice") > 200000).select("o_custkey")
     return a.subtract(b)
+
+
+@query(
+    "set_intersect_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics intersection (keeps duplicate multiplicity) — the
+    variant dedup-sensitive reconciliation jobs need."""
+    o = load(spark, sf_dir, "orders")
+    a = o.where(F.col("o_totalprice") > 300000).select("o_custkey")
+    b = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.intersectAll(b)
