@@ -332,3 +332,71 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bin_id",
         F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(512)),
     )
+
+
+@query(
+    "text_pii_scrub",
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id ||
+             '@example.com phone 555-' || (doc_id % 10000) ||
+             ' ip 10.0.' || (doc_id % 256) || '.1' AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(raw,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+',
+                 '<EMAIL>', 'g'),
+               '[0-9][0-9][0-9]-[0-9]+', '<PHONE>', 'g'),
+             '[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+', '<IP>', 'g')
+             AS clean_text,
+           CAST(length(raw) AS BIGINT) AS raw_len
+    FROM seeded
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction for training corpora: emails, phone numbers and
+    IPv4 addresses replaced with typed placeholder tokens via a
+    regexp_replace chain — entirely JVM-side codegen, no UDF, so at
+    100 TB the scrub rides the scan with zero extra shuffles.
+
+    The corpus is synthetic plain words, so the query first seeds each
+    document with deterministic PII derived from doc_id (both engines
+    build the identical string) and then scrubs it; the regexes are
+    the operator under test. Patterns stay within the syntax subset
+    Java regex and RE2 share (explicit classes, no lookaround)."""
+    d = load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id"),
+        F.lit("@example.com phone 555-"),
+        F.col("doc_id") % 10000,
+        F.lit(" ip 10.0."),
+        F.col("doc_id") % 256,
+        F.lit(".1"),
+    )
+    scrub = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.col("raw"),
+                r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+",
+                "<EMAIL>",
+            ),
+            r"[0-9][0-9][0-9]-[0-9]+",
+            "<PHONE>",
+        ),
+        r"[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+",
+        "<IP>",
+    )
+    return (
+        d.withColumn("raw", raw)
+        .select(
+            "doc_id",
+            scrub.alias("clean_text"),
+            F.length("raw").cast("bigint").alias("raw_len"),
+        )
+    )

@@ -226,3 +226,120 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "s1", "s2", "s3")
         .limit(10)
     )
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+    WITH lagged AS (
+      SELECT user_id, ts, event_id,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN prev_ts IS NULL
+                       OR epoch(ts) - epoch(prev_ts) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM lagged
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: split each user's event stream into
+    sessions at >30-minute inactivity gaps (the batch twin of
+    stream_session_windows, which does the same on event-time with
+    watermarks).
+
+    lag + running-sum-of-boundaries is pure window algebra: ONE
+    shuffle on user_id serves both windows and the final per-session
+    aggregate, because Catalyst reuses the hashpartitioning(user_id)
+    exchange across all three. Ties broken by event_id so the
+    session assignment is deterministic at any parallelism."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    # ntz → epoch seconds must route through TIMESTAMP (session tz is
+    # UTC); a direct ntz→long cast is not allowed in Spark 4
+    to_s = lambda c: c.cast("timestamp").cast("long")  # noqa: E731
+    gap = to_s(F.col("ts")) - to_s(prev)
+    new_sess = F.when(prev.isNull() | (gap > 1800), 1).otherwise(0)
+    numbered = e.withColumn("session_id", F.sum(new_sess).over(w))
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT)        AS n,
+             CAST(SUM(cnt) AS BIGINT)        AS s,
+             CAST(SUM(cnt * cnt) AS BIGINT)  AS ss
+      FROM daily GROUP BY event_type
+    )
+    SELECT d.event_type, d.day, d.cnt,
+           (CAST(d.cnt AS DOUBLE) - CAST(t.s AS DOUBLE) / t.n)
+             / sqrt((CAST(t.ss AS DOUBLE)
+                     - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE) / t.n)
+                    / (t.n - 1)) AS z
+    FROM daily d JOIN stats t ON d.event_type = t.event_type
+    WHERE t.n > 1
+      AND abs((CAST(d.cnt AS DOUBLE) - CAST(t.s AS DOUBLE) / t.n)
+              / sqrt((CAST(t.ss AS DOUBLE)
+                      - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE) / t.n)
+                     / (t.n - 1))) > 2.0
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: daily event counts per type whose
+    z-score against that type's own daily distribution exceeds |2|.
+
+    The variance is computed from exact integer sums (n, Σx, Σx²) and
+    only then converted to double with an expression tree written
+    identically in both engines — integer partials are
+    order-insensitive, so unlike stddev_samp's streaming moments the
+    z-scores are bit-reproducible at any parallelism. Two shuffles
+    total (daily counts, then 5-row per-type stats broadcast back)."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("timestamp_ntz").alias("day"),
+    ).agg(F.count("*").alias("cnt"))
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("cnt").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("ss"),
+    )
+    n, s, ss = F.col("n"), F.col("s").cast("double"), F.col("ss").cast("double")
+    z = (F.col("cnt").cast("double") - s / n) / F.sqrt(
+        (ss - s * s / n) / (n - F.lit(1))
+    )
+    return (
+        daily.join(F.broadcast(stats.where(F.col("n") > 1)), "event_type")
+        .withColumn("z", z)
+        .where(F.abs(F.col("z")) > 2.0)
+        .select("event_type", "day", "cnt", "z")
+    )
