@@ -1,0 +1,136 @@
+"""Iterative graph algorithms as DataFrame loops.
+
+Spark has no native graph operator set, but the iterative
+join-aggregate loop (the Pregel pattern) expresses them directly:
+each iteration is one shuffle-join of the message table against the
+state table plus one aggregation, and ``localCheckpoint`` truncates
+the lineage so plan size stays O(1) in the iteration count (the same
+technique dedup_clusters uses for connected components).
+
+PageRank here runs in FIXED-POINT INTEGER arithmetic (scale 10^12,
+floor division): floating-point PageRank sums contributions in an
+order the shuffle controls, so doubles are not reproducible across
+engines or even across runs — integer mass is. That makes an
+iterative algorithm bit-exactly oracle-checkable, which almost no
+engine's graph module bothers to be.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import query
+
+_SCALE = 10**12
+_DAMP_NUM, _DAMP_DEN = 85, 100  # damping 0.85 as a ratio
+_ITERS = 2
+
+
+def _oracle_sql() -> str:
+    # unrolled 2-iteration fixed-point PageRank; every step is integer
+    # floor division so both engines agree bit-exactly
+    return f"""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    deg AS (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src
+    ),
+    nodes AS (SELECT DISTINCT src AS part_id FROM edges),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    r0 AS (
+      SELECT part_id, CAST({_SCALE} // n AS BIGINT) AS r
+      FROM nodes CROSS JOIN nn
+    ),
+    c1 AS (
+      SELECT e.dst AS part_id,
+             CAST(SUM((r0.r * {_DAMP_NUM}) // ({_DAMP_DEN} * d.deg))
+                  AS BIGINT) AS contrib
+      FROM edges e JOIN r0 ON e.src = r0.part_id
+                   JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ),
+    r1 AS (
+      SELECT n2.part_id,
+             CAST(({_SCALE} * {_DAMP_DEN - _DAMP_NUM}) // ({_DAMP_DEN} * nn.n)
+                  + COALESCE(c1.contrib, 0) AS BIGINT) AS r
+      FROM nodes n2 CROSS JOIN nn LEFT JOIN c1 USING (part_id)
+    ),
+    c2 AS (
+      SELECT e.dst AS part_id,
+             CAST(SUM((r1.r * {_DAMP_NUM}) // ({_DAMP_DEN} * d.deg))
+                  AS BIGINT) AS contrib
+      FROM edges e JOIN r1 ON e.src = r1.part_id
+                   JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    )
+    SELECT n3.part_id,
+           CAST(({_SCALE} * {_DAMP_DEN - _DAMP_NUM}) // ({_DAMP_DEN} * nn.n)
+                + COALESCE(c2.contrib, 0) AS BIGINT) AS rank
+    FROM nodes n3 CROSS JOIN nn LEFT JOIN c2 USING (part_id)
+    """
+
+
+@query("graph_pagerank", oracle=_oracle_sql())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-purchase graph (parts appearing in
+    the same order are linked), 2 damped iterations at damping 0.85.
+
+    Scale design: the edge self-join shuffles on l_orderkey once; the
+    per-iteration join (edges ⋈ ranks on src) and the contribution
+    aggregation (on dst) are the only repeated shuffles, and the rank
+    table is node-sized (≪ edge-sized). ``localCheckpoint`` after each
+    iteration keeps the plan from growing with the loop. The node
+    count rides a one-row broadcast. All arithmetic is int64
+    fixed-point (scale 10^12), so results are identical at any
+    parallelism and bit-comparable against the unrolled SQL oracle."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    edges_deg = edges.join(deg, "src")
+    nodes = edges.select(F.col("src").alias("part_id")).distinct()
+    nn = nodes.agg(F.count("*").alias("n"))
+
+    base = F.expr(f"({_SCALE} * {_DAMP_DEN - _DAMP_NUM}) div ({_DAMP_DEN} * n)")
+    ranks = nodes.join(F.broadcast(nn)).select(
+        "part_id", F.expr(f"{_SCALE} div n").alias("r")
+    )
+    for _ in range(_ITERS):
+        contribs = (
+            edges_deg.join(ranks, edges_deg.src == ranks.part_id)
+            .select(
+                F.col("dst").alias("part_id"),
+                F.expr(f"(r * {_DAMP_NUM}) div ({_DAMP_DEN} * deg)").alias("c"),
+            )
+            .groupBy("part_id")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(F.broadcast(nn))
+            .join(contribs, "part_id", "left")
+            .select(
+                "part_id",
+                (base + F.coalesce(F.col("contrib"), F.lit(0))).alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("part_id", F.col("r").alias("rank"))

@@ -49,6 +49,7 @@ def load_registry() -> dict[str, QuerySpec]:
     from . import functions  # noqa: F401
     from . import llm  # noqa: F401
     from . import plans  # noqa: F401
+    from . import sources  # noqa: F401
     from . import streaming  # noqa: F401
     from . import udfs  # noqa: F401
 
