@@ -129,3 +129,43 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q19_pushes_disjunction_to_part_scan(spark):
+    """Q19's OR-of-ANDs must reach the part scan as a pushed Or()
+    filter and the lineitem scan as the quantity envelope — at 100 TB
+    an unpushed disjunction means reading every row group."""
+    plan = plan_of(spark, "tpch_q19")
+    pushed = plan.split("PushedFilters: ")[1:]
+    assert any("Or(" in s[:400] and "p_brand" in s[:400] for s in pushed), plan
+    assert any(
+        "GreaterThanOrEqual(l_quantity,1.0)" in s[:400] for s in pushed
+    ), plan
+
+
+def test_q21_semi_anti_chain(spark):
+    """Q21's double correlated EXISTS decorrelates to one LeftSemi and
+    one LeftAnti join; all three l_orderkey joins must co-partition
+    (no more than one lineitem-side exchange per relation)."""
+    plan = plan_of(spark, "tpch_q21")
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_q22_scalar_subquery_broadcasts(spark):
+    """Q22's account-balance threshold is a one-row aggregate joined
+    via BroadcastNestedLoopJoin — never a shuffle of customer."""
+    plan = plan_of(spark, "tpch_q22")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_pagerank_checkpoint_truncates_lineage(spark):
+    """The rank loop must not grow the plan with the iteration count:
+    localCheckpoint truncates lineage each pass, so the executed plan
+    is a checkpointed-RDD scan plus projection — NOT the unrolled
+    2-iteration join tree. (An unrolled tree at iteration N re-executes
+    the whole prefix and overflows the planner long before N gets
+    interesting.)"""
+    plan = plan_of(spark, "graph_pagerank")
+    assert "Scan ExistingRDD" in plan, plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan

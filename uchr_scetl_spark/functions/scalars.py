@@ -520,3 +520,52 @@ def fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ts") - F.expr("INTERVAL 90 MINUTES")).alias("minus_90m"),
         (F.col("ts") + F.expr("INTERVAL 1 MONTH")).alias("plus_1mo"),
     )
+
+
+@query(
+    "fn_url",
+    oracle="""
+    WITH urls AS (
+      SELECT c_custkey,
+             'https://shard' || (c_custkey % 50) ||
+             '.example.com/seg/' || c_custkey ||
+             '?seg=' || c_mktsegment || '&v=2' AS url
+      FROM customer
+    )
+    SELECT c_custkey,
+           regexp_extract(url, '^https://([^/]+)/', 1)    AS host,
+           regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '\\?(.*)$', 1)             AS query,
+           regexp_extract(url, '[?&]seg=([^&]*)', 1)      AS seg_param,
+           'https'                                        AS protocol
+    FROM urls
+    """,
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL dissection with Spark's native parse_url — host, path, full
+    query string, one named query parameter, protocol. Web-scraped
+    training corpora lean on this for source bucketing and tracking
+    canonicalisation; parse_url is JVM codegen (java.net.URI), so the
+    whole dissection rides the scan. The corpus has no URL column, so
+    the query first renders a deterministic URL per customer (both
+    engines build the identical string); DuckDB mirrors the
+    dissection with anchored regexes."""
+    c = load(spark, sf_dir, "customer")
+    url = F.concat(
+        F.lit("https://shard"),
+        F.col("c_custkey") % 50,
+        F.lit(".example.com/seg/"),
+        F.col("c_custkey"),
+        F.lit("?seg="),
+        F.col("c_mktsegment"),
+        F.lit("&v=2"),
+    )
+    u = c.select("c_custkey", url.alias("url"))
+    return u.select(
+        "c_custkey",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("seg")).alias("seg_param"),
+        F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
+    )

@@ -166,3 +166,71 @@ def udtf_explode_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL uchr_token_emitter(d.text) t
         """
     )
+
+
+def _reconcile(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    # integer-cent sums: pandas float reductions depend on row order,
+    # int64 sums don't — keeps the cogroup bit-reproducible
+    lc = (left["o_totalprice"] * 100).round().astype("int64").sum() if len(left) else 0
+    rc = (right["o_totalprice"] * 100).round().astype("int64").sum() if len(right) else 0
+    return pd.DataFrame(
+        {
+            "o_custkey": [key[0]],
+            "n_filled": [len(left)],
+            "n_open": [len(right)],
+            "gap_cents": [lc - rc],
+        }
+    )
+
+
+@query(
+    "udf_cogrouped_pandas",
+    oracle="""
+    WITH f AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_filled,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey
+    ),
+    o AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_open,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey
+    )
+    SELECT COALESCE(f.o_custkey, o.o_custkey) AS o_custkey,
+           CAST(COALESCE(f.n_filled, 0) AS BIGINT) AS n_filled,
+           CAST(COALESCE(o.n_open, 0) AS BIGINT)   AS n_open,
+           CAST(COALESCE(f.cents, 0) - COALESCE(o.cents, 0) AS BIGINT)
+             AS gap_cents
+    FROM f FULL OUTER JOIN o ON f.o_custkey = o.o_custkey
+    """,
+)
+def udf_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped pandas transform
+    (``groupBy().cogroup().applyInPandas``): per-customer
+    reconciliation of filled vs open orders — both sides of each key
+    arrive in ONE Python call as two aligned pandas frames.
+
+    This is the API for per-key logic that needs both relations at
+    once (imperative merges, custom as-of logic, drift checks) without
+    materialising a join. Scale shape: both sides shuffle once on the
+    key, Arrow-batched into the Python worker per cogroup; no
+    driver-side anything. Sums ride int64 cents (round(x*100)) since
+    pandas float reductions are row-order-dependent but integer sums
+    are exact."""
+    o = load(spark, sf_dir, "orders")
+    filled = o.where(F.col("o_orderstatus") == "F").select(
+        "o_custkey", "o_totalprice"
+    )
+    open_ = o.where(F.col("o_orderstatus") == "O").select(
+        "o_custkey", "o_totalprice"
+    )
+    return (
+        filled.groupBy("o_custkey")
+        .cogroup(open_.groupBy("o_custkey"))
+        .applyInPandas(
+            _reconcile,
+            "o_custkey bigint, n_filled bigint, n_open bigint, gap_cents bigint",
+        )
+    )
