@@ -78,6 +78,46 @@ AUDITS: dict[str, tuple[str, list[str]]] = {
         "merges the N partials per key.",
         [r"Exchange hashpartitioning"],
     ),
+    "tpch_q19": (
+        "Disjunctive (OR-of-ANDs) join predicate: the part-only "
+        "disjunction pushes into the part scan as Or(And(...)), the "
+        "quantity envelope pushes into the lineitem scan, and the full "
+        "compound predicate runs as the residual join filter - all in "
+        "codegen, no UDF.",
+        [r"PushedFilters", r"BroadcastHashJoin"],
+    ),
+    "tpch_q21": (
+        "Double correlated EXISTS decorrelated: LeftSemi (another "
+        "supplier in the order) and LeftAnti (no other late supplier) "
+        "self-joins, all keyed on l_orderkey so the exchanges "
+        "co-partition and the chain reuses one partitioning.",
+        [r"LeftSemi", r"LeftAnti", r"Exchange hashpartitioning"],
+    ),
+    "tpch_q22": (
+        "Scalar-subquery threshold: the one-row average broadcasts via "
+        "BroadcastNestedLoopJoin - customer is never shuffled for the "
+        "comparison; the NOT EXISTS is a broadcast anti join of pushed-"
+        "filtered recent orders.",
+        [r"BroadcastNestedLoopJoin", r"LeftAnti", r"PushedFilters"],
+    ),
+    "events_sessionize": (
+        "Sessionization: lag window, boundary running sum, and the per-"
+        "session aggregate all run on hashpartitioning(user_id) - ONE "
+        "exchange serves all three.",
+        [r"Exchange hashpartitioning", r"Window", r"HashAggregate"],
+    ),
+    "udf_cogrouped_pandas": (
+        "Cogrouped applyInPandas: both relations exchange once on the "
+        "key and meet in FlatMapCoGroupsInPandas - Arrow-batched, no "
+        "join materialisation, no driver path.",
+        [r"FlatMapCoGroupsInPandas", r"Exchange hashpartitioning"],
+    ),
+    "scan_python_datasource": (
+        "Custom Python DataSource: the scan node is a planned "
+        "BatchScan over driver-declared InputPartitions; rows are "
+        "generated executor-side through the Arrow python worker.",
+        [r"BatchScan|PythonDataSource|ArrowEvalPython|Scan"],
+    ),
 }
 
 
