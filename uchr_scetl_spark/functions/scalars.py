@@ -569,3 +569,53 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("QUERY"), F.lit("seg")).alias("seg_param"),
         F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
     )
+
+
+@query(
+    "fn_decimal_exact",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE)
+             AS price_dec,
+           CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                * CAST(l_quantity AS DECIMAL(4,1)) AS DECIMAL(18,3))
+                AS DOUBLE) AS line_total,
+           CAST(floor(CAST(l_extendedprice AS DECIMAL(12,2))) AS BIGINT)
+             AS price_floor,
+           CAST(ceil(CAST(l_extendedprice AS DECIMAL(12,2))) AS BIGINT)
+             AS price_ceil,
+           CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                - CAST(l_discount AS DECIMAL(4,3)) AS DECIMAL(13,3))
+                AS DOUBLE) AS price_less_disc
+    FROM lineitem WHERE l_orderkey % 11 = 0
+    """,
+)
+def fn_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decimal arithmetic semantics: double→DECIMAL cast,
+    decimal×decimal with widened precision/scale, decimal subtraction
+    at mixed scales, floor/ceil to integers.
+
+    Why the casts are safe to oracle-check: a half-way tie at scale 2
+    (…xx5 exactly) has denominator 200 ∤ 2^k, so no IEEE double can
+    hit one — Spark's HALF_UP and DuckDB's rounding agree on every
+    representable input. The products/differences then stay in exact
+    decimal, the money-math substrate every financial rollup in the
+    engine builds on (see exprs.dec_sum); the final cast back to
+    double is the comparison boundary only (scale ≤3 values are far
+    inside double's exact range), the arithmetic itself is decimal."""
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 11 == 0)
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    qty = F.col("l_quantity").cast("decimal(4,1)")
+    disc = F.col("l_discount").cast("decimal(4,3)")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        price.cast("double").alias("price_dec"),
+        (price * qty).cast("decimal(18,3)").cast("double").alias("line_total"),
+        F.floor(price).cast("bigint").alias("price_floor"),
+        F.ceil(price).cast("bigint").alias("price_ceil"),
+        (price - disc)
+        .cast("decimal(13,3)")
+        .cast("double")
+        .alias("price_less_disc"),
+    )

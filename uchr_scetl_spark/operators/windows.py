@@ -386,3 +386,43 @@ def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("active_day").alias("island_end"),
         F.count("*").alias("n_days"),
     ).drop("grp")
+
+
+@query(
+    "win_median_sliding",
+    oracle="""
+    SELECT user_id, event_id, value,
+           median(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS med5
+    FROM events
+    """,
+)
+def win_median_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median over a ±2-row frame per user — the robust
+    smoother dashboards want where a rolling mean chases outliers.
+
+    Spark refuses median/percentile over a bounded frame, so the
+    engine materialises the frame explicitly: collect_list over the
+    ROWS window (O(5) memory per row), array_sort, select-the-middle.
+    One shuffle on user_id. Median is sort-based (selection, not
+    summation), so unlike a float mean it is bit-reproducible at any
+    parallelism; even-count frames (partition edges) interpolate the
+    two middle values identically in both engines."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 2)
+    )
+    vals = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(vals)
+    mid = (n / 2).cast("int")
+    med = F.when(
+        n % 2 == 1, F.element_at(vals, mid + 1)
+    ).otherwise(
+        (F.element_at(vals, mid) + F.element_at(vals, mid + 1)) / 2
+    )
+    return e.select(
+        "user_id", "event_id", "value", med.alias("med5")
+    )
