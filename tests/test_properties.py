@@ -161,3 +161,51 @@ def test_dedup_clusters_consistent_with_pairs(spark):
         members.setdefault(cl, []).append(doc)
     for cl, docs in members.items():
         assert cl == min(docs), (cl, min(docs))
+
+
+def test_pagerank_conserves_mass_and_positivity(spark):
+    """Fixed-point PageRank invariants: every rank is positive, and
+    total mass stays within floor-truncation error of the scale
+    constant (each of the 2 iterations loses < 1 unit per node+edge
+    to floor division, never gains)."""
+    from uchr_scetl_spark import load_registry
+    from uchr_scetl_spark.operators.graph import _ITERS, _SCALE
+
+    ranks = load_registry()["graph_pagerank"].fn(spark, SF_SMOKE)
+    rows = ranks.collect()
+    n = len(rows)
+    assert n > 0
+    assert all(r["rank"] > 0 for r in rows)
+    total = sum(r["rank"] for r in rows)
+    # floor() only ever discards mass; bound the discard generously:
+    # per iteration each node's base term and each edge contribution
+    # can lose <1 unit.
+    assert total <= _SCALE
+    assert total >= _SCALE - _ITERS * (n + 200 * n)  # avg degree « 200
+
+
+def test_sessionize_sessions_respect_gap(spark):
+    """Sessionization invariants: events of one session are within the
+    gap chain (no intra-session jump > 30 min is possible by
+    construction, so check the observable: consecutive sessions of a
+    user are separated by MORE than the gap, and session bounds are
+    ordered)."""
+    from uchr_scetl_spark import load_registry
+
+    sess = (
+        load_registry()["events_sessionize"]
+        .fn(spark, SF_SMOKE)
+        .orderBy("user_id", "session_id")
+        .collect()
+    )
+    assert sess
+    by_user: dict = {}
+    for r in sess:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for user_rows in by_user.values():
+        for r in user_rows:
+            assert r["session_start"] <= r["session_end"]
+            assert r["n_events"] >= 1
+        for a, b in zip(user_rows, user_rows[1:]):
+            gap_s = (b["session_start"] - a["session_end"]).total_seconds()
+            assert gap_s > 1800, (a, b)

@@ -347,3 +347,55 @@ def etl_backfill_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("double")
         .alias("total_price"),
     )
+
+
+@query(
+    "etl_managed_table_lifecycle",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE)
+             AS total_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def etl_managed_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Managed-table (catalog) lifecycle: ``saveAsTable`` creates a
+    catalog-registered parquet table in the warehouse, ``insertInto``
+    appends a second batch by position, ``spark.table`` reads it back
+    through the catalog — the metastore-backed path every scheduled
+    job that doesn't pass file paths around uses.
+
+    The initial load and the appended batch split orders on a date
+    predicate, so the read-back aggregate matching the plain full-table
+    oracle proves both writes landed exactly once. At 100 TB the same
+    calls hit a real metastore and the table would be partitioned
+    (see sink_parquet_partitioned / etl_backfill_dynamic_overwrite);
+    the catalog protocol is identical."""
+    import shutil
+    from urllib.parse import urlparse
+
+    table = "uchr_lifecycle_orders"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # with the default in-memory catalog the table registration dies
+    # with the session but its warehouse directory does not; clear the
+    # location too so re-runs in a fresh session don't hit
+    # LOCATION_ALREADY_EXISTS
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    cut = F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
+    o.where(cut).write.saveAsTable(table)
+    o.where(~cut).write.insertInto(table)
+    return (
+        spark.table(table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(24,6)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )

@@ -350,3 +350,62 @@ def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("value", pat, 3).alias("o_orderstatus"),
         F.regexp_extract("value", pat, 4).cast("double").alias("o_totalprice"),
     )
+
+
+@query(
+    "scan_json_corrupt",
+    oracle="""
+    SELECT CAST(COUNT(*) FILTER (WHERE o_orderkey % 100 <> 0) AS BIGINT)
+             AS n_valid,
+           CAST(COUNT(*) FILTER (WHERE o_orderkey % 100 = 0) AS BIGINT)
+             AS n_corrupt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6)))
+                  FILTER (WHERE o_orderkey % 100 <> 0) AS DOUBLE)
+             AS valid_total
+    FROM orders WHERE o_totalprice > 150000
+    """,
+)
+def scan_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record JSON ingestion: PERMISSIVE mode quarantines
+    unparseable lines into ``columnNameOfCorruptRecord`` instead of
+    failing the job — mandatory for any at-scale feed, where a 100 TB
+    load WILL contain broken lines and dying at line 40 billion is
+    not an option.
+
+    The engine renders an orders slice as JSON lines with every 100th
+    order replaced by a deliberately truncated record, reads it back
+    under an explicit schema + PERMISSIVE, and reports
+    valid/corrupt/valid-total in one pass. The JSON parse and the
+    corrupt-row routing both happen scan-side (per-file-split
+    parallel); doubles survive because to_json writes
+    shortest-round-trip decimals."""
+    import tempfile
+
+    src = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 150000)
+    line = F.when(
+        F.col("o_orderkey") % 100 == 0,
+        F.concat(F.lit('{"broken '), F.col("o_orderkey")),
+    ).otherwise(
+        F.to_json(F.struct("o_orderkey", "o_totalprice"))
+    )
+    out = tempfile.mkdtemp(prefix="uchr_jsoncorrupt_")
+    src.select(line.alias("value")).write.mode("overwrite").text(out)
+
+    parsed = (
+        spark.read.schema(
+            "o_orderkey bigint, o_totalprice double, _corrupt string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(out)
+    )
+    ok = F.col("_corrupt").isNull()
+    return parsed.agg(
+        F.count(F.when(ok, 1)).alias("n_valid"),
+        F.count(F.when(~ok, 1)).alias("n_corrupt"),
+        F.sum(
+            F.when(ok, F.col("o_totalprice").cast("decimal(24,6)"))
+        )
+        .cast("double")
+        .alias("valid_total"),
+    )
