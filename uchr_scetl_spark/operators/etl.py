@@ -399,3 +399,75 @@ def etl_managed_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
         )
     )
+
+
+@query(
+    "etl_snapshot_diff",
+    oracle="""
+    WITH prev AS (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_orderkey % 41 <> 0
+    ),
+    curr AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 37 = 0 THEN o_totalprice * 1.1
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_totalprice FROM orders
+      WHERE o_orderkey % 43 = 0
+    )
+    SELECT COALESCE(p.o_orderkey, c.o_orderkey) AS o_orderkey,
+           CASE WHEN p.o_orderkey IS NULL THEN 'added'
+                WHEN c.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change,
+           p.o_totalprice AS prev_price,
+           c.o_totalprice AS curr_price
+    FROM prev p FULL OUTER JOIN curr c ON p.o_orderkey = c.o_orderkey
+    WHERE p.o_orderkey IS NULL OR c.o_orderkey IS NULL
+       OR p.o_totalprice <> c.o_totalprice
+    """,
+)
+def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff: classify every key as added / removed / changed
+    between two table versions (unchanged rows drop out) — the audit
+    primitive behind reconciliation reports and CDC backfills when
+    there is no change log, only full snapshots.
+
+    One full-outer join on the key; at 100 TB both snapshots shuffle
+    once and AQE handles key skew. The synthetic current snapshot
+    perturbs the previous one deterministically (drops keys %41,
+    reprices keys %37, appends shifted keys %43), so both engines
+    derive identical inputs and the diff logic itself is what is
+    compared. The double equality test is safe: both sides compute
+    x*1.1 with the same IEEE semantics."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    prev = o.where(F.col("o_orderkey") % 41 != 0)
+    curr = o.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 37 == 0, F.col("o_totalprice") * 1.1
+        ).otherwise(F.col("o_totalprice")),
+    ).unionAll(
+        o.where(F.col("o_orderkey") % 43 == 0).select(
+            (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+            "o_totalprice",
+        )
+    )
+    p = prev.alias("p")
+    c = curr.alias("c")
+    pk, ck = F.col("p.o_orderkey"), F.col("c.o_orderkey")
+    pv, cv = F.col("p.o_totalprice"), F.col("c.o_totalprice")
+    return (
+        p.join(c, pk == ck, "full_outer")
+        .where(pk.isNull() | ck.isNull() | (pv != cv))
+        .select(
+            F.coalesce(pk, ck).alias("o_orderkey"),
+            F.when(pk.isNull(), "added")
+            .when(ck.isNull(), "removed")
+            .otherwise("changed")
+            .alias("change"),
+            pv.alias("prev_price"),
+            cv.alias("curr_price"),
+        )
+    )

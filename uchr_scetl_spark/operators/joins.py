@@ -433,3 +433,84 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l.k").alias("k"))
         .agg(F.count("*").alias("n"), F.sum("r.w").alias("w_sum"))
     )
+
+
+@query(
+    "join_range_banded",
+    oracle="""
+    SELECT e.event_id, e.value, o.o_orderkey, o.o_totalprice
+    FROM (SELECT * FROM events
+          WHERE event_type = 'view' AND value > 250) e
+    JOIN (SELECT * FROM orders
+          WHERE o_totalprice BETWEEN 250000 AND 400000) o
+      ON o.o_totalprice / 1000.0 BETWEEN e.value - 25 AND e.value + 25
+    """,
+)
+def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band (interval) join rewritten as a shuffle equi-join — the
+    100 TB path where join_theta_range's broadcast nested-loop stops
+    being viable because NEITHER side is small.
+
+    |t − v| ≤ W means floor(t/W) is within ±1 of floor(v/W), so: keep
+    each left row in its own band, replicate each right row to its
+    band ±1 (3×, via explode — bounded, unlike a nested loop), hash
+    equi-join on the band id, then apply the exact range as residual.
+    Each qualifying pair meets exactly once (the left side is never
+    replicated). Cost: shuffle of L + 3R instead of |L|×|R| probes —
+    and the band key hash-distributes, so AQE's skew handling applies
+    if one band is hot."""
+    W = 25.0
+    e = load(spark, sf_dir, "events").where(
+        (F.col("event_type") == "view") & (F.col("value") > 250)
+    )
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_totalprice").between(250000, 400000)
+    )
+    left = e.withColumn("band", F.floor(F.col("value") / W))
+    t = F.col("o_totalprice") / 1000.0
+    right = o.withColumn(
+        "band", F.explode(F.array(*[F.floor(t / W) + d for d in (-1, 0, 1)]))
+    )
+    residual = t.between(F.col("value") - W, F.col("value") + W)
+    return (
+        left.join(right, "band")
+        .where(residual)
+        .select("event_id", "value", "o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "join_mark_exists",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment,
+           EXISTS (SELECT 1 FROM orders o
+                   WHERE o.o_custkey = c.c_custkey
+                     AND o.o_totalprice > 400000) AS has_big_order
+    FROM customer c
+    """,
+)
+def join_mark_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mark (existence) join: keep EVERY left row and add a boolean
+    "has a match" column — the projection form of EXISTS, which
+    semi/anti joins can't produce because they filter.
+
+    Expressed as left-outer against the pre-aggregated distinct key
+    set: the right side collapses to one row per key BEFORE the join
+    (no fan-out, no post-join dedup) and, being keys-only, is the
+    broadcastable side at any scale where the distinct-key count
+    stays dimension-sized."""
+    c = load(spark, sf_dir, "customer")
+    keys = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 400000)
+        .select("o_custkey")
+        .distinct()
+        .withColumn("has_big_order", F.lit(True))
+    )
+    return c.join(
+        F.broadcast(keys), c.c_custkey == keys.o_custkey, "left"
+    ).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.coalesce("has_big_order", F.lit(False)).alias("has_big_order"),
+    )
