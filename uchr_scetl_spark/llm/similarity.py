@@ -537,3 +537,54 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid")
         )
     )
+
+
+@query(
+    "embeddings_quantize_int8",
+    oracle="""
+    WITH scaled AS (
+      SELECT vec_id,
+             127.0 / list_max(list_transform(embedding,
+                                             x -> abs(CAST(x AS DOUBLE))))
+               AS scale,
+             embedding
+      FROM embeddings
+      WHERE list_max(list_transform(embedding,
+                                    x -> abs(CAST(x AS DOUBLE)))) > 0
+    )
+    SELECT vec_id, scale,
+           CAST(list_sum(list_transform(embedding,
+                 x -> floor(CAST(x AS DOUBLE) * scale + 0.5))) AS BIGINT)
+             AS q_sum,
+           CAST(list_sum(list_transform(embedding,
+                 x -> abs(floor(CAST(x AS DOUBLE) * scale + 0.5))))
+                AS BIGINT) AS q_l1
+    FROM scaled
+    """,
+)
+def embeddings_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = 127/max|x|,
+    code_i = ⌊x_i·scale + 0.5⌋ — the 4× (vs float32) storage
+    compression every billion-vector ANN index applies before
+    sharding; checked here through the per-vector scale plus exact
+    integer checksums (Σq, Σ|q|) of the codes.
+
+    All per-element work is higher-order array lambdas over the
+    embedding column — JVM codegen, no explode (64× row-multiplier
+    avoided), no UDF. ⌊x+0.5⌋ is used instead of round() so both
+    engines share one tie rule. At 100 TB this runs scan-side with
+    zero shuffles."""
+    xd = lambda x: x.cast("double")  # noqa: E731
+    maxabs = F.array_max(F.transform("embedding", lambda x: F.abs(xd(x))))
+    e = load(spark, sf_dir, "embeddings").where(maxabs > 0)
+    scale = (F.lit(127.0) / maxabs).alias("scale")
+    q = F.transform("embedding", lambda x: F.floor(xd(x) * (F.lit(127.0) / maxabs) + 0.5))
+    zero = F.lit(0).cast("bigint")
+    return e.select(
+        "vec_id",
+        scale,
+        F.aggregate(q, zero, lambda acc, v: acc + v.cast("bigint")).alias("q_sum"),
+        F.aggregate(q, zero, lambda acc, v: acc + F.abs(v).cast("bigint")).alias(
+            "q_l1"
+        ),
+    )

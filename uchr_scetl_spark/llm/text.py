@@ -400,3 +400,56 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("raw").cast("bigint").alias("raw_len"),
         )
     )
+
+
+@query(
+    "text_contamination_check",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, array_to_string(t[i.i : i.i + 2], ' ') AS g
+      FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS i(i)
+    ),
+    bench AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0
+    ),
+    corp AS (
+      SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 50 <> 0
+    )
+    SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+    FROM corp c JOIN bench b ON c.g = b.g
+    GROUP BY c.doc_id
+    """,
+)
+def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    3-gram with a held-out eval set (here: every 50th document stands
+    in for the benchmark) and report how many distinct grams leak —
+    the standard n-gram-overlap contamination test run before every
+    serious pretraining mix.
+
+    Scale shape: both sides explode to (gram, doc) pairs and
+    hash-join on the gram — an inverted-index join, so only grams
+    that actually occur on both sides meet; nothing is pairwise in
+    the number of documents. The gram strings could be hashed to
+    64-bit (as dedup_ngram_jaccard does) to shrink the shuffle; kept
+    as strings here so the oracle compares the exact semantics."""
+    d = load(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(split(text, ' ')) - 3),"
+                " i -> array_join(slice(split(text, ' '), i + 1, 3), ' '))"
+            )
+        ).alias("g"),
+    )
+    bench = grams.where(F.col("doc_id") % 50 == 0).select("g").distinct()
+    corp = grams.where(F.col("doc_id") % 50 != 0).distinct()
+    return (
+        corp.join(bench, "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
