@@ -66,8 +66,11 @@ def main() -> int:
         import pandas as pd  # noqa: F401
         from pyspark.sql.functions import pandas_udf
 
+        # NOTE: no type hints here — string annotations resolve against
+        # module globals, and `pd` is local to main(), which makes
+        # pandas_udf raise PySparkNotImplementedError
         @pandas_udf("double")
-        def _warm(v: "pd.Series") -> "pd.Series":
+        def _warm(v):
             return v * 1.0
 
         force(li.select(_warm(F.col("l_quantity")).alias("w")))
@@ -93,11 +96,34 @@ def main() -> int:
         force(
             emb.select("label", "vec_id")
             .groupBy("label")
-            .applyInPandas(_warm_grouped, "label string, vec_id long")
+            .applyInPandas(_warm_grouped, "label int, vec_id long")
         )
         # iterative ops: localCheckpoint path (first use starts the
         # block-manager cleanup machinery)
         spark.range(10).localCheckpoint().count()
+
+        # Python DataSource worker pool (a separate worker path from
+        # pandas UDFs): register + read a 100-row throwaway source
+        from pyspark.sql.datasource import DataSource, DataSourceReader
+
+        class _WarmReader(DataSourceReader):
+            def read(self, partition):
+                for i in range(100):
+                    yield (i,)
+
+        class _WarmSource(DataSource):
+            @classmethod
+            def name(cls):
+                return "uchr_bench_warm"
+
+            def schema(self):
+                return "i bigint"
+
+            def reader(self, schema):
+                return _WarmReader()
+
+        spark.dataSource.register(_WarmSource)
+        force(spark.read.format("uchr_bench_warm").load())
     except Exception as exc:  # warmup must never fail the bench
         print(f"# BENCH WARMUP SKIPPED: {exc!r}", file=sys.stderr)
 

