@@ -27,34 +27,44 @@ def asof_join(
     on: str,
     ts: str,
     payload: list[str],
+    direction: str = "backward",
 ) -> DataFrame:
-    """Generic as-of: for each left row, latest right row with
-    ``right.ts <= left.ts`` within the same ``on`` key.
+    """Generic as-of: for each left row, the latest right row with
+    ``right.ts <= left.ts`` (direction="backward") or the earliest
+    with ``right.ts >= left.ts`` (direction="forward"), within the
+    same ``on`` key.
 
     ``right`` must be unique per (on, ts); payload columns are carried
-    from the matched right row (null when no prior right row exists).
+    from the matched right row (null when no matching right row
+    exists). Both directions are the same single-shuffle union-tag
+    window plan; only the tag ordering and frame direction flip.
     """
     lcols = left.columns
-    l_tagged = left.withColumn("_side", F.lit(1))
+    # backward: right sorts BEFORE left at equal ts and we look back
+    # with last(); forward: right sorts AFTER left and we look ahead
+    # with first(). Either way equal-ts right rows are included.
+    l_tag, r_tag = (1, 0) if direction == "backward" else (0, 1)
+    l_tagged = left.withColumn("_side", F.lit(l_tag))
     for c in payload:
         l_tagged = l_tagged.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
-    r_tagged = right.withColumn("_side", F.lit(0))
+    r_tagged = right.withColumn("_side", F.lit(r_tag))
     for c in lcols:
         if c not in (on, ts):
             r_tagged = r_tagged.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
     unioned = l_tagged.select(on, ts, "_side", *payload, *[c for c in lcols if c not in (on, ts)]).unionByName(
         r_tagged.select(on, ts, "_side", *payload, *[c for c in lcols if c not in (on, ts)])
     )
-    # right rows (side=0) sort before left rows at equal ts => `>=` semantics
-    w = (
-        Window.partitionBy(on)
-        .orderBy(ts, "_side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    base = Window.partitionBy(on).orderBy(ts, "_side")
+    if direction == "backward":
+        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pick = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
+    else:
+        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        pick = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
     matched = unioned.select(
-        "*", *[F.last(c, ignorenulls=True).over(w).alias(f"_m_{c}") for c in payload]
+        "*", *[pick(c).over(w).alias(f"_m_{c}") for c in payload]
     )
-    return matched.where(F.col("_side") == 1).select(
+    return matched.where(F.col("_side") == F.lit(l_tag)).select(
         *lcols, *[F.col(f"_m_{c}").alias(c) for c in payload]
     )
 
@@ -105,4 +115,130 @@ def join_asof_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         on="user_id",
         ts="ts",
         payload=["purchase_id", "purchase_value"],
+    )
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    WITH l AS (
+      SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'click'
+    ), r0 AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+             row_number() OVER (PARTITION BY user_id, ts
+                                ORDER BY event_id DESC) AS rn
+      FROM events WHERE event_type = 'purchase'
+    ), r AS (
+      SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value
+      FROM r0 WHERE rn = 1
+    )
+    SELECT l.click_id, l.user_id, l.ts,
+           r.purchase_id, r.purchase_value
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND l.ts <= r.ts
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each click matched to the user's NEXT purchase
+    at-or-after it — attribution's "time to conversion" direction.
+    Same single-shuffle union-tag window plan as join_asof with the
+    frame reversed (first-following instead of last-preceding)."""
+    e = load(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    w_dedup = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    purchases = (
+        e.where(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(w_dedup))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        ts="ts",
+        payload=["purchase_id", "purchase_value"],
+        direction="forward",
+    )
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    WITH l AS (
+      SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'click'
+    ), r0 AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+             row_number() OVER (PARTITION BY user_id, ts
+                                ORDER BY event_id DESC) AS rn
+      FROM events WHERE event_type = 'purchase'
+    ), r AS (
+      SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value
+      FROM r0 WHERE rn = 1
+    )
+    SELECT l.click_id, l.user_id, l.ts,
+           CASE WHEN l.ts - r.ts <= INTERVAL 6 HOUR
+                THEN r.purchase_id END AS purchase_id,
+           CASE WHEN l.ts - r.ts <= INTERVAL 6 HOUR
+                THEN r.purchase_value END AS purchase_value
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded as-of (pandas merge_asof's ``tolerance``):
+    the latest prior purchase counts only if it happened within 6
+    hours of the click — stale matches null out. Implemented as the
+    ordinary as-of carrying the matched right timestamp, then one
+    scan-side null-out; no extra shuffle."""
+    e = load(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    w_dedup = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    purchases = (
+        e.where(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(w_dedup))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("r_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    # carry the matched ts explicitly: duplicate it into the payload
+    purchases2 = purchases.select(
+        "user_id",
+        F.col("r_ts").alias("ts"),
+        "purchase_id",
+        "purchase_value",
+        F.col("r_ts").alias("matched_ts"),
+    )
+    raw = asof_join(
+        clicks,
+        purchases2,
+        on="user_id",
+        ts="ts",
+        payload=["purchase_id", "purchase_value", "matched_ts"],
+    )
+    within = (
+        F.col("ts").cast("timestamp").cast("long")
+        - F.col("matched_ts").cast("timestamp").cast("long")
+    ) <= 6 * 3600
+    return raw.select(
+        "click_id",
+        "user_id",
+        "ts",
+        F.when(within, F.col("purchase_id")).alias("purchase_id"),
+        F.when(within, F.col("purchase_value")).alias("purchase_value"),
     )
