@@ -272,3 +272,56 @@ def test_foreach_batch_idempotent_parquet_sink(spark, events_dir):
     finally:
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_restart_resumes_from_checkpoint(spark):
+    """Kill-and-restart recovery: a file-source → parquet-sink stream
+    stopped after batch 1 and RESTARTED with the same checkpoint must
+    process only the files that arrived while it was down — no row
+    lost, no row duplicated (the checkpoint's source offsets + the
+    file sink's transaction log together give exactly-once)."""
+    src = tempfile.mkdtemp(prefix="uchr_restart_src_")
+    out = tempfile.mkdtemp(prefix="uchr_restart_out_")
+    ckpt = tempfile.mkdtemp(prefix="uchr_restart_ckpt_")
+    shutil.rmtree(out, ignore_errors=True)
+
+    base = spark.read.parquet(f"{SF_SMOKE}/events.parquet").withColumn(
+        "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP)")
+    )
+    a = base.where(F.col("event_id") % 2 == 0)
+    b = base.where(F.col("event_id") % 2 == 1)
+
+    def run_once():
+        q = (
+            spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+
+    try:
+        a.coalesce(1).write.mode("append").parquet(src)
+        run_once()
+        n_phase1 = spark.read.parquet(out).count()
+        assert n_phase1 == a.count()
+
+        b.coalesce(1).write.mode("append").parquet(src)
+        run_once()
+        result = spark.read.parquet(out)
+        assert result.count() == a.count() + b.count()
+        # exactly-once: every event id appears exactly once
+        assert (
+            result.groupBy("event_id").count().where(F.col("count") > 1).count()
+            == 0
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

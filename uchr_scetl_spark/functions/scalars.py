@@ -619,3 +619,61 @@ def fn_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("price_less_disc"),
     )
+
+
+@query(
+    "fn_try_cast",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id AS VARCHAR)
+                  WHEN doc_id % 3 = 1 THEN 'n/a'
+                  ELSE CAST(doc_id AS VARCHAR) || '.75' END AS s_num,
+             CASE WHEN doc_id % 2 = 0 THEN '2024-0' ||
+                       CAST(1 + doc_id % 9 AS VARCHAR) || '-15'
+                  ELSE 'not-a-date' END AS s_date
+      FROM documents
+    )
+    SELECT doc_id,
+           -- dialect note: DuckDB TRY_CAST('123.75' AS BIGINT) rounds
+           -- to 124 where Spark (ANSI) yields NULL; the regexp guard
+           -- pins the oracle to Spark's stricter semantics
+           CASE WHEN regexp_matches(s_num, '^[0-9]+$')
+                THEN TRY_CAST(s_num AS BIGINT) END AS as_int,
+           TRY_CAST(s_num AS DOUBLE)      AS as_double,
+           TRY_CAST(s_date AS TIMESTAMP)  AS as_date,
+           NOT regexp_matches(s_num, '^[0-9]+$') AS int_failed
+    FROM raw
+    """,
+)
+def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe casting (``try_cast``): malformed numerics/dates
+    yield NULL instead of killing the job — the difference between a
+    100 TB ingest that quarantines 0.1% garbage and one that dies at
+    the first bad cell. Dirty strings are synthesized from doc_id so
+    both engines cast the identical inputs; '123.75' → BIGINT fails
+    under Spark's ANSI semantics (DuckDB would round — the oracle
+    pins Spark's stricter rule with a regexp guard) while → DOUBLE
+    succeeds, and the boolean flags feed a quarantine filter."""
+    d = load(spark, sf_dir, "documents")
+    s_num = (
+        F.when(F.col("doc_id") % 3 == 0, F.col("doc_id").cast("string"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("n/a"))
+        .otherwise(F.concat(F.col("doc_id").cast("string"), F.lit(".75")))
+    )
+    s_date = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit("2024-0"),
+            (1 + F.col("doc_id") % 9).cast("string"),
+            F.lit("-15"),
+        ),
+    ).otherwise(F.lit("not-a-date"))
+    raw = d.select("doc_id", s_num.alias("s_num"), s_date.alias("s_date"))
+    return raw.select(
+        "doc_id",
+        F.col("s_num").try_cast("bigint").alias("as_int"),
+        F.col("s_num").try_cast("double").alias("as_double"),
+        F.col("s_date").try_cast("date").cast("timestamp_ntz").alias("as_date"),
+        F.col("s_num").try_cast("bigint").isNull().alias("int_failed"),
+    )

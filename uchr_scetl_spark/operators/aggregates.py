@@ -459,3 +459,40 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("l_linestatus").cast("bigint").alias("g_status"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    WITH binned AS (
+      SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin
+      FROM orders
+    )
+    SELECT bin,
+           bin * 25000.0       AS bin_lo,
+           (bin + 1) * 25000.0 AS bin_hi,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM binned GROUP BY bin
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram: bin = ⌊x/w⌋ then count per bin — the
+    one-pass distribution profile behind every dashboard histogram
+    and data-profiling report. The bin id is computed scan-side in
+    codegen, the aggregation is the usual partial+final hash agg on
+    a tiny key domain (~20 bins here), so 100 TB of input reduces to
+    bins×tasks partial rows before the single shuffle."""
+    o = load(spark, sf_dir, "orders")
+    w = 25000.0
+    bin_ = F.floor(F.col("o_totalprice") / w).alias("bin")
+    return (
+        o.select(bin_)
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bin",
+            (F.col("bin") * w).alias("bin_lo"),
+            ((F.col("bin") + 1) * w).alias("bin_hi"),
+            "n",
+        )
+    )
