@@ -3,13 +3,17 @@
 The single-operator keys in ``operators/`` prove each primitive; these
 prove the *composed* plans an analyst actually runs — multiway joins
 feeding aggregates feeding top-k, correlated-style filters, conditional
-shares. Each is the classic TPC-H query shape re-parameterised for the
-columns this corpus has. partsupp does not exist, so Q2/9/11/16/20
-(which aggregate over it) have no faithful adaptation and are
-omitted; Q4/Q8/Q12/Q13/Q17/Q19/Q21/Q22 substitute an equivalent
-predicate on an existing column where the original filters a missing
-one (e.g. l_returnflag='R' for the commit<receipt lateness test,
-c_nationkey for the phone country code).
+shares. All 22 classic TPC-H query shapes are implemented,
+re-parameterised for the columns this corpus has:
+- Q4/Q8/Q12/Q13/Q17/Q19/Q21/Q22 substitute an equivalent predicate on
+  an existing column where the original filters a missing one (e.g.
+  l_returnflag='R' for the commit<receipt lateness test, c_nationkey
+  for the phone country code);
+- Q2/Q9/Q11/Q16/Q20 aggregate over partsupp, which the corpus lacks —
+  it is DERIVED deterministically from lineitem's observed
+  (part, supplier) pairs with integer-arithmetic cost/availqty (see
+  _PARTSUPP_SQL below), so both engines build the identical relation
+  and the plan shapes are exercised faithfully.
 
 100 TB notes baked into every plan below:
 - dimension sides (region/nation/supplier at real scale, plus any
@@ -792,4 +796,314 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("totacctbal"),
         )
         .orderBy("cntrycode")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Derived partsupp: the corpus has no partsupp table, but every remaining
+# TPC-H shape (Q2/9/11/16/20) aggregates over one. Derive it
+# deterministically from the observed (part, supplier) pairs in lineitem,
+# with cost/availqty as pure integer-arithmetic functions of the keys —
+# both engines build the identical relation, so the queries exercise the
+# real plan shapes against a real oracle.
+
+_PARTSUPP_SQL = """
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         CAST(1 + (l_partkey * 7 + l_suppkey * 13) % 1000 AS DOUBLE) / 10.0
+           AS ps_supplycost,
+         CAST(1 + (l_partkey * 31 + l_suppkey * 17) % 9999 AS BIGINT)
+           AS ps_availqty
+  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    return li.select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+        (
+            (1 + (F.col("l_partkey") * 7 + F.col("l_suppkey") * 13) % 1000)
+            .cast("double")
+            / 10.0
+        ).alias("ps_supplycost"),
+        (1 + (F.col("l_partkey") * 31 + F.col("l_suppkey") * 17) % 9999)
+        .cast("bigint")
+        .alias("ps_availqty"),
+    )
+
+
+@query(
+    "tpch_q2",
+    oracle=f"""
+    WITH partsupp AS ({_PARTSUPP_SQL}),
+    regional AS (
+      SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_type,
+             ps.ps_supplycost,
+             MIN(ps.ps_supplycost) OVER (PARTITION BY p.p_partkey)
+               AS min_cost
+      FROM part p
+      JOIN partsupp ps ON p.p_partkey = ps.ps_partkey
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'ASIA' AND p.p_size < 15 AND p.p_type = 'PROMO'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type, ps_supplycost
+    FROM regional WHERE ps_supplycost = min_cost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 minimum-cost supplier: the correlated MIN subquery
+    decorrelates to a per-part window minimum over the already-joined
+    regional relation — one extra window on the join output instead
+    of a second scan of partsupp. supplier/nation/region broadcast;
+    the only key shuffle is partsupp⋈part, then the window
+    repartitions by p_partkey."""
+    ps = _partsupp(spark, sf_dir)
+    p = load(spark, sf_dir, "part").where(
+        (F.col("p_size") < 15) & (F.col("p_type") == "PROMO")
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    joined = (
+        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        joined.withColumn("min_cost", F.min("ps_supplycost").over(w))
+        .where(F.col("ps_supplycost") == F.col("min_cost"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
+            "ps_supplycost",
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q9",
+    oracle=f"""
+    WITH partsupp AS ({_PARTSUPP_SQL})
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+           {sql_dec_sum(
+               "l.l_extendedprice * (1 - l.l_discount)"
+               " - ps.ps_supplycost * l.l_quantity",
+               "sum_profit",
+           )}
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN partsupp ps ON ps.ps_partkey = l.l_partkey
+                    AND ps.ps_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY n.n_name, CAST(EXTRACT(year FROM o.o_orderdate) AS INT)
+    """,
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 product-type profit: the widest join in TPC-H — lineitem
+    against part, supplier, partsupp, orders, nation. partsupp joins
+    on the composite (partkey, suppkey); part (filtered) and supplier/
+    nation broadcast, so the composite-key partsupp join and the
+    orders join are the only shuffles. Profit amounts ride the exact
+    decimal sum, order-insensitive at any parallelism."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    s = load(spark, sf_dir, "supplier")
+    ps = _partsupp(spark, sf_dir)
+    o = load(spark, sf_dir, "orders")
+    n = load(spark, sf_dir, "nation")
+    amount = revenue_col() - F.col("ps_supplycost") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(
+            ps,
+            (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(dec_sum(amount, "sum_profit"))
+    )
+
+
+@query(
+    "tpch_q11",
+    oracle=f"""
+    WITH partsupp AS ({_PARTSUPP_SQL}),
+    natps AS (
+      SELECT ps.ps_partkey,
+             ps.ps_supplycost * ps.ps_availqty AS v
+      FROM partsupp ps
+      JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name IN ('NATION_5', 'NATION_9')
+    ),
+    tot AS (
+      SELECT CAST(SUM(CAST(v AS DECIMAL(24,6))) AS DOUBLE) AS t FROM natps
+    )
+    SELECT ps_partkey,
+           CAST(SUM(CAST(v AS DECIMAL(24,6))) AS DOUBLE) AS value
+    FROM natps, tot
+    GROUP BY ps_partkey, tot.t
+    HAVING CAST(SUM(CAST(v AS DECIMAL(24,6))) AS DOUBLE) > tot.t * 0.001
+    ORDER BY value DESC, ps_partkey
+    """,
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 important stock: per-part inventory value filtered against
+    a fraction of the GLOBAL total — the scalar total is a one-row
+    aggregate broadcast back over the per-part aggregate (no second
+    scan of partsupp: Spark reuses the natps relation for both
+    aggregations via the shared shuffle). Values sum in exact decimal
+    and only the final threshold compare is double."""
+    ps = _partsupp(spark, sf_dir)
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_5", "NATION_9")
+    )
+    natps = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost") * F.col("ps_availqty")).alias("v"),
+        )
+    )
+    per_part = natps.groupBy("ps_partkey").agg(
+        F.sum(F.col("v").cast("decimal(24,6)")).cast("double").alias("value")
+    )
+    tot = natps.agg(
+        F.sum(F.col("v").cast("decimal(24,6)")).cast("double").alias("t")
+    )
+    return (
+        per_part.join(F.broadcast(tot))
+        .where(F.col("value") > F.col("t") * 0.001)
+        .select("ps_partkey", "value")
+        .orderBy(F.col("value").desc(), "ps_partkey")
+    )
+
+
+@query(
+    "tpch_q16",
+    oracle=f"""
+    WITH partsupp AS ({_PARTSUPP_SQL})
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM partsupp ps JOIN part p ON p.p_partkey = ps.ps_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type NOT LIKE 'ECO%'
+      AND p.p_size IN (5, 10, 15, 20, 25, 30, 35, 40)
+      AND ps.ps_suppkey NOT IN
+            (SELECT s_suppkey FROM supplier WHERE s_acctbal < 500)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 supplier diversity per part class, with a NOT-IN supplier
+    blacklist (low-balance suppliers stand in for the original
+    complaints filter). NOT IN over a non-null key compiles to a
+    broadcast anti join; the distinct supplier count is the standard
+    two-phase expand+agg. All part filters push to the scan."""
+    ps = _partsupp(spark, sf_dir)
+    p = load(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & ~F.col("p_type").like("ECO%")
+        & F.col("p_size").isin(5, 10, 15, 20, 25, 30, 35, 40)
+    )
+    bad = (
+        load(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 500)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(F.broadcast(bad), ps.ps_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "tpch_q20",
+    oracle=f"""
+    WITH partsupp AS ({_PARTSUPP_SQL}),
+    shipped AS (
+      SELECT l_partkey, l_suppkey,
+             0.5 * SUM(l_quantity) AS half_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    excess AS (
+      SELECT DISTINCT ps.ps_suppkey
+      FROM partsupp ps
+      JOIN shipped sh ON sh.l_partkey = ps.ps_partkey
+                     AND sh.l_suppkey = ps.ps_suppkey
+      JOIN part p ON p.p_partkey = ps.ps_partkey
+      WHERE p.p_name LIKE 'small%'
+        AND ps.ps_availqty > sh.half_qty
+    )
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name IN ('NATION_2', 'NATION_11')
+      AND s.s_suppkey IN (SELECT ps_suppkey FROM excess)
+    ORDER BY s.s_name
+    """,
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 excess-stock suppliers: the doubly-nested IN chain
+    decorrelates to (a) a pre-aggregated per-(part,supplier) shipped
+    quantity, (b) an equi-join of partsupp against it with the
+    availqty threshold as residual, (c) a semi join of supplier
+    against the distinct qualifying supplier set. Quantities are
+    integer-valued doubles, so 0.5·sum is exact and the threshold
+    compare is reproducible."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1998-01-01"))
+        & (F.col("l_shipdate") < _ts("1999-01-01"))
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        (0.5 * F.sum("l_quantity")).alias("half_qty")
+    )
+    ps = _partsupp(spark, sf_dir)
+    p = load(spark, sf_dir, "part").where(F.col("p_name").like("small%"))
+    excess = (
+        ps.join(
+            shipped,
+            (ps.ps_partkey == shipped.l_partkey)
+            & (ps.ps_suppkey == shipped.l_suppkey),
+        )
+        .join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .where(F.col("ps_availqty") > F.col("half_qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_2", "NATION_11")
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(excess), s.s_suppkey == excess.ps_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
     )
