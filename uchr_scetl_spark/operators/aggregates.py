@@ -496,3 +496,31 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@query(
+    "agg_string_agg",
+    oracle="""
+    SELECT c_mktsegment,
+           string_agg(c_name, ',' ORDER BY c_name) AS members,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer WHERE c_custkey % 97 = 0
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/string_agg): names joined
+    per segment in explicit sort order. Spark has no ordered
+    string_agg, so the engine composes it: collect_list → array_sort
+    → array_join — same shuffle profile as any grouped aggregate,
+    and the EXPLICIT ordering is what makes the result reproducible
+    at any parallelism (an unordered listagg is nondeterministic by
+    construction). Bounded by the group's member count — keep the
+    filter selective at 100 TB or cap with slice()."""
+    c = load(spark, sf_dir, "customer").where(F.col("c_custkey") % 97 == 0)
+    return c.groupBy("c_mktsegment").agg(
+        F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias(
+            "members"
+        ),
+        F.count("*").alias("n"),
+    )

@@ -343,3 +343,60 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.abs(F.col("z")) > 2.0)
         .select("event_type", "day", "cnt", "z")
     )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT event_type AS from_state, next_type AS to_state,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    ),
+    totals AS (
+      SELECT from_state, CAST(SUM(n) AS BIGINT) AS tot
+      FROM pairs GROUP BY from_state
+    )
+    SELECT p.from_state, p.to_state, p.n,
+           CAST(p.n AS DOUBLE) / t.tot AS p_transition
+    FROM pairs p JOIN totals t ON p.from_state = t.from_state
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: P(next_type | type) from observed consecutive pairs —
+    the behavioural model behind next-action prediction and anomaly
+    scoring on session flows.
+
+    One shuffle on user_id for the lead() window, then a 25-cell
+    aggregation; the per-state totals join is a broadcast of an
+    n_states-row relation. Counts are exact integers, probabilities a
+    single deterministic division."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    pairs = seq.groupBy(
+        F.col("event_type").alias("from_state"),
+        F.col("next_type").alias("to_state"),
+    ).agg(F.count("*").alias("n"))
+    totals = pairs.groupBy("from_state").agg(F.sum("n").alias("tot"))
+    return (
+        pairs.join(F.broadcast(totals), "from_state")
+        .select(
+            "from_state",
+            "to_state",
+            "n",
+            (F.col("n").cast("double") / F.col("tot")).alias("p_transition"),
+        )
+    )
