@@ -169,3 +169,44 @@ def test_pagerank_checkpoint_truncates_lineage(spark):
     plan = plan_of(spark, "graph_pagerank")
     assert "Scan ExistingRDD" in plan, plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan
+
+
+def test_q2_window_min_not_second_scan(spark):
+    """Q2's correlated MIN subquery must decorrelate to ONE window over
+    the joined relation — the plan has a Window node and only one
+    lineitem-derived scan chain feeding partsupp (a naive translation
+    scans partsupp twice)."""
+    plan = plan_of(spark, "tpch_q2")
+    assert "Window" in plan, plan
+    # exactly one distinct-pairs aggregation (the derived partsupp),
+    # not two
+    assert plan.count("ReadSchema: struct<l_partkey:bigint,l_suppkey") == 1, plan
+
+
+def test_q9_broadcasts_dimensions(spark):
+    plan = plan_of(spark, "tpch_q9")
+    # part/supplier/nation broadcast; partsupp+orders joins shuffle
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_observe_metrics_collected(spark):
+    """df.observe: named metrics computed during the job itself (no
+    second scan) — the operational hook for row-count/invariant
+    monitoring on production loads."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation("load_audit")
+    df = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(24,6)")).alias("total"),
+        )
+        .where(F.col("o_totalprice") > 0)
+    )
+    n_out = df.count()
+    m = obs.get
+    assert m["n_rows"] >= n_out
+    assert m["total"] is not None and m["total"] > 0

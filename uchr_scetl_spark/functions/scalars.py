@@ -677,3 +677,30 @@ def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_date").try_cast("date").cast("timestamp_ntz").alias("as_date"),
         F.col("s_num").try_cast("bigint").isNull().alias("int_failed"),
     )
+
+
+@query(
+    "fn_aes_roundtrip",
+    oracle="""
+    SELECT doc_id, text AS decrypted, CAST(length(text) AS BIGINT) AS n
+    FROM documents WHERE doc_id % 5 = 0
+    """,
+)
+def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption for PII-bearing columns:
+    aes_encrypt → aes_decrypt (AES-128-GCM, JVM codegen) must be the
+    identity — the oracle IS the plaintext, so the roundtrip is
+    checked end-to-end without DuckDB needing an AES implementation.
+    GCM's random IV makes ciphertext nondeterministic (correct
+    crypto practice), which is exactly why the CHECKABLE surface is
+    the roundtrip, not the ciphertext; at 100 TB both sides ride the
+    scan with zero shuffles."""
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    key = F.lit("0123456789abcdef")  # 16-byte AES-128 key
+    enc = F.aes_encrypt(F.col("text").cast("binary"), key.cast("binary"))
+    dec = F.aes_decrypt(enc, key.cast("binary"))
+    return d.select(
+        "doc_id",
+        dec.cast("string").alias("decrypted"),
+        F.length("text").cast("bigint").alias("n"),
+    )

@@ -471,3 +471,92 @@ def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             cv.alias("curr_price"),
         )
     )
+
+
+@query(
+    "etl_cdc_apply",
+    oracle="""
+    WITH log AS (
+      SELECT o_orderkey AS key, 1 AS seq, 'U' AS op,
+             o_totalprice * 1.05 AS price
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey, 2, 'D', NULL
+      FROM orders WHERE o_orderkey % 20 = 0
+      UNION ALL
+      SELECT o_orderkey + 20000000, 3, 'I', o_totalprice
+      FROM orders WHERE o_orderkey % 25 = 0
+    ),
+    latest AS (
+      SELECT key, op, price,
+             row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+      FROM log
+    ),
+    effective AS (SELECT key, op, price FROM latest WHERE rn = 1)
+    SELECT COALESCE(b.o_orderkey, e.key) AS o_orderkey,
+           CASE WHEN e.key IS NULL THEN b.o_totalprice
+                ELSE e.price END AS o_totalprice
+    FROM (SELECT o_orderkey, o_totalprice FROM orders) b
+    FULL OUTER JOIN effective e ON b.o_orderkey = e.key
+    WHERE e.key IS NULL OR e.op <> 'D'
+    """,
+)
+def etl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change-log application: an ordered log of
+    Insert/Update/Delete operations collapses to the LATEST op per
+    key (rank by sequence number), then applies to the base snapshot
+    in one full-outer join — upserts overwrite, deletes drop, inserts
+    append. This is the exactly-the-same plan a Delta/Iceberg MERGE
+    with deletes compiles to, minus the table format.
+
+    Scale: the log ranks with one window on its own (small) keyspace;
+    the apply join shuffles base+log on the key once. The synthetic
+    log derives deterministically from the corpus (updates %10,
+    deletes %20 — which supersede half the updates at seq 2 —
+    inserts %25 shifted)."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    log = (
+        o.where(F.col("o_orderkey") % 10 == 0)
+        .select(
+            F.col("o_orderkey").alias("key"),
+            F.lit(1).alias("seq"),
+            F.lit("U").alias("op"),
+            (F.col("o_totalprice") * 1.05).alias("price"),
+        )
+        .unionByName(
+            o.where(F.col("o_orderkey") % 20 == 0).select(
+                F.col("o_orderkey").alias("key"),
+                F.lit(2).alias("seq"),
+                F.lit("D").alias("op"),
+                F.lit(None).cast("double").alias("price"),
+            )
+        )
+        .unionByName(
+            o.where(F.col("o_orderkey") % 25 == 0).select(
+                (F.col("o_orderkey") + 20000000).alias("key"),
+                F.lit(3).alias("seq"),
+                F.lit("I").alias("op"),
+                F.col("o_totalprice").alias("price"),
+            )
+        )
+    )
+    w = Window.partitionBy("key").orderBy(F.col("seq").desc())
+    effective = (
+        log.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("key", "op", "price")
+    )
+    b = o.alias("b")
+    e = effective.alias("e")
+    return (
+        b.join(e, F.col("b.o_orderkey") == F.col("e.key"), "full_outer")
+        .where(F.col("e.key").isNull() | (F.col("e.op") != "D"))
+        .select(
+            F.coalesce("b.o_orderkey", "e.key").alias("o_orderkey"),
+            F.when(F.col("e.key").isNull(), F.col("b.o_totalprice"))
+            .otherwise(F.col("e.price"))
+            .alias("o_totalprice"),
+        )
+    )
