@@ -704,3 +704,37 @@ def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec.cast("string").alias("decrypted"),
         F.length("text").cast("bigint").alias("n"),
     )
+
+
+@query(
+    "fn_format_string",
+    oracle="""
+    SELECT o_orderkey,
+           printf('ORD-%08d/%s', o_orderkey, o_orderstatus) AS order_tag,
+           printf('%d items @ priority %s',
+                  CAST(o_orderkey % 7 AS BIGINT), o_orderpriority)
+             AS summary,
+           printf('%x', o_orderkey) AS key_hex
+    FROM orders WHERE o_orderkey % 13 = 0
+    """,
+)
+def fn_format_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """printf-style string templating (``format_string``) — zero-pad
+    ids, compose human-readable tags, hex rendering; all JVM codegen.
+    Restricted to the %d/%s/%x/%0Nd subset where Java's Formatter and
+    C printf agree byte-for-byte; float %f is deliberately excluded
+    (the two runtimes disagree on tie rounding — use
+    format_number/round for decimals instead)."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") % 13 == 0)
+    return o.select(
+        "o_orderkey",
+        F.format_string(
+            "ORD-%08d/%s", F.col("o_orderkey"), F.col("o_orderstatus")
+        ).alias("order_tag"),
+        F.format_string(
+            "%d items @ priority %s",
+            (F.col("o_orderkey") % 7).cast("bigint"),
+            F.col("o_orderpriority"),
+        ).alias("summary"),
+        F.format_string("%x", F.col("o_orderkey")).alias("key_hex"),
+    )

@@ -60,3 +60,55 @@ def sql_cte_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "orders").createOrReplaceTempView("sql_orders")
     load(spark, sf_dir, "customer").createOrReplaceTempView("sql_customer")
     return spark.sql(_SQL.format(orders="sql_orders", customer="sql_customer"))
+
+
+@query(
+    "pipeline_declarative",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE)
+             AS total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND o_totalprice > 50000
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def pipeline_declarative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's declarative Pipeline API driven end-to-end as a
+    registry key: Source → Transform (lambda filter) → SqlTransform
+    (aggregation) composed into ONE lazy Catalyst plan — the step-3
+    price filter and the SQL step's column needs reach the step-1
+    parquet scan (asserted in tests/test_pipeline.py). This key runs
+    ``Pipeline.plan`` (the composed DataFrame) so the driver's oracle
+    check covers the composition layer itself, not just raw
+    DataFrame calls."""
+    from pyspark.sql import functions as F
+
+    from ..pipeline import Pipeline, Sink, Source, SqlTransform, Transform
+
+    p = Pipeline(
+        source=Source("parquet", f"{sf_dir}/orders.parquet"),
+        steps=[
+            Transform(
+                "recent",
+                lambda df: df.where(
+                    (df.o_orderdate >= F.lit("1998-01-01").cast("timestamp_ntz"))
+                    & (df.o_totalprice > 50000)
+                ),
+            ),
+            SqlTransform(
+                "rollup",
+                """
+                SELECT o_orderstatus, o_orderpriority,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6)))
+                            AS DOUBLE) AS total
+                FROM {df} GROUP BY o_orderstatus, o_orderpriority
+                """,
+            ),
+        ],
+        sink=Sink("noop", ""),
+    )
+    return p.plan(spark)
