@@ -345,6 +345,8 @@ def _ivf_centroids(e: DataFrame) -> list[list[float]]:
         .collect()
     )
     cents = [list(r.vn) for r in init]
+    if not cents:  # empty corpus: nothing to cluster
+        return []
     for _ in range(KMEANS_ITERS):
         cell = _cell_udf(cents)(F.col("vn"))
         sums = (
@@ -383,6 +385,10 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~|corpus|·nprobe/C. rows-only: approximate by construction."""
     e = _ivf_base(spark, sf_dir)
     cents = _ivf_centroids(e)
+    if not cents:  # empty corpus: no centroids, no neighbours
+        return spark.createDataFrame(
+            [], "probe_id bigint, neighbor_id bigint, cosine double"
+        )
     corpus = e.select(
         "vec_id", "label", "vn", _cell_udf(cents)(F.col("vn")).alias("cell")
     )

@@ -340,7 +340,7 @@ def etl_backfill_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFram
         else:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
 
-    healed = spark.read.parquet(out)
+    healed = spark.read.schema(corrupted.schema).parquet(out)  # zero-row-write safe
     return healed.groupBy(F.col("month").cast("string").alias("month")).agg(
         F.count("*").alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(24,6)"))

@@ -97,7 +97,10 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = load(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 45)
     out = tempfile.mkdtemp(prefix="uchr_sink_parq_")
     src.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
-    back = spark.read.parquet(out)
+    # explicit schema: a zero-row partitioned write creates no
+    # directories, and a schema-less read of it cannot infer — empty
+    # partitions are daily reality at scale, not an error
+    back = spark.read.schema(src.schema).parquet(out)
     return back.groupBy("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n"), F.sum("l_quantity").alias("sum_qty")
     )
@@ -139,7 +142,7 @@ def sink_orc_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     out = tempfile.mkdtemp(prefix="uchr_sink_orc_")
     src.write.mode("overwrite").partitionBy("o_orderpriority").orc(out)
-    back = spark.read.orc(out)
+    back = spark.read.schema(src.schema).orc(out)  # zero-row-write safe
     return back.groupBy("o_orderpriority").agg(
         F.count("*").alias("n"), F.sum("o_totalprice").alias("sum_price")
     )
@@ -192,7 +195,7 @@ def scan_pruned_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="uchr_pruned_")
     src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
     return (
-        spark.read.parquet(out)
+        spark.read.schema(src.schema).parquet(out)
         .where(F.col("o_orderstatus") == "F")
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
