@@ -495,3 +495,37 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id", F.col("doc_id")
     )
     return labels.unionByName(isolated).orderBy("doc_id")
+
+
+@query(
+    "dedup_exact_keep_best",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    QUALIFY row_number() OVER (
+      PARTITION BY md5(lower(trim(text)))
+      ORDER BY n_chars DESC, doc_id
+    ) = 1
+    """,
+)
+def dedup_exact_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup that keeps the BEST duplicate, not an arbitrary
+    one: within each content-hash group the highest-quality copy
+    survives (longest document, doc_id tiebreak) — the
+    training-corpus variant where near-identical scrapes differ in
+    truncation and you want the fullest.
+
+    Same single-shuffle profile as dedup_exact (hash → window rank
+    instead of dropDuplicates), and unlike dropDuplicates the
+    survivor choice is DETERMINISTIC — dropDuplicates keeps whichever
+    row the shuffle delivers first."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    h = F.md5(F.lower(F.trim(F.col("text"))))
+    w = Window.partitionBy(h).orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    )

@@ -76,3 +76,48 @@ def sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("train")
         .alias("split"),
     )
+
+
+@query(
+    "sample_weighted",
+    oracle="""
+    WITH weighted AS (
+      SELECT doc_id, source,
+             (1 + CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 5)
+               / 5.0 AS keep_frac,
+             substr(md5(concat(CAST(doc_id AS VARCHAR), '|', source)), 1, 4)
+               AS h4
+      FROM documents
+    )
+    SELECT doc_id, source, keep_frac
+    FROM weighted
+    WHERE h4 < printf('%04x', CAST(floor(65536 * keep_frac) AS BIGINT))
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source weighted sampling — the data-mixing primitive behind
+    every pretraining recipe ("2 epochs of wiki, 0.4 of web"): each
+    source keeps a different fraction of its documents, here
+    (1 + src_number % 5)/5 ∈ {0.2 … 1.0}.
+
+    The accept test is a LEXICOGRAPHIC compare of the row's md5-hex
+    prefix against the fraction's 4-hex-digit threshold — pure string
+    algebra both engines reproduce bit-for-bit, no RNG, no hex→int
+    parsing (which the engines expose differently). One narrow map
+    over the corpus, zero shuffles, retry-stable at any parallelism."""
+    d = load(spark, sf_dir, "documents")
+    src_n = F.regexp_extract("source", r"([0-9]+)$", 1).cast("bigint")
+    keep_frac = (1 + src_n % 5) / 5.0
+    h4 = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.col("source"))),
+        1,
+        4,
+    )
+    thr = F.format_string(
+        "%04x", F.floor(65536 * keep_frac).cast("bigint")
+    )
+    return (
+        d.withColumn("keep_frac", keep_frac)
+        .where(h4 < thr)
+        .select("doc_id", "source", "keep_frac")
+    )

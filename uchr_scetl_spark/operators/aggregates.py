@@ -524,3 +524,34 @@ def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmap aggregation (Spark 3.5
+    bitmap_* family): keys bucket into 32k-bit bitmaps
+    (bitmap_bucket_number / bitmap_bit_position), OR-combine per
+    bucket, sum the popcounts — the same result as COUNT(DISTINCT)
+    with a fundamentally better shuffle: partial state is fixed-size
+    bitmaps instead of the expand+dedup two-phase plan, the
+    high-cardinality analogue of the HLL sketch but exact."""
+    o = load(spark, sf_dir, "orders")
+    per_bucket = (
+        o.select(
+            "o_orderstatus",
+            F.bitmap_bucket_number(F.col("o_custkey")).alias("bucket"),
+            F.bitmap_bit_position(F.col("o_custkey")).alias("pos"),
+        )
+        .groupBy("o_orderstatus", "bucket")
+        .agg(F.bitmap_construct_agg(F.col("pos")).alias("bm"))
+    )
+    return per_bucket.groupBy("o_orderstatus").agg(
+        F.sum(F.bitmap_count(F.col("bm"))).alias("n_customers")
+    )
