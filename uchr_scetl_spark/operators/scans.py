@@ -412,3 +412,55 @@ def scan_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("valid_total"),
     )
+
+
+@query(
+    "sink_compressed_codecs",
+    oracle="""
+    SELECT 'zstd_parquet' AS codec,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS total
+    FROM orders WHERE o_totalprice > 200000
+    UNION ALL
+    SELECT 'gzip_csv',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE)
+    FROM orders WHERE o_totalprice > 200000
+    """,
+)
+def sink_compressed_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-codec round-trips: the same slice written as
+    zstd parquet and gzip CSV, read back, and both paths must agree
+    with the source. Codec choice is a first-order cost lever at
+    100 TB (zstd ≈ gzip ratio at several× the throughput, and
+    parquet+zstd splits by row group where a .csv.gz file is ONE
+    split — the classic ingest bottleneck this key documents)."""
+    import tempfile
+
+    src = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 200000)
+        .select("o_orderkey", "o_totalprice")
+    )
+    pq = tempfile.mkdtemp(prefix="uchr_zstd_")
+    src.write.mode("overwrite").option("compression", "zstd").parquet(pq)
+    cs = tempfile.mkdtemp(prefix="uchr_gzcsv_")
+    src.write.mode("overwrite").option("compression", "gzip").option(
+        "header", "true"
+    ).csv(cs)
+
+    agg = lambda df, name: df.agg(  # noqa: E731
+        F.lit(name).alias("codec"),
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(24,6)"))
+        .cast("double")
+        .alias("total"),
+    ).select("codec", "n", "total")
+
+    back_pq = spark.read.schema(src.schema).parquet(pq)
+    back_cs = (
+        spark.read.schema("o_orderkey bigint, o_totalprice double")
+        .option("header", "true")
+        .csv(cs)
+    )
+    return agg(back_pq, "zstd_parquet").unionByName(agg(back_cs, "gzip_csv"))
