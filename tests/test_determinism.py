@@ -1,0 +1,58 @@
+"""Parallelism-invariance: the engine's reproducibility claim, tested.
+
+Every docstring in the repo that says "order-insensitive" or
+"bit-reproducible at any parallelism" makes the same promise: the
+result must not depend on how the data is partitioned. This test runs
+a cross-section of shuffle-heavy keys under a DIFFERENT
+spark.sql.shuffle.partitions (7 — coprime with the default, odd, and
+small enough to force multi-key partitions) and requires results
+bit-identical to the default-config run. Float sums that ride
+IEEE-addition would fail this; the decimal/integer formulations the
+engine uses must not."""
+
+from __future__ import annotations
+
+import pytest
+
+from uchr_scetl_spark import load_registry
+
+from .conftest import SF_SMOKE
+
+REGISTRY = load_registry()
+
+# shuffle-heavy keys whose docstrings claim parallelism-invariance:
+# decimal-sum aggregates, window chains, iterative graph, md5 sampling,
+# fixed-point similarity, sessionization
+KEYS = [
+    "tpch_q1",
+    "tpch_q9",
+    "agg_groupby",
+    "events_sessionize",
+    "events_anomaly_zscore",
+    "graph_pagerank",
+    "sample_weighted",
+    "dedup_exact_keep_best",
+    "win_median_sliding",
+    "udf_cogrouped_pandas",
+]
+
+
+def _rows(spark, key):
+    df = REGISTRY[key].fn(spark, SF_SMOKE)
+    cols = sorted(df.columns)
+    return sorted(
+        [tuple(r[c] for c in cols) for r in df.select(*cols).collect()]
+    )
+
+
+@pytest.mark.parametrize("key", KEYS)
+def test_result_invariant_under_partition_count(spark, key):
+    baseline = _rows(spark, key)
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        assert _rows(spark, key) == baseline, (
+            f"{key} changed results under shuffle.partitions=7"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)

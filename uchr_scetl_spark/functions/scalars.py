@@ -738,3 +738,43 @@ def fn_format_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("summary"),
         F.format_string("%x", F.col("o_orderkey")).alias("key_hex"),
     )
+
+
+@query(
+    "fn_xml",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey AS xk,
+           o_totalprice AS xv,
+           o_orderstatus AS xs
+    FROM orders WHERE o_orderkey % 17 = 0
+    """,
+)
+def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion (Spark 4 native ``from_xml``): render each order
+    as an XML record, parse it back under an explicit schema, and the
+    extracted fields must equal the source columns — a roundtrip
+    oracle, since DuckDB has no XML parser. Doubles survive because
+    string rendering is shortest-round-trip. Everything is JVM
+    codegen on the scan; at 100 TB an XML feed parses per-file-split
+    like JSON/CSV."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") % 17 == 0)
+    xml = F.concat(
+        F.lit("<r><k>"),
+        F.col("o_orderkey"),
+        F.lit("</k><v>"),
+        F.col("o_totalprice"),
+        F.lit("</v><s>"),
+        F.col("o_orderstatus"),
+        F.lit("</s></r>"),
+    )
+    parsed = o.select(
+        "o_orderkey",
+        F.from_xml(xml, "k bigint, v double, s string").alias("x"),
+    )
+    return parsed.select(
+        "o_orderkey",
+        F.col("x.k").alias("xk"),
+        F.col("x.v").alias("xv"),
+        F.col("x.s").alias("xs"),
+    )

@@ -244,13 +244,21 @@ def udf_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster, results are bucket-count-invariant. Sums ride int64
     cents (round(x*100)) since pandas float reductions are
     row-order-dependent but integer sums are exact."""
-    o = load(spark, sf_dir, "orders")
+    # each side gets an INDEPENDENT scan (fresh attribute ids): when
+    # both cogroup children share a parent plan, their columns carry
+    # identical expression ids and Spark's attribute deduplication can
+    # prune the right child down to the grouping key (observed: right
+    # frames arriving with only `bucket` under shuffle.partitions=7)
     bucket = (F.hash("o_custkey") % 64).alias("bucket")
-    filled = o.where(F.col("o_orderstatus") == "F").select(
-        bucket, "o_custkey", "o_totalprice"
+    filled = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select(bucket, "o_custkey", "o_totalprice")
     )
-    open_ = o.where(F.col("o_orderstatus") == "O").select(
-        bucket, "o_custkey", "o_totalprice"
+    open_ = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "O")
+        .select(bucket, "o_custkey", "o_totalprice")
     )
     return (
         filled.groupBy("bucket")
