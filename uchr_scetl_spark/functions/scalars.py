@@ -778,3 +778,75 @@ def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x.v").alias("xv"),
         F.col("x.s").alias("xs"),
     )
+
+
+@query(
+    "fn_explode_outer",
+    oracle="""
+    WITH src AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN []
+                  ELSE string_split(text, ' ')[1:3] END AS toks
+      FROM documents WHERE doc_id < 120
+    )
+    SELECT s.doc_id, u.tok
+    FROM src s LEFT JOIN LATERAL (SELECT unnest(s.toks) AS tok) u ON true
+    """,
+)
+def fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-preserving explode (``explode_outer``): rows whose array
+    is empty (or null) survive as a single null-element row instead of
+    vanishing — the difference between "flatten the chunks" and
+    "flatten the chunks but keep empty documents visible", which
+    matters whenever the downstream join re-aggregates per document
+    and silently losing keys is a bug. Plain explode's inner-join
+    semantics is what everyone reaches for first; this key pins the
+    outer variant against DuckDB's LEFT JOIN LATERAL UNNEST."""
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    toks = F.when(
+        F.col("doc_id") % 10 == 0, F.array().cast("array<string>")
+    ).otherwise(F.slice(F.split("text", " "), 1, 3))
+    return d.select("doc_id", toks.alias("toks")).select(
+        "doc_id", F.explode_outer("toks").alias("tok")
+    )
+
+
+@query(
+    "agg_min_max_by",
+    oracle="""
+    WITH ranked AS (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY o_totalprice DESC, o_orderkey)
+               AS rhi,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY o_totalprice ASC, o_orderkey)
+               AS rlo
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    )
+    SELECT h.c_mktsegment,
+           h.o_orderkey AS biggest_order,
+           l.o_orderkey AS smallest_order
+    FROM (SELECT * FROM ranked WHERE rhi = 1) h
+    JOIN (SELECT * FROM ranked WHERE rlo = 1) l
+      ON h.c_mktsegment = l.c_mktsegment
+    """,
+)
+def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic argmin/argmax per group (``max_by``/``min_by``):
+    which ORDER had the extreme price per segment — the lookup
+    aggregate that saves a self-join. The ordering value is a struct
+    (price, key) so ties resolve identically everywhere; DuckDB's
+    arg_max is scalar-only, so the oracle expresses the same thing
+    with ranked windows. One partial+final aggregation, no join."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    return j.groupBy("c_mktsegment").agg(
+        F.expr(
+            "max_by(o_orderkey, struct(o_totalprice, -o_orderkey))"
+        ).alias("biggest_order"),
+        F.expr(
+            "min_by(o_orderkey, struct(o_totalprice, o_orderkey))"
+        ).alias("smallest_order"),
+    )

@@ -464,3 +464,57 @@ def sink_compressed_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .csv(cs)
     )
     return agg(back_pq, "zstd_parquet").unionByName(agg(back_cs, "gzip_csv"))
+
+
+@query(
+    "scan_glob_recursive",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE)
+             AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def scan_glob_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path-pattern ingestion: the same dataset scattered across a
+    nested date-sharded layout (``landing/2024/01/*.parquet`` style)
+    read back two ways — a glob pattern and ``recursiveFileLookup`` —
+    and both must see every file exactly once. At 100 TB the listing
+    strategy IS a performance decision (driver-side listing of a
+    million-file tree), which is why both knobs exist; this key pins
+    their completeness semantics."""
+    import tempfile
+
+    src = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="uchr_glob_")
+    # scatter into a two-level nested layout
+    for status in ("F", "O", "P"):
+        (
+            src.where(F.col("o_orderstatus") == status)
+            .write.mode("overwrite")
+            .parquet(f"{root}/y=2024/s={status}")
+        )
+    globbed = spark.read.schema(src.schema).parquet(f"{root}/y=*/s=*")
+    recursive = (
+        spark.read.schema(src.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(root)
+    )
+    agg = lambda df: df.groupBy("o_orderstatus").agg(  # noqa: E731
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(24,6)"))
+        .cast("double")
+        .alias("total"),
+    )
+    # parity is part of the checked result: inner-join the two
+    # aggregates on ALL columns — if either listing strategy misses or
+    # double-reads a file, rows drop out and the oracle check fails
+    g, r = agg(globbed), agg(recursive)
+    return g.join(
+        r,
+        [g[c].eqNullSafe(r[c]) for c in ["o_orderstatus", "n", "total"]],
+        "inner",
+    ).select(g["o_orderstatus"], g["n"], g["total"])
