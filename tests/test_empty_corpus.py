@@ -47,3 +47,45 @@ def test_every_key_survives_empty_corpus(spark, empty_dir):
         except Exception as exc:  # noqa: BLE001 — collecting a report
             fails.append(f"{key}: {exc!r:.120}")
     assert not fails, "\n".join(fails)
+
+
+@pytest.fixture(scope="module")
+def null_dir(spark):
+    """~10% NULLs injected into every non-key column (primary keys stay
+    non-null — that's the PK contract); operators must quarantine or
+    null-propagate, never crash."""
+    from pyspark.sql import functions as F
+
+    keylike = {
+        "r_regionkey", "n_nationkey", "n_regionkey", "s_suppkey",
+        "s_nationkey", "c_custkey", "c_nationkey", "p_partkey",
+        "o_orderkey", "o_custkey", "l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "event_id", "user_id", "doc_id", "vec_id", "ts",
+    }
+    out = tempfile.mkdtemp(prefix="uchr_null_corpus_")
+    for t in TABLES:
+        df = spark.read.parquet(f"{SF_SMOKE}/{t}.parquet")
+        pk = [c for c in df.columns if c in keylike][:1]
+        for c in df.columns:
+            if c not in keylike:
+                df = df.withColumn(
+                    c,
+                    F.when(
+                        F.abs(F.hash(F.lit(t + c), *[df[k] for k in pk])) % 10
+                        == 0,
+                        None,
+                    ).otherwise(df[c]),
+                )
+        df.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+    yield out
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_every_key_survives_null_heavy_corpus(spark, null_dir):
+    fails = []
+    for key in sorted(REGISTRY):
+        try:
+            REGISTRY[key].fn(spark, null_dir).limit(5).collect()
+        except Exception as exc:  # noqa: BLE001 — collecting a report
+            fails.append(f"{key}: {exc!r:.120}")
+    assert not fails, "\n".join(fails)

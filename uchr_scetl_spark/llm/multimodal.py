@@ -59,7 +59,7 @@ def multimodal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     token stats (text modality) and norms (vector modality) in a single
     plan — the 'one table, many modalities' shape."""
     d = load(spark, sf_dir, "documents").where(F.col("n_chars") > 100)
-    e = load(spark, sf_dir, "embeddings").withColumn(
+    e = load(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull()).withColumn(
         "v", F.col("embedding").cast("array<double>")
     )
     toks = F.split("text", " ")
@@ -104,7 +104,7 @@ def multimodal_crossmodal_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load(spark, sf_dir, "documents")
-    e = load(spark, sf_dir, "embeddings").withColumn(
+    e = load(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull()).withColumn(
         "v", F.col("embedding").cast("array<double>")
     )
     langs = d.join(e, d.doc_id == e.vec_id).select("lang", "doc_id", "v")
@@ -193,7 +193,9 @@ def multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     (stand-in for real image bytes); the mapInPandas stage demonstrates
     the exact batch shape a real decoder plugs into. Partition count is
     preserved — decode parallelism = input parallelism."""
-    d = load(spark, sf_dir, "documents")
+    # null text -> null payload; a real media pipeline quarantines
+    # undecodable records before the decode stage, so do the same
+    d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     media = d.select(
         "doc_id",
         F.when(F.col("doc_id") % 2 == 0, "image/png")
@@ -242,7 +244,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize stage for opaque media payloads: binary in → binary out
     through mapInPandas, 1:1 rows, partition-preserving — the shape a
     real thumbnailing / resampling stage plugs into."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     media = d.select(
         "doc_id",
         F.when(F.col("doc_id") % 2 == 0, "image/png")
@@ -298,7 +300,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows (one output row per sampled frame) — the other batch shape a
     media pipeline needs besides 1:1 decode/resize. Payloads here are
     32 deterministic bytes = 8 four-byte 'frames'; stride 2 keeps 4."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     video = d.select(
         "doc_id",
         F.to_binary(

@@ -86,7 +86,7 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The probe side is broadcast, so the corpus is scanned once with no
     shuffle; the per-probe top-k is a bounded window over ≤|corpus|
     rows per probe."""
-    e = load(spark, sf_dir, "embeddings").withColumn(
+    e = load(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull()).withColumn(
         "v", F.col("embedding").cast("array<double>")
     ).withColumn("nrm", F.sqrt(dot_expr("v", "v")))
     probes = e.where(F.col("vec_id") < N_PROBES).select(
@@ -116,7 +116,7 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _normed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        load(spark, sf_dir, "embeddings")
+        load(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
         .withColumn("v", F.col("embedding").cast("array<double>"))
         .withColumn("nrm", F.sqrt(dot_expr("v", "v")))
     )
@@ -318,7 +318,7 @@ def _ivf_base(spark: SparkSession, sf_dir: str) -> DataFrame:
             n[n == 0] = 1.0
             return pd.Series(list(M / n))
 
-        e = load(spark, sf_dir, "embeddings").select(
+        e = load(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull()).select(
             "vec_id",
             "label",
             l2_normalize(F.col("embedding").cast("array<double>")).alias("vn"),
@@ -447,7 +447,7 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape at 100 TB: explode corpus to L rows, shuffle-join on the
     (table,bucket) key — never a pairwise product; candidate dedup is
     a groupBy on (probe, neighbor)."""
-    e = load(spark, sf_dir, "embeddings").withColumn(
+    e = load(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull()).withColumn(
         "v", F.col("embedding").cast("array<double>")
     )
     planes = _hyperplanes(n=LSH_TABLES * LSH_BITS)
@@ -525,7 +525,7 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     terminate with a trailing 5 at ANY decimal-cast scale, where Spark
     (HALF_UP) and DuckDB (HALF_EVEN) disagree — floor of the same
     double is tie-free and bit-identical in both engines."""
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
     return (
         e.select(
             "label",
@@ -582,7 +582,7 @@ def embeddings_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero shuffles."""
     xd = lambda x: x.cast("double")  # noqa: E731
     maxabs = F.array_max(F.transform("embedding", lambda x: F.abs(xd(x))))
-    e = load(spark, sf_dir, "embeddings").where(maxabs > 0)
+    e = load(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull()).where(maxabs > 0)
     scale = (F.lit(127.0) / maxabs).alias("scale")
     q = F.transform("embedding", lambda x: F.floor(xd(x) * (F.lit(127.0) / maxabs) + 0.5))
     zero = F.lit(0).cast("bigint")

@@ -290,7 +290,7 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = (
         load(spark, sf_dir, "documents")
-        .where(F.col("doc_id") < 32)
+        .where((F.col("doc_id") < 32) & F.col("text").isNotNull())
         .select("doc_id", "text")
         .collect()
     )

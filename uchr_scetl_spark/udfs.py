@@ -212,13 +212,17 @@ def _reconcile(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
       SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_filled,
              CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                AS cents
-      FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey
+      FROM orders WHERE o_orderstatus = 'F'
+        AND o_totalprice IS NOT NULL
+      GROUP BY o_custkey
     ),
     o AS (
       SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_open,
              CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                AS cents
-      FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey
+      FROM orders WHERE o_orderstatus = 'O'
+        AND o_totalprice IS NOT NULL
+      GROUP BY o_custkey
     )
     SELECT COALESCE(f.o_custkey, o.o_custkey) AS o_custkey,
            CAST(COALESCE(f.n_filled, 0) AS BIGINT) AS n_filled,
@@ -252,12 +256,14 @@ def udf_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = (F.hash("o_custkey") % 64).alias("bucket")
     filled = (
         load(spark, sf_dir, "orders")
-        .where(F.col("o_orderstatus") == "F")
+        .where((F.col("o_orderstatus") == "F")
+               & F.col("o_totalprice").isNotNull())
         .select(bucket, "o_custkey", "o_totalprice")
     )
     open_ = (
         load(spark, sf_dir, "orders")
-        .where(F.col("o_orderstatus") == "O")
+        .where((F.col("o_orderstatus") == "O")
+               & F.col("o_totalprice").isNotNull())
         .select(bucket, "o_custkey", "o_totalprice")
     )
     return (
