@@ -118,6 +118,21 @@ AUDITS: dict[str, tuple[str, list[str]]] = {
         "generated executor-side through the Arrow python worker.",
         [r"BatchScan|PythonDataSource|ArrowEvalPython|Scan"],
     ),
+    "join_range_banded": (
+        "Interval join as a banded EQUI-join: the right side explodes "
+        "to band ±1 (bounded 3x replication, a Generate node) and the "
+        "join keys on the band id with the exact range as residual - "
+        "no nested loop anywhere. At this SF the planner broadcasts "
+        "the small side; at scale the same plan hash-partitions on "
+        "the band id (equi key present either way).",
+        [r"Generate", r"Exchange hashpartitioning", r"Join"],
+    ),
+    "etl_cdc_apply": (
+        "CDC apply: the change log ranks to latest-per-key with one "
+        "window, then ONE full-outer join applies inserts/updates/"
+        "deletes to the base snapshot.",
+        [r"Window", r"FullOuter", r"Exchange hashpartitioning"],
+    ),
 }
 
 
