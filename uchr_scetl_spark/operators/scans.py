@@ -518,3 +518,42 @@ def scan_glob_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         [g[c].eqNullSafe(r[c]) for c in ["o_orderstatus", "n", "total"]],
         "inner",
     ).select(g["o_orderstatus"], g["n"], g["total"])
+
+
+@query(
+    "sink_sorted_clustered",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1999-06-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1999-09-01 00:00:00'
+    """,
+)
+def sink_sorted_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-clustered layout: repartition by a distribution key, sort
+    WITHIN each file by the query key, write parquet — every row
+    group's min/max o_orderdate stats become tight, so a later range
+    filter skips whole row groups without reading them (the poor
+    man's z-order, and the single highest-leverage layout decision
+    for time-filtered scans at 100 TB). The re-read's pushed range
+    filter is what the oracle checks; the plan test asserts the
+    filter reaches the scan."""
+    import tempfile
+
+    src = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    out = tempfile.mkdtemp(prefix="uchr_clustered_")
+    (
+        src.repartition(4, "o_custkey")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    lo = F.lit("1999-06-01").cast("timestamp_ntz")
+    hi = F.lit("1999-09-01").cast("timestamp_ntz")
+    return (
+        spark.read.schema(src.schema)
+        .parquet(out)
+        .where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+    )
