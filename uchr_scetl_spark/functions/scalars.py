@@ -850,3 +850,69 @@ def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_by(o_orderkey, struct(o_totalprice, o_orderkey))"
         ).alias("smallest_order"),
     )
+
+
+@query(
+    "fn_collation",
+    oracle="""
+    SELECT lower(c_mktsegment) AS seg_ci,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT lower(c_name)) AS BIGINT)
+             AS n_distinct_names_ci
+    FROM customer
+    GROUP BY lower(c_mktsegment)
+    ORDER BY seg_ci
+    """,
+)
+def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive collation (Spark 4 ``COLLATE UTF8_LCASE``):
+    grouping and equality that ignore case WITHOUT rewriting every
+    expression through lower() — the collation travels with the type,
+    so comparisons, joins and aggregations all honor it. DuckDB has
+    no column collations, so the oracle expresses the identical
+    semantics via lower(); the output normalises the group key to
+    lowercase for cross-engine comparability."""
+    c = load(spark, sf_dir, "customer")
+    ci = F.expr("c_mktsegment COLLATE UTF8_LCASE")
+    return (
+        c.groupBy(ci.alias("seg"))
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct(F.expr("c_name COLLATE UTF8_LCASE")).alias(
+                "n_distinct_names_ci"
+            ),
+        )
+        .select(F.lower(F.col("seg")).alias("seg_ci"), "n", "n_distinct_names_ci")
+        .orderBy("seg_ci")
+    )
+
+
+@query(
+    "fn_try_arith",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 50 = 0 THEN NULL
+                ELSE CAST(o_totalprice / (o_orderkey % 50) AS DOUBLE)
+           END AS safe_ratio,
+           CASE WHEN o_orderkey % 50 = 0 THEN NULL
+                ELSE CAST(CAST(o_orderkey AS BIGINT) % (o_orderkey % 50)
+                          AS BIGINT)
+           END AS safe_mod
+    FROM orders WHERE o_orderkey % 7 = 0
+    """,
+)
+def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic (``try_divide``/``try_mod``): division by
+    a data-dependent zero yields NULL instead of failing the job
+    under ANSI mode — with try_cast, the complete "never die on dirty
+    data" surface. The oracle mirrors the NULL-on-zero semantics with
+    CASE guards (DuckDB raises on integer division by zero)."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") % 7 == 0)
+    den = F.col("o_orderkey") % 50
+    return o.select(
+        "o_orderkey",
+        F.try_divide(F.col("o_totalprice"), den).alias("safe_ratio"),
+        F.try_mod(F.col("o_orderkey").cast("bigint"), den)
+        .cast("bigint")
+        .alias("safe_mod"),
+    )
