@@ -325,3 +325,38 @@ def test_restart_resumes_from_checkpoint(spark):
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_complete_mode_replaces_result_table(spark, events_dir):
+    """Complete output mode: every trigger re-emits the FULL result
+    table (unlike append/update) — required for global aggregates a
+    dashboard polls. The memory sink must hold exactly one row per
+    event_type whose counts equal the batch aggregation."""
+    agg = (
+        read_events_stream(spark, events_dir)
+        .groupBy("event_type")
+        .count()
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("uchr_complete_counts")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    got = {
+        r["event_type"]: r["count"]
+        for r in spark.sql("SELECT * FROM uchr_complete_counts").collect()
+    }
+    want = {
+        r["event_type"]: r["count"]
+        for r in spark.read.parquet(events_dir)
+        .groupBy("event_type")
+        .count()
+        .collect()
+    }
+    assert got == want

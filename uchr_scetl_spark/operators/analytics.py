@@ -400,3 +400,57 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n").cast("double") / F.col("tot")).alias("p_transition"),
         )
     )
+
+
+@query(
+    "etl_date_spine",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('day', min(ts)) AS lo, date_trunc('day', max(ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+      FROM bounds
+    ),
+    daily AS (
+      SELECT date_trunc('day', ts) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE event_type = 'purchase' GROUP BY date_trunc('day', ts)
+    )
+    SELECT s.day, CAST(COALESCE(d.n, 0) AS BIGINT) AS n_purchases
+    FROM spine s LEFT JOIN daily d ON s.day = d.day
+    """,
+)
+def etl_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification: a generated date spine LEFT-joined to
+    sparse daily aggregates, so days with zero activity appear as
+    explicit zero rows — the gap-fill every time-series report and
+    forecasting feature pipeline needs (a missing row and a zero are
+    different facts).
+
+    The spine is sequence()+explode over the observed [min, max] day
+    bounds — one row per day, driver-free, broadcastable (a decade is
+    ~3,653 rows); the sparse side aggregates as usual, and the join
+    broadcasts the spine. Deterministic: bounds derive from the data."""
+    e = load(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("day", F.min("ts")).cast("timestamp_ntz").alias("lo"),
+        F.date_trunc("day", F.max("ts")).cast("timestamp_ntz").alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    daily = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy(
+            F.date_trunc("day", F.col("ts")).cast("timestamp_ntz").alias("day")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        F.broadcast(spine)
+        .join(daily, "day", "left")
+        .select("day", F.coalesce("n", F.lit(0)).alias("n_purchases"))
+    )
