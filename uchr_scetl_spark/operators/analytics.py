@@ -454,3 +454,67 @@ def etl_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(daily, "day", "left")
         .select("day", F.coalesce("n", F.lit(0)).alias("n_purchases"))
     )
+
+
+@query(
+    "events_attribution_linear",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, event_id AS purchase_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT user_id, event_id AS click_id, ts AS c_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    touches AS (
+      SELECT p.purchase_id, c.click_id,
+             CAST(COUNT(*) OVER (PARTITION BY p.purchase_id) AS BIGINT)
+               AS n_touches
+      FROM purchases p JOIN clicks c
+        ON p.user_id = c.user_id
+       AND c.c_ts <= p.p_ts
+       AND c.c_ts > p.p_ts - INTERVAL 24 HOUR
+    )
+    SELECT purchase_id, click_id, n_touches,
+           1.0 / n_touches AS credit
+    FROM touches
+    """,
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every click in the 24 h before
+    a purchase shares the conversion credit equally — the revenue-
+    team workhorse between last-touch (one winner) and data-driven
+    models.
+
+    The time-window join is an equi-join on user_id with the 24 h
+    range as residual — at 100 TB user_id hash-distributes it, and a
+    hot user is AQE's skew problem, not a plan rewrite (see
+    join_range_banded for the key-free variant). The per-purchase
+    touch count is one window over the join output; credit is a
+    deterministic 1/n division."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    day_s = 24 * 3600
+    to_s = lambda col: F.col(col).cast("timestamp").cast("long")  # noqa: E731
+    touches = p.join(
+        c,
+        (p.user_id == c.c_user)
+        & (to_s("c_ts") <= to_s("p_ts"))
+        & (to_s("c_ts") > to_s("p_ts") - day_s),
+    )
+    w = Window.partitionBy("purchase_id")
+    return touches.select(
+        "purchase_id",
+        "click_id",
+        F.count("*").over(w).alias("n_touches"),
+    ).withColumn("credit", F.lit(1.0) / F.col("n_touches"))
