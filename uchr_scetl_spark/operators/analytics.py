@@ -504,13 +504,15 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("click_id"),
         F.col("ts").alias("c_ts"),
     )
-    day_s = 24 * 3600
-    to_s = lambda col: F.col(col).cast("timestamp").cast("long")  # noqa: E731
+    # interval arithmetic directly on the timestamps: an epoch-seconds
+    # cast truncates sub-second components and miscounts boundary
+    # clicks (observed: one extra row at sf0.1)
+    lo = F.col("p_ts") - F.expr("INTERVAL 24 HOURS")
     touches = p.join(
         c,
         (p.user_id == c.c_user)
-        & (to_s("c_ts") <= to_s("p_ts"))
-        & (to_s("c_ts") > to_s("p_ts") - day_s),
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > lo),
     )
     w = Window.partitionBy("purchase_id")
     return touches.select(
