@@ -240,7 +240,7 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged AS (
       SELECT user_id, ts, event_id,
              CASE WHEN prev_ts IS NULL
-                       OR epoch(ts) - epoch(prev_ts) > 1800
+                       OR ts > prev_ts + INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_sess
       FROM lagged
     ),
@@ -272,11 +272,12 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
-    # ntz → epoch seconds must route through TIMESTAMP (session tz is
-    # UTC); a direct ntz→long cast is not allowed in Spark 4
-    to_s = lambda c: c.cast("timestamp").cast("long")  # noqa: E731
-    gap = to_s(F.col("ts")) - to_s(prev)
-    new_sess = F.when(prev.isNull() | (gap > 1800), 1).otherwise(0)
+    # exact interval comparison — an epoch-seconds cast truncates
+    # sub-second components and misclassifies boundary gaps
+    new_sess = F.when(
+        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
     numbered = e.withColumn("session_id", F.sum(new_sess).over(w))
     return numbered.groupBy("user_id", "session_id").agg(
         F.min("ts").alias("session_start"),

@@ -231,10 +231,9 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts="ts",
         payload=["purchase_id", "purchase_value", "matched_ts"],
     )
-    within = (
-        F.col("ts").cast("timestamp").cast("long")
-        - F.col("matched_ts").cast("timestamp").cast("long")
-    ) <= 6 * 3600
+    # exact interval comparison (an epoch-seconds cast would truncate
+    # sub-second components and flip boundary matches)
+    within = F.col("ts") <= F.col("matched_ts") + F.expr("INTERVAL 6 HOURS")
     return raw.select(
         "click_id",
         "user_id",
