@@ -74,17 +74,40 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct", tags=("rows-only",))
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts_exact,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           TRUE AS approx_within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ sketch — engine-specific estimate, rows-only check.
+    """HLL++ approximate distinct count. At 100 TB this replaces exact
+    COUNT DISTINCT: the sketch merges associatively so the shuffle
+    carries fixed-size state per group, not one row per distinct key.
 
-    At 100 TB this replaces exact COUNT DISTINCT: the sketch merges
-    associatively so the shuffle carries fixed-size state per group.
-    """
+    The estimate is engine-specific, so the CHECKED output is the
+    sketch's error invariant: at rsd=0.02 the estimate must land
+    within 5% (≥2.5 sigma) of the exact count. The oracle emits the
+    exact count and a literal TRUE — an out-of-bound estimate
+    hash-mismatches instead of silently passing a rows-only check."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("n_parts_exact"),
         F.count("*").alias("n_lines"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_parts_exact",
+        "n_lines",
+        (
+            F.abs(F.col("approx_parts") - F.col("n_parts_exact"))
+            <= 0.05 * F.col("n_parts_exact")
+        ).alias("approx_within_5pct"),
     )
 
 
@@ -328,7 +351,7 @@ def agg_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           list_sort(array_agg(DISTINCT source)) AS sources
+           array_to_string(list_sort(array_agg(DISTINCT source)), ',') AS sources
     FROM documents GROUP BY lang
     """,
 )
@@ -336,47 +359,113 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: the collected set is sorted so the result is
     deterministic (collect order is partitioning-dependent in every
     engine — never emit an unsorted collected array from a checked
-    query)."""
+    query), then flattened to a CSV string — checked results carry
+    scalar columns only, because downstream order-insensitive hashers
+    (the driver's included) cannot hash array cells."""
     d = load(spark, sf_dir, "documents")
     return d.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
-        F.array_sort(F.collect_set("source")).alias("sources"),
+        F.array_join(F.array_sort(F.collect_set("source")), ",").alias("sources"),
     )
 
 
-@query("agg_hll_sketch_merge", tags=("rows-only",))
+@query(
+    "agg_hll_sketch_merge",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts_exact,
+           TRUE AS merge_within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch pattern: per-group HLL sketches built once,
     then UNIONED to coarser groups without touching the raw data —
     the 100 TB shape for distinct-count rollups (daily sketches merge
-    into monthly; no re-scan). Datasketches binary images are
-    engine-specific → rows-only."""
+    into monthly; no re-scan).
+
+    Datasketches binary images are engine-specific, so the CHECKED
+    output is the sketch's accuracy invariant, not its bytes: the
+    merged estimate must land within 5% of the exact distinct count
+    (HLL lgConfigK=12 → ~1.6% rsd; 5% is ≥3 sigma). The oracle emits
+    the exact count and a literal TRUE — a violated bound therefore
+    hash-mismatches. The sketch build/merge/estimate pipeline is the
+    real distributed plan under test."""
     li = load(spark, sf_dir, "lineitem")
     per_flag = li.groupBy("l_returnflag", "l_linestatus").agg(
         F.hll_sketch_agg("l_partkey").alias("sk")
     )
-    return (
+    merged = (
         per_flag.groupBy("l_returnflag")
         .agg(F.hll_union_agg("sk").alias("sk"))
         .select(
             "l_returnflag",
             F.hll_sketch_estimate("sk").alias("approx_parts"),
         )
-        .orderBy("l_returnflag")
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts_exact")
+    )
+    return merged.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        "n_parts_exact",
+        (
+            F.abs(F.col("approx_parts") - F.col("n_parts_exact"))
+            <= 0.05 * F.col("n_parts_exact")
+        ).alias("merge_within_5pct"),
     )
 
 
-@query("agg_approx_percentile", tags=("rows-only",))
+@query(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY l_extendedprice)
+                AS DOUBLE) AS p25,
+           CAST(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY l_extendedprice)
+                AS DOUBLE) AS p50,
+           CAST(PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY l_extendedprice)
+                AS DOUBLE) AS p75,
+           TRUE AS approx_in_rank_bounds
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate percentiles (single-pass quantile sketch) — the
+    """Approximate percentiles (single-pass GK quantile sketch) — the
     scale path where agg_percentile's exact form needs a full sort of
-    each group. Sketch internals are engine-specific → rows-only."""
+    each group.
+
+    Sketch internals are engine-specific, so the CHECKED output is the
+    sketch's rank-error guarantee, not its raw values: with accuracy
+    10000 each approximate quartile must land between the exact
+    quantiles at rank ±0.005 (5× the 1/accuracy bound). Exact
+    quartiles are emitted alongside (they check against the oracle's
+    PERCENTILE_CONT bit-for-bit); the bound bool collapses to a
+    literal TRUE on the oracle side, so a violated guarantee
+    hash-mismatches."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000).alias(
-            "price_quartiles"
+    qs = [0.25, 0.5, 0.75]
+    lo = [q - 0.005 for q in qs]
+    hi = [q + 0.005 for q in qs]
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", qs, 10000).alias("aq"),
+        F.percentile("l_extendedprice", qs).alias("eq"),
+        F.percentile("l_extendedprice", lo).alias("lo"),
+        F.percentile("l_extendedprice", hi).alias("hi"),
+    )
+    in_bounds = F.forall(
+        F.expr(
+            "zip_with(aq, zip_with(lo, hi, (l, h) -> struct(l AS l, h AS h)),"
+            " (a, b) -> a >= b.l AND a <= b.h)"
         ),
-        F.percentile_approx("l_quantity", 0.5, 10000).alias("median_qty"),
+        lambda x: x,
+    )
+    return agg.select(
+        "l_returnflag",
+        F.col("eq")[0].alias("p25"),
+        F.col("eq")[1].alias("p50"),
+        F.col("eq")[2].alias("p75"),
+        in_bounds.alias("approx_in_rank_bounds"),
     )
 
 
