@@ -12,17 +12,21 @@ SimHash.
   thousands of docs, and the self-join shuffles on the band key.
 - ``dedup_near`` (MinHash LSH): the unbounded-scale path. Cost is
   linear in corpus size: explode distinct shingles (map-side), one
-  groupBy(doc) to fold 32 seeded xxhash64 minima into a signature, one
+  groupBy(doc) to fold 64 seeded xxhash64 minima into a signature, one
   groupBy(band-hash) self-join that only materialises pairs whose band
   collides. No full pairwise product ever exists. Candidates are then
   *verified* with exact Jaccard, so false positives cost compute, never
   correctness; band/row parameters trade recall for cost.
 - ``dedup_simhash``: constant-size signature per doc computed with
-  higher-order functions (no explode, no UDF); banding over 4×16-bit
-  chunks finds candidates with Hamming distance ≤ threshold.
+  higher-order functions (no explode, no UDF); banding over 4×15-bit
+  chunks finds candidates with Hamming distance ≤ 3 at exact recall
+  (pigeonhole).
 
-LSH internals hash with ``xxhash64`` (no oracle twin) → those keys are
-rows-only; the exact operators are SQL-checked.
+Every key here is value-checked against a DuckDB oracle: the exact
+operators trivially; MinHash because its verified output equals the
+exact-Jaccard pair set at these band parameters; SimHash because its
+token hash is md5-derived and bit-identical in both engines; clusters
+via a recursive-CTE transitive closure.
 """
 
 from __future__ import annotations
@@ -38,16 +42,26 @@ from ..session import default_parallelism
 # tiny vocabulary, so token-SET Jaccard barely discriminates (22% of all
 # pairs exceed 0.7), while shingle Jaccard is ~0 for unrelated docs and
 # ≥0.9 for the constructed near-dups (measured: exactly the 25 true
-# pairs at sf0.01 clear 0.3). 32 permutations in 8 bands of 4:
-# candidate P = 1-(1-j^4)^8 → recall 0.985 at j=0.8, ~1 at j=0.9,
-# and ~0 false candidates because background shingle-J ≈ 0.
-N_MINHASH = 32
-N_BANDS = 8
+# pairs at sf0.01 clear 0.3). 64 permutations in 16 bands of 4:
+# candidate P = 1-(1-j^4)^16 → miss 2.2e-4 at j=0.80 and 3.9e-8 at
+# j=0.9, so LSH recall vs the exact-Jaccard oracle is certain at this
+# corpus's similarity gap (near-dups ≥0.9, background ≈0) — which is
+# what lets dedup_near carry a full value-checked oracle instead of a
+# rows-only tag. ~0 false candidates because background shingle-J ≈ 0.
+N_MINHASH = 64
+N_BANDS = 16
 ROWS_PER_BAND = N_MINHASH // N_BANDS
 JACCARD_T = 0.8
 SHINGLE_N = 3
-SIMHASH_BITS = 64
+# SimHash uses a 60-bit token hash derived from md5 (top 15 hex chars →
+# bigint): md5 is the one keyed-quality hash BOTH Spark and DuckDB
+# expose with identical output, which is what lets the signatures —
+# not just derived counts — be value-checked against the oracle.
+# 60 bits split into 4 chunks of 15; pigeonhole still guarantees any
+# pair at Hamming ≤ 3 shares a chunk.
+SIMHASH_BITS = 60
 SIMHASH_CHUNKS = 4
+SIMHASH_CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS
 
 
 @query(
@@ -85,10 +99,12 @@ def _band(col: F.Column, width: int = 10) -> F.Column:
     return F.floor(col / F.lit(width))
 
 
-@query(
-    "dedup_ngram_jaccard",
-    oracle="""
-    WITH base AS (
+# Shared oracle CTE: per-doc distinct 3-gram shingle arrays with the
+# lang × token-count-band bounding keys (the DuckDB twin of
+# shingled_docs, over shingle STRINGS — Spark's xxhash64'd shingles
+# have identical set cardinalities modulo a ~1e-9 collision chance).
+_ORACLE_SHINGLED_CTE = """
+    base AS (
       SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
     ), docs AS (
       SELECT doc_id, lang,
@@ -99,6 +115,10 @@ def _band(col: F.Column, width: int = 10) -> F.Column:
     ), sized AS (
       SELECT *, len(toks) AS n FROM docs
     )
+"""
+
+_ORACLE_NGRAM_JACCARD = f"""
+    WITH {_ORACLE_SHINGLED_CTE}
     SELECT a.doc_id AS a_id, b.doc_id AS b_id,
            (CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
               / (a.n + b.n - len(list_intersect(a.toks, b.toks)))) AS jaccard
@@ -106,8 +126,10 @@ def _band(col: F.Column, width: int = 10) -> F.Column:
       ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
     WHERE (CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
               / (a.n + b.n - len(list_intersect(a.toks, b.toks)))) >= 0.6
-    """,
-)
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_ORACLE_NGRAM_JACCARD)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram-shingle Jaccard over bounded candidate groups
     (same lang, same token-count band). Union size via
@@ -236,14 +258,40 @@ def minhash_signatures(
     )
 
 
-@query("dedup_near", tags=("rows-only",))
+_ORACLE_NEAR = f"""
+    WITH {_ORACLE_SHINGLED_CTE},
+    shingle_rows AS (
+      SELECT doc_id, n, unnest(toks) AS tok FROM sized
+    ),
+    pair_inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             CAST(COUNT(*) AS BIGINT) AS inter,
+             any_value(a.n) AS a_n, any_value(b.n) AS b_n
+      FROM shingle_rows a JOIN shingle_rows b
+        ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT a_id, b_id,
+           CAST(inter AS DOUBLE) / (a_n + b_n - inter) AS jaccard
+    FROM pair_inter
+    WHERE CAST(inter AS DOUBLE) / (a_n + b_n - inter) >= {JACCARD_T}
+"""
+
+
+@query("dedup_near", oracle=_ORACLE_NEAR)
 def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, exact-Jaccard verified.
 
-    3-gram shingles → 32 seeded-xxhash64 minima → 8 bands of 4 →
+    3-gram shingles → 64 seeded-xxhash64 minima → 16 bands of 4 →
     band-bucket self-join → verify candidates with exact shingle
-    Jaccard ≥ 0.8. rows-only (xxhash64 banding has no oracle twin);
-    the verify step guarantees zero false positives in the output.
+    Jaccard ≥ 0.8. The verify step guarantees zero false positives;
+    the band parameters push per-pair miss probability below 1e-3 at
+    j=0.8 (≈0 at this corpus's ≥0.9 near-dup similarity), so the
+    output value-matches the exact inverted-index all-pairs oracle —
+    checked, not rows-only. The oracle's shingle inverted-index join
+    only materialises pairs sharing ≥1 shingle, so it stays linear-ish
+    too; the LSH path additionally never *counts* shared shingles for
+    non-candidates, which is what survives 100 TB.
     """
     sigs = minhash_signatures(spark, sf_dir)
     bands = sigs.select(
@@ -309,10 +357,10 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, chunks[4]) 64-bit SimHash as one higher-order-function
+    """(doc_id, chunks[4]) 60-bit SimHash as one higher-order-function
     expression: hash each distinct token ONCE (the per-bit lambda sees
-    the pre-hashed value — hashing inside the bit loop costs 64×), fold
-    per-bit +1/-1 votes, threshold, pack 16-bit chunks MSB-first.
+    the pre-hashed value — hashing inside the bit loop costs 60×), fold
+    per-bit +1/-1 votes, threshold, pack 15-bit chunks MSB-first.
 
     Constant-size state per row, no shuffle at all for the signature
     itself; the explicit repartition spreads the CPU (a single-file
@@ -331,7 +379,9 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
             slice(
               transform(
                 aggregate(
-                  transform(array_distinct(split(text, ' ')), tok -> xxhash64(tok)),
+                  transform(array_distinct(split(text, ' ')),
+                            tok -> cast(conv(substring(md5(tok), 1, 15), 16, 10)
+                                        as bigint)),
                   array_repeat(0L, {SIMHASH_BITS}),
                   (acc, h) -> zip_with(
                     acc,
@@ -345,7 +395,7 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
                 ),
                 v -> CASE WHEN v > 0L THEN 1L ELSE 0L END
               ),
-              c * 16 + 1, 16
+              c * {SIMHASH_CHUNK_BITS} + 1, {SIMHASH_CHUNK_BITS}
             ),
             0L,
             (acc, bit) -> acc * 2L + bit
@@ -358,11 +408,63 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     )
 
 
-@query("dedup_simhash", tags=("rows-only",))
+_ORACLE_SIMHASH = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h
+      FROM toks
+    ), votes AS (
+      SELECT doc_id, bs.b AS b,
+             SUM(CASE WHEN ((h >> bs.b) & 1) = 1 THEN 1 ELSE -1 END) AS vote
+      FROM hashed, (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS b) bs
+      GROUP BY doc_id, bs.b
+    ), chunked AS (
+      SELECT doc_id, CAST(b // {SIMHASH_CHUNK_BITS} AS INT) AS chunk_pos,
+             SUM(CASE WHEN vote > 0
+                 THEN (CAST(1 AS BIGINT)
+                       << ({SIMHASH_CHUNK_BITS - 1} - (b % {SIMHASH_CHUNK_BITS})))
+                 ELSE 0 END) AS chunk_val
+      FROM votes GROUP BY doc_id, CAST(b // {SIMHASH_CHUNK_BITS} AS INT)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM chunked a JOIN chunked b
+        ON a.chunk_pos = b.chunk_pos AND a.chunk_val = b.chunk_val
+       AND a.doc_id < b.doc_id
+    ), sigs AS (
+      SELECT doc_id, list(chunk_val ORDER BY chunk_pos) AS chunks
+      FROM chunked GROUP BY doc_id
+    ), pairs AS (
+      SELECT c.a_id, c.b_id,
+             CAST(bit_count(xor(sa.chunks[1], sb.chunks[1]))
+                + bit_count(xor(sa.chunks[2], sb.chunks[2]))
+                + bit_count(xor(sa.chunks[3], sb.chunks[3]))
+                + bit_count(xor(sa.chunks[4], sb.chunks[4])) AS BIGINT) AS hamming
+      FROM cand c
+      JOIN sigs sa ON sa.doc_id = c.a_id
+      JOIN sigs sb ON sb.doc_id = c.b_id
+    )
+    SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 3
+"""
+
+
+@query("dedup_simhash", oracle=_ORACLE_SIMHASH)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates: pairs sharing ≥1 of 4 16-bit chunks
-    (≡ guaranteed recall for Hamming distance ≤ 3), verified by exact
-    Hamming distance ≤ 8 over the full 64 bits."""
+    """SimHash near-dup candidates: pairs sharing ≥1 of 4 15-bit chunks
+    then verified at exact Hamming distance ≤ 3 over the full 60 bits
+    — the pigeonhole pair (4 chunks, threshold 3) makes the banding
+    EXACTLY recall-complete: every qualifying pair shares a chunk, so
+    the output equals all-pairs Hamming ≤ 3 without an all-pairs join.
+
+    Fully value-checked: the md5-derived token hash (see SIMHASH_BITS
+    note) makes the signatures — and therefore the banding candidates
+    and Hamming distances — bit-identical in DuckDB, so the oracle
+    recomputes the whole pipeline (votes → packed chunks → chunk-equality
+    candidates → Hamming filter) rather than settling for a rows-only
+    check. Deterministic by construction: no sampling, no permutation
+    seeds, same candidate semantics on both engines."""
     d = load(spark, sf_dir, "documents")
     # cached: the banding self-join references the signature relation
     # twice, and signatures are 4 longs per doc — pennies to hold
@@ -401,13 +503,43 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cand.withColumn("hamming", hamming)
-        .where(F.col("hamming") <= 8)
+        .where(F.col("hamming") <= 3)
         .select("a_id", "b_id", "hamming")
         .orderBy("a_id", "b_id")
     )
 
 
-@query("dedup_clusters", tags=("rows-only",))
+_ORACLE_CLUSTERS = f"""
+    WITH RECURSIVE {_ORACLE_SHINGLED_CTE},
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM sized a JOIN sized b
+        ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+      WHERE (CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                / (a.n + b.n - len(list_intersect(a.toks, b.toks)))) >= 0.6
+    ),
+    edges AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION
+      SELECT b_id AS src, a_id AS dst FROM pairs
+    ),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    labels AS (
+      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    )
+    SELECT doc_id, cluster_id FROM labels
+    UNION ALL
+    SELECT doc_id, doc_id AS cluster_id FROM documents
+    WHERE doc_id NOT IN (SELECT src FROM edges)
+"""
+
+
+@query("dedup_clusters", oracle=_ORACLE_CLUSTERS)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster assignment: connected components over the
     near-dup pair graph via iterative min-label propagation — the
@@ -421,9 +553,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy — at 100 TB this is the standard big-graph CC recipe
     (GraphX/GraphFrames run the same plan). The driver loop only reads
     a scalar changed-count per round (no data collect); localCheckpoint
-    truncates the growing lineage. rows-only: the fixpoint loop is not
-    single-statement SQL (DuckDB could via WITH RECURSIVE, but the
-    driver compares one statement).
+    truncates the growing lineage. Oracle: single-statement recursive
+    CTE — transitive closure over the same (SQL-derived) edge set,
+    min reachable id per vertex — so the fixpoint result is fully
+    value-checked, not rows-only.
 
     Two scale decisions keep the loop cheap: (1) the edge relation is
     materialized ONCE (localCheckpoint) — uncached, every round would
@@ -459,7 +592,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(n_parts, "doc_id")
         .localCheckpoint()
     )
-    for _ in range(10):
+    for _ in range(50):  # converges in O(diameter); break below fires long before
         neighbor_min = (
             edges.join(
                 labels.select(
