@@ -13,6 +13,7 @@ import pytest
 
 from pyspark.sql import functions as F
 
+from uchr_scetl_spark.io import load
 from uchr_scetl_spark.streaming import batch as B
 from uchr_scetl_spark.streaming.streams import (
     EVENTS_STREAM_SCHEMA,
@@ -33,11 +34,8 @@ def events_dir(spark):
     file-stream source: several files → several micro-batches)."""
     out = tempfile.mkdtemp(prefix="uchr_stream_src_")
     (
-        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
-        .withColumn(
-            "ts",
-            F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP)"),
-        )
+        load(spark, SF_SMOKE, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
         .repartition(4)
         .write.mode("overwrite")
         .parquet(out)
@@ -285,8 +283,8 @@ def test_restart_resumes_from_checkpoint(spark):
     ckpt = tempfile.mkdtemp(prefix="uchr_restart_ckpt_")
     shutil.rmtree(out, ignore_errors=True)
 
-    base = spark.read.parquet(f"{SF_SMOKE}/events.parquet").withColumn(
-        "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP)")
+    base = load(spark, SF_SMOKE, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
     )
     a = base.where(F.col("event_id") % 2 == 0)
     b = base.where(F.col("event_id") % 2 == 1)

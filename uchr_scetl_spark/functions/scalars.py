@@ -18,7 +18,7 @@ Cross-engine agreement notes baked into these shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load
@@ -126,25 +126,47 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("fn_math_libm", tags=("rows-only",))
+@query(
+    "fn_math_libm",
+    oracle="""
+    SELECT s_suppkey,
+           CAST(floor(ln(abs(CAST(s_acctbal AS DOUBLE)) + 1) * 1000000)
+                AS BIGINT) AS ln_bal_micro,
+           CAST(floor(log10(abs(CAST(s_acctbal AS DOUBLE)) + 1) * 1000000)
+                AS BIGINT) AS log10_bal_micro,
+           CAST(floor(exp(s_nationkey / 10.0) * 1000000)
+                AS BIGINT) AS exp_nk_micro,
+           CAST(round(s_acctbal, 1) AS DECIMAL(12,1)) AS bal_round1
+    FROM supplier
+    """,
+)
 def fn_math_libm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transcendental / rounding functions — rows-only.
+    """Transcendental / rounding functions.
 
     ``ln``/``log10``/``exp`` are libm-backed and not correctly-rounded,
-    so Java (Spark) and C (DuckDB) results differ in the last ulp on
-    some inputs (observed maxdiff ~9e-16); ``round(double, n)`` differs
-    on representational ties (HALF_UP vs HALF_EVEN). Bit-exact oracle
-    comparison is therefore impossible by construction — these stay in
-    the inventory as a rows-only key.
-    """
+    so Java (Spark) and C (DuckDB) raw doubles can differ in the last
+    ulp (observed maxdiff ~9e-16 relative). The CHECKED output
+    quantizes to microscale integers (floor(x*1e6)): a cross-engine
+    disagreement would need a value within ~1e-15·x of a 1e-6 grid
+    boundary — absent on this data (verified at every SF), and any
+    future flake would surface as an off-by-one, not a silent pass.
+    Rounding is checked on the DECIMAL type, where both engines define
+    HALF_UP ties (round(double, n) would diverge on representational
+    ties)."""
     s = load(spark, sf_dir, "supplier")
-    bal = F.col("s_acctbal")
+    bal_d = F.col("s_acctbal").cast("double")
     return s.select(
         "s_suppkey",
-        F.log(F.abs(bal) + F.lit(1)).alias("ln_bal"),
-        F.log10(F.abs(bal) + F.lit(1)).alias("log10_bal"),
-        F.exp(F.col("s_nationkey") / F.lit(10.0)).alias("exp_nk"),
-        F.round(bal, 1).alias("bal_round1"),
+        F.floor(F.log(F.abs(bal_d) + F.lit(1)) * 1e6)
+        .cast("bigint")
+        .alias("ln_bal_micro"),
+        F.floor(F.log10(F.abs(bal_d) + F.lit(1)) * 1e6)
+        .cast("bigint")
+        .alias("log10_bal_micro"),
+        F.floor(F.exp(F.col("s_nationkey") / F.lit(10.0)) * 1e6)
+        .cast("bigint")
+        .alias("exp_nk_micro"),
+        F.round(F.col("s_acctbal"), 1).cast("decimal(12,1)").alias("bal_round1"),
     )
 
 
@@ -208,10 +230,26 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("fn_map", tags=("rows-only",))
+@query(
+    "fn_map",
+    oracle="""
+    SELECT event_id,
+           concat('k=',
+                  coalesce(CAST(CAST(json_extract_string(props, '$.k') AS BIGINT)
+                                AS VARCHAR), 'null'),
+                  ',uid=', coalesce(CAST(user_id AS VARCHAR), 'null')
+           ) AS props_map,
+           'k,uid' AS keys,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    """,
+)
 def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map construction/access — rows-only (map ordering is
-    engine-specific, so no hashable oracle)."""
+    """Map construction/access. Map iteration order is engine-specific,
+    so the CHECKED projection serialises entries in sorted-key order
+    (k=…,uid=…) — the map_from_entries/map_keys/element_at machinery is
+    still the surface under test, but the result carries only scalar
+    columns any order-insensitive hasher can digest."""
     e = load(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("bigint")
     m = F.map_from_entries(
@@ -220,10 +258,17 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(F.lit("uid").alias("key"), F.col("user_id").alias("value")),
         )
     )
+    entry = lambda kk: F.concat(  # noqa: E731
+        kk,
+        F.lit("="),
+        F.coalesce(F.element_at(m, kk).cast("string"), F.lit("null")),
+    )
     return e.select(
         "event_id",
-        m.alias("props_map"),
-        F.map_keys(m).alias("keys"),
+        F.array_join(
+            F.transform(F.array_sort(F.map_keys(m)), entry), ","
+        ).alias("props_map"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys"),
         F.element_at(m, "k").alias("k_val"),
     )
 
@@ -293,15 +338,36 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("fn_hash_xx", tags=("rows-only",))
+@query(
+    "fn_hash_xx",
+    oracle="""
+    SELECT doc_id,
+           CAST(COUNT(*) OVER (PARTITION BY text) AS BIGINT) AS n_same_hash,
+           TRUE AS seed_changes_hash
+    FROM documents
+    """,
+)
 def fn_hash_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """xxhash64 — Spark-native 64-bit hash (no DuckDB twin → rows-only).
-    This is the hash the MinHash signatures build on."""
+    """xxhash64 — Spark-native 64-bit hash (the hash the MinHash
+    signatures build on). Raw values have no DuckDB twin, so the
+    CHECKED output is the two properties a partitioner/dedup pipeline
+    actually relies on: hash-equality classes coincide with
+    text-equality classes on this corpus (n_same_hash per doc equals
+    the oracle's per-text group size — a collision would inflate it),
+    and seeding changes the hash (a seed collision would flip the
+    boolean). Both collapse to text-derivable values on the oracle
+    side."""
     d = load(spark, sf_dir, "documents")
-    return d.select(
+    hashed = d.select(
         "doc_id",
         F.xxhash64("text").alias("xx"),
         F.xxhash64("text", F.lit(1)).alias("xx_seed1"),
+    )
+    w = Window.partitionBy("xx")
+    return hashed.select(
+        "doc_id",
+        F.count("*").over(w).alias("n_same_hash"),
+        (F.col("xx") != F.col("xx_seed1")).alias("seed_changes_hash"),
     )
 
 
@@ -434,8 +500,8 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE doc_id % 5 = 0
     )
     SELECT doc_id,
-           list_transform(list_filter(toks, x -> len(x) > 3),
-                          x -> upper(x)) AS long_upper,
+           array_to_string(list_transform(list_filter(toks, x -> len(x) > 3),
+                          x -> upper(x)), ' ') AS long_upper,
            CAST(list_reduce(list_prepend(0,
                 list_transform(toks, x -> len(x))), (a, b) -> a + b)
              AS BIGINT) AS total_chars,
@@ -453,8 +519,11 @@ def fn_array_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split("text", " ")
     return d.select(
         "doc_id",
-        F.transform(
-            F.filter(toks, lambda x: F.length(x) > 3), lambda x: F.upper(x)
+        F.array_join(
+            F.transform(
+                F.filter(toks, lambda x: F.length(x) > 3), lambda x: F.upper(x)
+            ),
+            " ",
         ).alias("long_upper"),
         F.aggregate(
             F.transform(toks, lambda x: F.length(x).cast("bigint")),

@@ -184,7 +184,27 @@ def decode_media(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, DECODED_SCHEMA)
 
 
-@query("multimodal_binary", tags=("rows-only",))
+@query(
+    "multimodal_binary",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, md5(text) AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 'image/png'
+                  ELSE 'audio/wav' END AS media_type
+      FROM documents WHERE text IS NOT NULL
+    ), bytes AS (
+      SELECT doc_id, media_type,
+             [('0x' || substring(h, 2*i-1, 2))::INT
+              for i in generate_series(1, 16)] AS bs
+      FROM m
+    )
+    SELECT doc_id, media_type,
+           CAST(16 AS INT) AS byte_len,
+           CAST(list_sum(bs) AS DOUBLE) / 16 AS feat_mean,
+           CAST(bs[1] AS DOUBLE) AS feat_first
+    FROM bytes
+    """,
+)
 def multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque binary payloads + typed metadata through an Arrow-batched
     decode stage.
@@ -192,7 +212,10 @@ def multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Payloads are synthesised deterministically from document text
     (stand-in for real image bytes); the mapInPandas stage demonstrates
     the exact batch shape a real decoder plugs into. Partition count is
-    preserved — decode parallelism = input parallelism."""
+    preserved — decode parallelism = input parallelism. Because the
+    stand-in features are integer byte statistics divided by powers of
+    two (exact in binary floating point), the DuckDB oracle recomputes
+    them from the same md5 bytes and the key is fully value-checked."""
     # null text -> null payload; a real media pipeline quarantines
     # undecodable records before the decode stage, so do the same
     d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
@@ -239,11 +262,25 @@ def _resize_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-@query("multimodal_resize", tags=("rows-only",))
+@query(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image/png'
+                ELSE 'audio/wav' END AS media_type,
+           CAST(16 AS INT) AS orig_len,
+           CAST(16 AS INT) AS resized_len,
+           md5(text) AS payload_hex
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize stage for opaque media payloads: binary in → binary out
     through mapInPandas, 1:1 rows, partition-preserving — the shape a
-    real thumbnailing / resampling stage plugs into."""
+    real thumbnailing / resampling stage plugs into. The checked
+    projection hex-encodes the resized payload (binary cells stringify
+    differently across engines' pandas bridges; hex is unambiguous),
+    so bytes, not just lengths, are value-checked."""
     d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     media = d.select(
         "doc_id",
@@ -257,7 +294,17 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             yield _resize_batch(pdf)
 
-    return media.mapInPandas(run, RESIZED_SCHEMA).orderBy("doc_id")
+    return (
+        media.mapInPandas(run, RESIZED_SCHEMA)
+        .select(
+            "doc_id",
+            "media_type",
+            "orig_len",
+            "resized_len",
+            F.lower(F.hex("payload")).alias("payload_hex"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 FRAME_SCHEMA = StructType(
@@ -294,12 +341,33 @@ def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-@query("multimodal_frame_sample", tags=("rows-only",))
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, md5(text) || md5('f:' || text) AS h
+      FROM documents WHERE text IS NOT NULL
+    ), frames AS (
+      SELECT doc_id, fi.i AS frame_idx,
+             (('0x' || substring(h, 8*fi.i + 1, 2))::INT
+            + ('0x' || substring(h, 8*fi.i + 3, 2))::INT
+            + ('0x' || substring(h, 8*fi.i + 5, 2))::INT
+            + ('0x' || substring(h, 8*fi.i + 7, 2))::INT) AS s
+      FROM m, (SELECT unnest([0, 2, 4, 6]) AS i) fi
+    )
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(s AS DOUBLE) / 4 AS frame_feat
+    FROM frames
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling for video-like payloads: mapInPandas that EXPANDS
     rows (one output row per sampled frame) — the other batch shape a
     media pipeline needs besides 1:1 decode/resize. Payloads here are
-    32 deterministic bytes = 8 four-byte 'frames'; stride 2 keeps 4."""
+    32 deterministic bytes = 8 four-byte 'frames'; stride 2 keeps 4;
+    the per-frame feature (byte mean, /4 is exact in doubles) is
+    recomputed by the oracle from the same md5-derived bytes, so the
+    expanding UDF's full output is value-checked."""
     d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     video = d.select(
         "doc_id",

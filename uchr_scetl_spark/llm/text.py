@@ -124,10 +124,32 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_tfidf_scores", tags=("rows-only",))
+@query(
+    "text_tfidf_scores",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, tok
+    ), df AS (
+      SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY tok
+    ), n AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents
+    )
+    SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+           CAST(floor(tf.tf * ln(n.n_docs / df.df) * 1000000) AS BIGINT)
+             AS tfidf_micro
+    FROM tf JOIN df USING (tok), n
+    """,
+)
 def text_tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Classic tf·idf doubles (idf = ln(N/df)); rows-only because ln is
-    not bit-reproducible across engines."""
+    """Classic tf·idf (idf = ln(N/df)). ln is libm-backed and not
+    bit-reproducible across engines, so the CHECKED score is quantized
+    to a microscale integer (floor(tfidf·1e6)) alongside the exact tf
+    and df integers — a cross-engine flake would need a score within
+    ~1e-15 relative of a 1e-6 grid line (absent on this data, verified
+    at every SF), while a real tf/df/N bug shifts the integer."""
     d = load(spark, sf_dir, "documents")
     n_docs = d.count()  # scalar, one job; at scale: sketch or metadata count
     toks = d.select("doc_id", "lang", F.explode(tokens()).alias("tok"))
@@ -138,7 +160,13 @@ def text_tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "tok",
-            (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("tfidf"),
+            "tf",
+            "df",
+            F.floor(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")) * 1e6
+            )
+            .cast("bigint")
+            .alias("tfidf_micro"),
         )
     )
 
@@ -273,20 +301,41 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_fingerprint", tags=("rows-only",))
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ' '),
+                 tok -> ('0x' || substring(md5(tok), 1, 15))::BIGINT % 1000003)),
+             (acc, h) -> (acc * 31 + h) % 1000000007
+           ) AS fingerprint,
+           CAST(len(text) AS BIGINT) AS n
+    FROM documents
+    """,
+)
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive rolling-hash fingerprint per document, computed
     with a higher-order ``aggregate`` over the token array — all
     JVM-side modular integer arithmetic (bounded < 2^63, ANSI-safe),
-    no UDF. rows-only: relies on xxhash64, which has no oracle twin."""
+    no UDF. The per-token hash is md5-derived (top 15 hex chars →
+    60-bit bigint — the same cross-engine trick as dedup_simhash), so
+    DuckDB's list_reduce reproduces the rolling value exactly and the
+    key is fully value-checked."""
     d = load(spark, sf_dir, "documents")
-    rolling = F.aggregate(
-        tokens(),
-        F.lit(0).cast("bigint"),
-        lambda acc, tok: F.pmod(
-            acc * F.lit(31) + F.pmod(F.xxhash64(tok), F.lit(1000003)),
-            F.lit(1000000007),
-        ),
+    rolling = F.expr(
+        """
+        aggregate(
+          split(text, ' '),
+          cast(0 as bigint),
+          (acc, tok) -> pmod(
+            acc * 31L + pmod(cast(conv(substring(md5(tok), 1, 15), 16, 10)
+                                  as bigint), 1000003L),
+            1000000007L
+          )
+        )
+        """
     )
     return d.select("doc_id", rolling.alias("fingerprint"), F.length("text").alias("n"))
 
