@@ -178,3 +178,24 @@ def test_compact_small_files_reduces_file_count(spark, monkeypatch):
     n_after = len(glob.glob(f"{compacted}/*.parquet"))
     assert n_before == 64 and n_after == 1
     assert n_rows == spark.read.parquet(landing).count()
+
+
+def test_run_counts_in_one_pass(spark, monkeypatch):
+    """rows_written must come from the write's own observed metrics —
+    re-executing the plan for a count is a second full source scan at
+    100 TB. Guard: .count() inside run() trips this monkeypatch."""
+    from pyspark.sql import DataFrame
+
+    def _no_second_pass(self):
+        raise AssertionError(
+            "Pipeline.run re-executed the plan for the row count"
+        )
+
+    monkeypatch.setattr(DataFrame, "count", _no_second_pass)
+    p = Pipeline(
+        source=Source("parquet", f"{SF_SMOKE}/nation.parquet"),
+        steps=[Transform("nonneg", lambda df: df.where(F.col("n_nationkey") >= 0))],
+        sink=Sink("noop", None),
+    )
+    res = p.run(spark)
+    assert res.rows_written == 25

@@ -193,7 +193,7 @@ _SHINGLE_SQL = f"""
 
 # One shingled-documents relation per sf_dir, cached and shared by the
 # three shingle consumers (ngram Jaccard, MinHash LSH, verify step).
-_shingled_memo: dict[tuple[int, str], DataFrame] = {}
+_shingled_memo: dict[tuple[str, str], DataFrame] = {}
 
 
 def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -220,7 +220,9 @@ def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-file parquet table scans as ONE partition, so all shingle
     CPU otherwise lands on one core.
     """
-    key = (id(spark), sf_dir)
+    # applicationId, not id(spark): a GC'd session's id can be reused
+    # by a new session in the same process, silently aliasing the cache
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _shingled_memo:
         d = load(spark, sf_dir, "documents")
         df = (

@@ -300,11 +300,13 @@ def _probe_cells_udf(cents: list[list[float]], nprobe: int = N_PROBE_CELLS):
 # assign) — the MLlib-KMeans pattern: persist the feature vectors once,
 # iterate over the cached relation. Uncached, each of the 5 phases
 # re-scans parquet and re-normalizes.
-_ivf_base_memo: dict[tuple[int, str], DataFrame] = {}
+_ivf_base_memo: dict[tuple[str, str], DataFrame] = {}
 
 
 def _ivf_base(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    # applicationId, not id(spark): a GC'd session's id can be reused
+    # by a new session in the same process, silently aliasing the cache
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _ivf_base_memo:
 
         @F.pandas_udf("array<double>")

@@ -33,7 +33,8 @@ import time
 from dataclasses import dataclass, field
 from typing import Callable, Optional, Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
 from .io import _schema_of, read_csv, read_json, write_csv, write_json
 from .session import configure
@@ -142,11 +143,13 @@ class Pipeline:
     def run(self, spark: SparkSession) -> PipelineResult:
         t0 = time.perf_counter()
         df = self.plan(spark)
-        # count via the write metrics would need a listener; a cached
-        # count + write keeps it simple and still one pass over the
-        # source for the write itself (the count reuses the plan)
-        self.sink.write(df)
-        n = df.count()
+        # Row count rides the write via an Observation (observed
+        # metrics are computed inside the same physical plan), so the
+        # source is scanned exactly ONCE — a separate post-write
+        # .count() would be a second full pass at 100 TB.
+        obs = Observation()
+        self.sink.write(df.observe(obs, F.count(F.lit(1)).alias("n")))
+        n = int(obs.get["n"])
         return PipelineResult(
             rows_written=n,
             seconds=round(time.perf_counter() - t0, 3),
