@@ -478,7 +478,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = exploded.alias("a")
     b = exploded.alias("b")
-    cand = (
+    # exact Hamming over the packed chunks via bit_count(xor), computed
+    # IN the band-join row (both signatures are already present there):
+    # the dedup shuffle then carries only (a_id, b_id, hamming) for
+    # pairs that already passed the threshold — never the signature
+    # arrays, and never sub-threshold candidates. A distinct() on the
+    # array-typed candidate rows was measured 2× slower at sf0.1.
+    hamming = F.aggregate(
+        F.zip_with(
+            F.col("a.chunks"),
+            F.col("b.chunks"),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
         a.join(
             b,
             (F.col("a.chunk_pos") == F.col("b.chunk_pos"))
@@ -488,25 +503,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("a_id"),
             F.col("b.doc_id").alias("b_id"),
-            F.col("a.chunks").alias("a_chunks"),
-            F.col("b.chunks").alias("b_chunks"),
+            hamming.alias("hamming"),
         )
-        .distinct()
-    )
-    # exact Hamming over the packed chunks via bit_count(xor)
-    hamming = F.aggregate(
-        F.zip_with(
-            "a_chunks",
-            "b_chunks",
-            lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long"),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    return (
-        cand.withColumn("hamming", hamming)
         .where(F.col("hamming") <= 3)
-        .select("a_id", "b_id", "hamming")
+        .groupBy("a_id", "b_id")
+        .agg(F.min("hamming").alias("hamming"))
         .orderBy("a_id", "b_id")
     )
 

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..io import load
 from ..registry import query
+from ..session import default_parallelism
 
 
 def tokens(col: str = "text") -> F.Column:
@@ -482,16 +483,23 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: both sides explode to (gram, doc) pairs and
     hash-join on the gram — an inverted-index join, so only grams
     that actually occur on both sides meet; nothing is pairwise in
-    the number of documents. The gram strings could be hashed to
-    64-bit (as dedup_ngram_jaccard does) to shrink the shuffle; kept
-    as strings here so the oracle compares the exact semantics."""
+    the number of documents. Grams are hashed to int64 the moment
+    they're formed (the dedup_ngram_jaccard trick): every downstream
+    shuffle/distinct/join carries 8-byte keys instead of strings, and
+    the oracle still matches because it only compares per-doc COUNTS
+    of shared grams (collision odds ~1e-9 at this vocabulary). The
+    token array is bound once via a single-element-array lambda —
+    naming it `t` inside transform() stops Catalyst's projection
+    collapse from inlining split() three times per row (measured 2×
+    on this key)."""
     d = load(spark, sf_dir, "documents")
-    grams = d.select(
+    grams = d.repartition(default_parallelism(), "doc_id").select(
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(0, size(split(text, ' ')) - 3),"
-                " i -> array_join(slice(split(text, ' '), i + 1, 3), ' '))"
+                "transform(array(split(text, ' ')),"
+                " t -> transform(sequence(0, size(t) - 3),"
+                "   i -> xxhash64(array_join(slice(t, i + 1, 3), ' '))))[0]"
             )
         ).alias("g"),
     )

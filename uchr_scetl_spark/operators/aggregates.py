@@ -445,26 +445,25 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-mismatches."""
     li = load(spark, sf_dir, "lineitem")
     qs = [0.25, 0.5, 0.75]
-    lo = [q - 0.005 for q in qs]
-    hi = [q + 0.005 for q in qs]
+    # one exact-percentile aggregate with all nine ranks (bounds +
+    # targets) — three separate percentile() calls each sort the group
+    all_q = [q + d for q in qs for d in (-0.005, 0.0, 0.005)]
     agg = li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", qs, 10000).alias("aq"),
-        F.percentile("l_extendedprice", qs).alias("eq"),
-        F.percentile("l_extendedprice", lo).alias("lo"),
-        F.percentile("l_extendedprice", hi).alias("hi"),
+        F.percentile("l_extendedprice", all_q).alias("ex"),
     )
     in_bounds = F.forall(
         F.expr(
-            "zip_with(aq, zip_with(lo, hi, (l, h) -> struct(l AS l, h AS h)),"
-            " (a, b) -> a >= b.l AND a <= b.h)"
+            "zip_with(aq, sequence(0, 2),"
+            " (a, i) -> a >= ex[i * 3] AND a <= ex[i * 3 + 2])"
         ),
         lambda x: x,
     )
     return agg.select(
         "l_returnflag",
-        F.col("eq")[0].alias("p25"),
-        F.col("eq")[1].alias("p50"),
-        F.col("eq")[2].alias("p75"),
+        F.col("ex")[1].alias("p25"),
+        F.col("ex")[4].alias("p50"),
+        F.col("ex")[7].alias("p75"),
         in_bounds.alias("approx_in_rank_bounds"),
     )
 
