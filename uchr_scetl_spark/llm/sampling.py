@@ -121,3 +121,73 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(h4 < thr)
         .select("doc_id", "source", "keep_frac")
     )
+
+
+@query(
+    "sample_mix_plan",
+    oracle="""
+    WITH stats AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+             CAST(CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) + 1
+                  AS BIGINT) AS raw_w
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT SUM(n_tokens) AS total_tokens, SUM(raw_w) AS total_w FROM stats
+    )
+    SELECT source, n_docs, n_tokens, raw_w,
+           CAST(((tot.total_tokens // 2) * raw_w) // tot.total_w
+                AS BIGINT) AS target_tokens,
+           CAST(least(1000000,
+                (((tot.total_tokens // 2) * raw_w) // tot.total_w) * 1000000
+                  // n_tokens) AS BIGINT) AS rate_ppm
+    FROM stats, tot
+    """,
+)
+def sample_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing planner: given per-source mixing weights (here a
+    deterministic function of the source id) and a total token budget
+    (half the corpus), compute each source's token target and the
+    per-source sampling rate (ppm) that hits it — the arithmetic a
+    pretraining mix runs before sample_weighted executes the draw.
+
+    Everything is exact integer arithmetic (floor divisions, ppm
+    rates): the plan is reproducible bit-for-bit on any engine and any
+    partitioning. Scale shape: one groupBy(source) with partial
+    aggregation plus a one-row totals broadcast — the plan costs one
+    scan regardless of corpus size."""
+    d = load(spark, sf_dir, "documents")
+    stats = (
+        d.select(
+            "source",
+            F.size(F.split("text", " ")).cast("bigint").alias("nt"),
+        )
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("nt").alias("n_tokens"))
+        .withColumn(
+            "raw_w",
+            F.regexp_extract("source", r"([0-9]+)$", 1).cast("bigint") + 1,
+        )
+    )
+    tot = stats.agg(
+        F.sum("n_tokens").alias("total_tokens"), F.sum("raw_w").alias("total_w")
+    )
+    return (
+        stats.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "target_tokens",
+            F.expr("((total_tokens DIV 2) * raw_w) DIV total_w"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "raw_w",
+            "target_tokens",
+            F.least(
+                F.lit(1000000).cast("bigint"),
+                F.expr("(target_tokens * 1000000) DIV n_tokens"),
+            ).alias("rate_ppm"),
+        )
+    )

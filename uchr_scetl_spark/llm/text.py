@@ -510,3 +510,145 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared_grams"))
     )
+
+
+@query(
+    "text_bigram_lm_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), pairs AS (
+      SELECT doc_id, t[g.i] AS w1, t[g.i + 1] AS w2
+      FROM t, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+    ), cb AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb FROM pairs GROUP BY 1, 2
+    ), cu AS (
+      SELECT w1, CAST(SUM(cb) AS BIGINT) AS cu FROM cb GROUP BY 1
+    ), lp AS (
+      SELECT p.doc_id,
+             CAST(floor(ln(CAST(cb.cb AS DOUBLE) / cu.cu) * 1000000)
+                  AS BIGINT) AS lp_micro
+      FROM pairs p JOIN cb USING (w1, w2) JOIN cu USING (w1)
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(floor(CAST(SUM(lp_micro) AS DOUBLE) / COUNT(*)) AS BIGINT)
+             AS avg_lp_micro
+    FROM lp GROUP BY doc_id
+    """,
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: average bigram log-probability
+    under the corpus's own bigram model — the classic cheap LM signal
+    for pretraining-mix filtering (docs whose word transitions are
+    atypical for the corpus score low).
+
+    Two-pass shape that survives 100 TB: bigram counts and prefix
+    totals are groupBy aggregates on the bigram/prefix key (partial
+    aggregation server-side), the model joins back to the bigram rows
+    on the same key (no broadcast of the corpus; the model relation is
+    vocabulary², not corpus, sized). Determinism discipline: each
+    per-bigram ln() is quantized to a microscale INTEGER first, and
+    only integers are summed — a float sum's value depends on
+    accumulation order across partitions, an integer sum's does not."""
+    d = load(spark, sf_dir, "documents")
+    pairs = (
+        d.repartition(default_parallelism(), "doc_id")
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(array(split(text, ' ')),"
+                    " t -> transform(sequence(0, size(t) - 2),"
+                    "   i -> struct(element_at(t, i + 1) AS w1,"
+                    "              element_at(t, i + 2) AS w2)))[0]"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    cb = pairs.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    cu = cb.groupBy("w1").agg(F.sum("cb").alias("cu"))
+    lp = pairs.join(cb, ["w1", "w2"]).join(cu, "w1").select(
+        "doc_id",
+        F.floor(F.log(F.col("cb").cast("double") / F.col("cu")) * 1e6)
+        .cast("bigint")
+        .alias("lp_micro"),
+    )
+    return lp.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.floor(F.sum("lp_micro") / F.count("*")).cast("bigint").alias(
+            "avg_lp_micro"
+        ),
+    )
+
+
+@query(
+    "text_vocab_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ), c AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY tok
+    ), tot AS (
+      SELECT SUM(n) AS total FROM c
+    )
+    SELECT tok, n, CAST((n * 1000000) // tot.total AS BIGINT) AS coverage_ppm
+    FROM c, tot
+    ORDER BY n DESC, tok
+    LIMIT 100
+    """,
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary building block: global top-100 tokens by
+    corpus frequency with parts-per-million coverage. Deterministic
+    tiebreak (count desc, token asc); coverage in exact integer ppm so
+    no float division enters the checked result. Scale shape: one
+    groupBy(token) with map-side partial counts, a one-row total
+    broadcast-crossed back, and a global TakeOrderedAndProject — the
+    top-k never materialises the full vocabulary on one node."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens()).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "tok",
+            "n",
+            F.expr("CAST((n * 1000000) DIV total AS BIGINT)").alias(
+                "coverage_ppm"
+            ),
+        )
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(100)
+    )
+
+
+@query(
+    "text_length_histogram",
+    oracle="""
+    WITH sized AS (
+      SELECT lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+      FROM documents
+    )
+    SELECT lang,
+           CAST(least(nt // 64, 32) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens
+    FROM sized GROUP BY 1, 2
+    """,
+)
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length planning histogram: docs bucketed by token count
+    (64-token-wide integer buckets, capped at 32) per language — the
+    distribution a packing/padding strategy (text_pack_sequences) is
+    tuned against. Pure integer bucket arithmetic; one groupBy."""
+    d = load(spark, sf_dir, "documents")
+    nt = F.size(tokens()).cast("bigint")
+    return (
+        d.select("lang", nt.alias("nt"))
+        .select("lang", F.least(F.expr("nt DIV 64"), F.lit(32)).cast("bigint").alias("bucket"), "nt")
+        .groupBy("lang", "bucket")
+        .agg(F.count("*").alias("n_docs"), F.sum("nt").alias("n_tokens"))
+    )
