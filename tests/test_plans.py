@@ -210,3 +210,43 @@ def test_observe_metrics_collected(spark):
     m = obs.get
     assert m["n_rows"] >= n_out
     assert m["total"] is not None and m["total"] > 0
+
+
+def test_vocab_topk_take_ordered_and_broadcast_total(spark):
+    plan = plan_of(spark, "text_vocab_topk")
+    # global top-100 must be TakeOrderedAndProject (never a full sort),
+    # and the one-row total must come in as a broadcast
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_mix_plan_broadcasts_totals_no_shuffle_join(spark):
+    plan = plan_of(spark, "sample_mix_plan")
+    assert "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_bigram_lm_model_join_no_cartesian(spark):
+    plan = plan_of(spark, "text_bigram_lm_score")
+    assert "CartesianProduct" not in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_contamination_grams_are_hashed_before_shuffle(spark):
+    # gram keys must shuffle as int64 hashes, not strings (the 100 TB
+    # shuffle-width guarantee) — xxhash64 appears in the projection
+    plan = plan_of(spark, "text_contamination_check")
+    assert "xxhash64" in plan, plan
+
+
+def test_simhash_pair_dedup_carries_no_arrays(spark):
+    # the pair-dedup aggregate must group bare (a_id, b_id) with the
+    # precomputed hamming — the signature arrays stay out of the
+    # final exchange (a distinct over array rows was 2x slower)
+    plan = plan_of(spark, "dedup_simhash")
+    exchange_lines = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    pair_exchanges = [ln for ln in exchange_lines if "a_id" in ln]
+    assert pair_exchanges, plan
+    assert not any("chunks" in ln for ln in pair_exchanges), plan
