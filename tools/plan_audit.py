@@ -133,6 +133,28 @@ AUDITS: dict[str, tuple[str, list[str]]] = {
         "deletes to the base snapshot.",
         [r"Window", r"FullOuter", r"Exchange hashpartitioning"],
     ),
+    "text_vocab_topk": (
+        "Vocabulary top-k: one partial+final count aggregation on the "
+        "token, the one-row total comes back as a broadcast, and the "
+        "global top-100 is TakeOrderedAndProject - a bounded heap per "
+        "partition, never a full sort of the vocabulary.",
+        [r"TakeOrderedAndProject", r"BroadcastExchange", r"HashAggregate"],
+    ),
+    "text_bigram_lm_score": (
+        "Bigram-LM scoring: counts and prefix totals aggregate on the "
+        "bigram key (map-side partials), the model joins back on the "
+        "same key, and each per-bigram log-prob quantizes to an integer "
+        "BEFORE the per-doc sum so the result is partitioning-invariant.",
+        [r"HashAggregate", r"Exchange hashpartitioning", r"Join"],
+    ),
+    "dedup_simhash": (
+        "SimHash banding: signatures compute in one codegen projection "
+        "(no explode of tokens), candidates join on (chunk_pos, "
+        "chunk_val), Hamming evaluates inside the join row, and the "
+        "pair-dedup exchange carries only (a_id, b_id, hamming) longs - "
+        "never the signature arrays.",
+        [r"Exchange hashpartitioning", r"HashAggregate"],
+    ),
 }
 
 
