@@ -578,6 +578,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     is carried as a flag column computed in the same pass as the new
     label (no extra self-join per round)."""
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return _min_label_components(pairs, docs).orderBy("doc_id")
+
+
+def _min_label_components(pairs: DataFrame, docs: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id) for EVERY doc: iterative min-label
+    propagation over the undirected pair graph, isolated docs labelled
+    with themselves. Shared by dedup_clusters and
+    dedup_near_survivors; see dedup_clusters for the scale notes."""
     edges = (
         pairs.union(
             pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
@@ -588,7 +597,6 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_edges = edges.count()
     n_parts = max(1, min(default_parallelism(), n_edges // 1_000_000))
     edges = edges.repartition(n_parts, "dst").localCheckpoint()
-    docs = load(spark, sf_dir, "documents").select("doc_id")
     verts = edges.select(F.col("src").alias("doc_id")).distinct()
     labels = (
         verts.withColumn("cluster_id", F.col("doc_id"))
@@ -630,7 +638,64 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     isolated = docs.join(verts, "doc_id", "left_anti").withColumn(
         "cluster_id", F.col("doc_id")
     )
-    return labels.unionByName(isolated).orderBy("doc_id")
+    return labels.unionByName(isolated)
+
+
+_ORACLE_NEAR_SURVIVORS = f"""
+    WITH RECURSIVE {_ORACLE_SHINGLED_CTE},
+    shingle_rows AS (
+      SELECT doc_id, n, unnest(toks) AS tok FROM sized
+    ),
+    pair_inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             CAST(COUNT(*) AS BIGINT) AS inter,
+             any_value(a.n) AS a_n, any_value(b.n) AS b_n
+      FROM shingle_rows a JOIN shingle_rows b
+        ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    near_pairs AS (
+      SELECT a_id, b_id FROM pair_inter
+      WHERE CAST(inter AS DOUBLE) / (a_n + b_n - inter) >= {JACCARD_T}
+    ),
+    edges AS (
+      SELECT a_id AS src, b_id AS dst FROM near_pairs
+      UNION
+      SELECT b_id AS src, a_id AS dst FROM near_pairs
+    ),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    labels AS (
+      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    )
+    SELECT d.doc_id, d.lang, d.source FROM documents d
+    WHERE d.doc_id NOT IN
+      (SELECT doc_id FROM labels WHERE cluster_id < doc_id)
+"""
+
+
+@query("dedup_near_survivors", oracle=_ORACLE_NEAR_SURVIVORS)
+def dedup_near_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operator a corpus pipeline actually runs: the DEDUPLICATED
+    corpus under MinHash near-dup semantics. Near-dup pairs (the
+    dedup_near output) cluster via min-label connected components and
+    only each cluster's lowest doc_id survives; docs untouched by any
+    pair pass through. Same linear LSH + bounded-iteration CC
+    machinery as dedup_near/dedup_clusters — this key just closes the
+    loop from pair list to kept-rows, which is what downstream
+    training-mix stages consume. Oracle: recursive-CTE closure over
+    the exact-Jaccard pair set."""
+    pairs = dedup_near(spark, sf_dir).select("a_id", "b_id")
+    d = load(spark, sf_dir, "documents")
+    labels = _min_label_components(pairs, d.select("doc_id"))
+    survivors = labels.where(F.col("cluster_id") == F.col("doc_id")).select(
+        "doc_id"
+    )
+    return d.join(survivors, "doc_id").select("doc_id", "lang", "source")
 
 
 @query(

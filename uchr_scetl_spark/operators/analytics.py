@@ -10,7 +10,7 @@ pushed-down range filter on the new partition's scan).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load
@@ -521,3 +521,154 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         F.count("*").over(w).alias("n_touches"),
     ).withColumn("credit", F.lit(1.0) / F.col("n_touches"))
+
+
+@query(
+    "events_peak_concurrency",
+    oracle="""
+    WITH iv AS (
+      SELECT event_type,
+             CAST(ts AS TIMESTAMP) AS s,
+             CAST(ts AS TIMESTAMP)
+               + to_seconds(1 + (CAST(floor(value) AS BIGINT) % 3600)) AS e
+      FROM events
+    ), pts AS (
+      SELECT event_type, s AS t, 1 AS prio, CAST(1 AS BIGINT) AS delta FROM iv
+      UNION ALL
+      SELECT event_type, e AS t, 0 AS prio, CAST(-1 AS BIGINT) AS delta FROM iv
+    ), merged AS (
+      SELECT event_type, t, prio, SUM(delta) AS net
+      FROM pts GROUP BY event_type, t, prio
+    ), running AS (
+      SELECT event_type, t,
+             SUM(net) OVER (PARTITION BY event_type ORDER BY t, prio
+                            ROWS UNBOUNDED PRECEDING) AS cur
+      FROM merged
+    )
+    SELECT event_type,
+           CAST(date_trunc('day', t) AS TIMESTAMP) AS day,
+           CAST(MAX(cur) AS BIGINT) AS peak_concurrency
+    FROM running GROUP BY 1, 2
+    """,
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line peak concurrency: each event opens a bounded interval
+    (1..3600 s derived from its value), and the peak number of
+    simultaneously-open intervals per (event_type, day) falls out of a
+    +1/−1 running sum over the merged endpoint stream — the classic
+    interval-overlap counting shape (no interval self-join, no
+    per-second explode).
+
+    Determinism at shared timestamps: endpoints are PRE-AGGREGATED per
+    (type, t, priority) with half-open semantics — closes (priority 0)
+    apply before opens (priority 1) — so the running sum visits one
+    deterministic value sequence regardless of row order or
+    partitioning. One window partitioned by event_type; at 100 TB the
+    same plan holds with day added to the window key for bounded
+    partitions."""
+    e = load(spark, sf_dir, "events")
+    dur = 1 + (F.floor("value").cast("bigint") % 3600)
+    iv = e.select(
+        "event_type",
+        F.col("ts").alias("s"),
+        F.expr(
+            "ts + make_interval(0, 0, 0, 0, 0, 0,"
+            " 1 + (CAST(floor(value) AS BIGINT) % 3600))"
+        ).alias("e"),
+    )
+    pts = iv.select(
+        "event_type", F.col("s").alias("t"), F.lit(1).alias("prio"),
+        F.lit(1).cast("bigint").alias("delta"),
+    ).unionByName(
+        iv.select(
+            "event_type", F.col("e").alias("t"), F.lit(0).alias("prio"),
+            F.lit(-1).cast("bigint").alias("delta"),
+        )
+    )
+    merged = pts.groupBy("event_type", "t", "prio").agg(
+        F.sum("delta").alias("net")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "prio")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = merged.select(
+        "event_type", "t", F.sum("net").over(w).alias("cur")
+    )
+    return (
+        running.groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("t")).cast("timestamp_ntz").alias("day"),
+        )
+        .agg(F.max("cur").alias("peak_concurrency"))
+    )
+
+
+@query(
+    "orders_rfm",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             date_diff('day', MAX(CAST(o_orderdate AS TIMESTAMP)),
+                       (SELECT MAX(CAST(o_orderdate AS TIMESTAMP)) FROM orders)
+             ) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, CAST(recency_days AS BIGINT) AS recency_days,
+           frequency, monetary,
+           CAST(ntile(5) OVER (ORDER BY recency_days ASC, o_custkey)
+                AS BIGINT) AS r_quintile,
+           CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey)
+                AS BIGINT) AS f_quintile,
+           CAST(ntile(5) OVER (ORDER BY monetary DESC, o_custkey)
+                AS BIGINT) AS m_quintile
+    FROM per_cust
+    """,
+)
+def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency (days since last order,
+    against the corpus max date), frequency, monetary, each cut into
+    quintiles with a deterministic tiebreak (custkey).
+
+    The monetary sum goes through the DECIMAL detour for engine-exact
+    totals. The three ntile windows are global (unpartitioned) — fine
+    for a customer-grain relation (orders-of-magnitude smaller than
+    fact tables); at true 100 TB customer counts, swap ntile for
+    percent_rank over approx-quantile boundaries."""
+    o = load(spark, sf_dir, "orders")
+    max_date = o.agg(F.max("o_orderdate").alias("max_d"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_d"),
+            F.count("*").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .crossJoin(F.broadcast(max_date))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("max_d"), F.col("last_d"))
+            .cast("bigint")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    wr = Window.orderBy(F.col("recency_days").asc(), "o_custkey")
+    wf = Window.orderBy(F.col("frequency").desc(), "o_custkey")
+    wm = Window.orderBy(F.col("monetary").desc(), "o_custkey")
+    return per_cust.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(wr).cast("bigint").alias("r_quintile"),
+        F.ntile(5).over(wf).cast("bigint").alias("f_quintile"),
+        F.ntile(5).over(wm).cast("bigint").alias("m_quintile"),
+    )
