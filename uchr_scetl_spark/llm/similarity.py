@@ -429,8 +429,15 @@ def _hyperplanes(dim: int = 64, n: int = N_HYPERPLANES) -> list[list[float]]:
     return rng.standard_normal((n, dim)).tolist()
 
 
-LSH_TABLES = 4  # L independent hash tables ...
-LSH_BITS = 4  # ... of b sign-bits each (16 buckets/table)
+# L×b tuned on this corpus: the synthetic embeddings are near-uniform
+# on the sphere (true neighbours sit barely above background cosine),
+# which is LSH's worst case — measured recall@3: 4/15 at the old 4×4,
+# 10/15 at 16×6 (4× candidate reduction), 14/15 at 16×4 (but that
+# selects ~the whole corpus = brute force in disguise). 16×6 is the
+# honest ANN point; on clustered real-world embeddings the same code
+# runs higher b at better recall.
+LSH_TABLES = 16  # L independent hash tables ...
+LSH_BITS = 6  # ... of b sign-bits each (64 buckets/table)
 
 
 @query("sim_topk_lsh", tags=("rows-only",))
