@@ -209,3 +209,70 @@ def test_sessionize_sessions_respect_gap(spark):
         for a, b in zip(user_rows, user_rows[1:]):
             gap_s = (b["session_start"] - a["session_end"]).total_seconds()
             assert gap_s > 1800, (a, b)
+
+
+def test_near_survivors_partition_the_pair_graph(spark):
+    """Survivor-set invariants: survivors ⊆ documents; every document
+    is either a survivor or near-duplicate-connected to a lower-id
+    survivor; no two survivors form a near-dup pair."""
+    from uchr_scetl_spark import load_registry
+
+    reg = load_registry()
+    docs = {r["doc_id"] for r in reg["dedup_exact"].fn(spark, SF_SMOKE)
+            .sparkSession.read.parquet(f"{SF_SMOKE}/documents.parquet")
+            .select("doc_id").collect()}
+    pairs = [(r["a_id"], r["b_id"])
+             for r in reg["dedup_near"].fn(spark, SF_SMOKE).collect()]
+    survivors = {r["doc_id"]
+                 for r in reg["dedup_near_survivors"].fn(spark, SF_SMOKE).collect()}
+    assert survivors <= docs
+    paired = {d for p in pairs for d in p}
+    assert docs - paired <= survivors  # isolated docs always survive
+    for a, b in pairs:
+        assert not (a in survivors and b in survivors), (a, b)
+
+
+def test_peak_concurrency_bounds(spark):
+    """Peak is at least 1 wherever a type has any event that day and
+    never exceeds that day's open-interval upper bound (events opening
+    that day plus events from the previous day whose ≤1h duration can
+    cross midnight)."""
+    from uchr_scetl_spark import load_registry
+    import pyspark.sql.functions as F
+    from uchr_scetl_spark.io import load as load_table
+
+    reg = load_registry()
+    peaks = reg["events_peak_concurrency"].fn(spark, SF_SMOKE).collect()
+    assert peaks
+    e = load_table(spark, SF_SMOKE, "events")
+    per_day = {
+        (r["event_type"], r["day"]): r["n"]
+        for r in e.groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day"),
+        ).agg(F.count("*").alias("n")).collect()
+    }
+    for r in peaks:
+        assert r["peak_concurrency"] >= 1
+        import datetime as dt
+        same_day = per_day.get((r["event_type"], r["day"]), 0)
+        prev_day = per_day.get(
+            (r["event_type"], r["day"] - dt.timedelta(days=1)), 0
+        )
+        assert r["peak_concurrency"] <= same_day + prev_day, r
+
+
+def test_rfm_quintiles_are_balanced_permutations(spark):
+    """Each quintile column partitions customers 1..5 with sizes
+    differing by at most 1 (ntile guarantee), and every customer
+    appears exactly once."""
+    from collections import Counter
+
+    from uchr_scetl_spark import load_registry
+
+    rows = load_registry()["orders_rfm"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == len({r["o_custkey"] for r in rows})
+    for col in ("r_quintile", "f_quintile", "m_quintile"):
+        c = Counter(r[col] for r in rows)
+        assert set(c) == {1, 2, 3, 4, 5}
+        assert max(c.values()) - min(c.values()) <= 1, (col, c)

@@ -248,16 +248,25 @@ def shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_signature_memo: dict[tuple[str, str, int], DataFrame] = {}
+
+
 def minhash_signatures(
     spark: SparkSession, sf_dir: str, n: int = N_MINHASH
 ) -> DataFrame:
     """(doc_id, sig[0..n)) via n seeded xxhash64 minima over distinct
     shingles. Linear and shuffle-light: n partial minima per doc travel
-    the wire, not shingles."""
-    toks = shingle_rows(spark, sf_dir).withColumnRenamed("shingle", "tok")
-    return toks.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64("tok", F.lit(i))).alias(f"mh{i}") for i in range(n)]
-    )
+    the wire, not shingles. Cached per (app, sf, n): both dedup_near
+    and dedup_near_survivors fold the same 64-minimum aggregate —
+    uncached, the survivors key re-executes the whole signature
+    subtree."""
+    key = (spark.sparkContext.applicationId, sf_dir, n)
+    if key not in _signature_memo:
+        toks = shingle_rows(spark, sf_dir).withColumnRenamed("shingle", "tok")
+        _signature_memo[key] = toks.groupBy("doc_id").agg(
+            *[F.min(F.xxhash64("tok", F.lit(i))).alias(f"mh{i}") for i in range(n)]
+        ).cache()
+    return _signature_memo[key]
 
 
 _ORACLE_NEAR = f"""
