@@ -563,9 +563,12 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     (type, t, priority) with half-open semantics — closes (priority 0)
     apply before opens (priority 1) — so the running sum visits one
     deterministic value sequence regardless of row order or
-    partitioning. One window partitioned by event_type; at 100 TB the
-    same plan holds with day added to the window key for bounded
-    partitions."""
+    partitioning. One window partitioned by event_type. At 100 TB a
+    per-type partition is unbounded; the scale variant is a segmented
+    sweep — window on (type, day), plus a carry-in per day computed as
+    opens-minus-closes of prior days (one extra groupBy; exact here
+    because durations are bounded ≤ 1 h, so only the previous day can
+    carry in)."""
     e = load(spark, sf_dir, "events")
     dur = 1 + (F.floor("value").cast("bigint") % 3600)
     iv = e.select(
