@@ -244,3 +244,31 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_value",
         )
     )
+
+
+@query(
+    "stream_user_running_state",
+    oracle=f"""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dec_sum('value', 'total_value')}
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_user_running_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-checkable form of the CUSTOM STATEFUL streaming operator
+    (streams.py user_running_state_stream, applyInPandasWithState):
+    the per-user (count, sum) the explicit GroupState converges to
+    once all events are processed. The oracle checks that final
+    state's semantics; tests/test_streaming.py proves the incremental
+    GroupState path reaches the same values through micro-batches.
+    Double sums take the DECIMAL detour so the checked total is
+    accumulation-order-independent."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(24,6)"))
+        .cast("double")
+        .alias("total_value"),
+    )
