@@ -603,3 +603,70 @@ def embeddings_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_l1"
         ),
     )
+
+
+@query(
+    "embeddings_vector_qa",
+    oracle="""
+    WITH base AS (
+      SELECT label,
+             CASE WHEN embedding IS NULL THEN NULL
+                  ELSE CAST(floor(sqrt(list_dot_product(
+                         CAST(embedding AS DOUBLE[]),
+                         CAST(embedding AS DOUBLE[]))) * 1000000) AS BIGINT)
+             END AS norm_micro,
+             CASE WHEN embedding IS NULL THEN NULL
+                  ELSE len(embedding) END AS dim
+      FROM embeddings
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(COUNT(*) FILTER (WHERE norm_micro IS NULL) AS BIGINT)
+             AS n_null_vec,
+           CAST(COUNT(*) FILTER (WHERE dim IS NOT NULL AND dim <> 64)
+                AS BIGINT) AS n_dim_mismatch,
+           MIN(norm_micro) AS norm_micro_min,
+           MAX(norm_micro) AS norm_micro_max,
+           CAST(floor(CAST(SUM(norm_micro) AS DOUBLE)
+                      / COUNT(norm_micro)) AS BIGINT) AS norm_micro_avg
+    FROM base GROUP BY label
+    """,
+)
+def embeddings_vector_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table QA gate: per-label vector counts, null-vector
+    and dimension-mismatch counts, and L2-norm distribution bounds —
+    the sanity pass a pipeline runs before feeding vectors to ANN
+    builds or training (a batch of zero/NaN/truncated vectors should
+    fail HERE, not corrupt an index).
+
+    Norms are quantized per vector to microscale integers BEFORE
+    aggregating (quantize-then-aggregate, as text_bigram_lm_score), so
+    min/max/avg are partitioning- and engine-independent; the in-row
+    sequential dot product is bit-equal to DuckDB's list_dot_product.
+    One groupBy(label); linear scan."""
+    e = load(spark, sf_dir, "embeddings").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    norm_micro = F.when(
+        F.col("v").isNotNull(),
+        F.floor(F.sqrt(dot_expr("v", "v")) * 1e6).cast("bigint"),
+    )
+    dim = F.when(F.col("v").isNotNull(), F.size("v"))
+    return (
+        e.select("label", norm_micro.alias("norm_micro"), dim.alias("dim"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.count(F.when(F.col("norm_micro").isNull(), 1)).alias("n_null_vec"),
+            F.count(
+                F.when(F.col("dim").isNotNull() & (F.col("dim") != 64), 1)
+            ).alias("n_dim_mismatch"),
+            F.min("norm_micro").alias("norm_micro_min"),
+            F.max("norm_micro").alias("norm_micro_max"),
+            F.floor(
+                F.sum("norm_micro").cast("double") / F.count("norm_micro")
+            )
+            .cast("bigint")
+            .alias("norm_micro_avg"),
+        )
+    )

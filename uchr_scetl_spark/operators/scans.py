@@ -575,3 +575,58 @@ def sink_sorted_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(out)
         .where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
     )
+
+
+@query(
+    "scan_csv_malformed",
+    oracle="""
+    SELECT CAST(COUNT(*) FILTER (WHERE c_custkey % 50 <> 0) AS BIGINT)
+             AS n_valid,
+           CAST(COUNT(*) FILTER (WHERE c_custkey % 50 = 0) AS BIGINT)
+             AS n_malformed,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(24,6)))
+                  FILTER (WHERE c_custkey % 50 <> 0) AS DOUBLE)
+             AS valid_bal
+    FROM customer
+    """,
+)
+def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record CSV ingestion: PERMISSIVE mode quarantines
+    rows whose cells don't parse under the declared schema into
+    ``columnNameOfCorruptRecord`` — the CSV twin of scan_json_corrupt
+    (a 100 TB CSV feed WILL contain rows with the wrong arity or
+    unparseable numerics; the load must route them, not die).
+
+    The engine renders a customer slice as CSV with every 50th row's
+    numeric balance replaced by a non-numeric token, reads it back
+    under an explicit schema + PERMISSIVE, and reports valid/
+    malformed/valid-total in one pass — parse and routing both happen
+    scan-side, per file split."""
+    src = load(spark, sf_dir, "customer")
+    line = F.when(
+        F.col("c_custkey") % 50 == 0,
+        F.concat_ws(",", F.col("c_custkey"), F.lit("NOT_A_NUMBER")),
+    ).otherwise(
+        F.concat_ws(",", F.col("c_custkey"), F.col("c_acctbal").cast("string"))
+    )
+    out = tempfile.mkdtemp(prefix="uchr_csvmalformed_")
+    src.select(line.alias("value")).write.mode("overwrite").text(out)
+
+    parsed = (
+        spark.read.schema("c_custkey bigint, c_acctbal double, _corrupt string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(out)
+    )
+    return parsed.agg(
+        F.count(F.when(F.col("_corrupt").isNull(), 1)).alias("n_valid"),
+        F.count(F.when(F.col("_corrupt").isNotNull(), 1)).alias("n_malformed"),
+        F.sum(
+            F.when(
+                F.col("_corrupt").isNull(),
+                F.col("c_acctbal").cast("decimal(24,6)"),
+            )
+        )
+        .cast("double")
+        .alias("valid_bal"),
+    )
