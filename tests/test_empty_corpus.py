@@ -81,6 +81,45 @@ def null_dir(spark):
     shutil.rmtree(out, ignore_errors=True)
 
 
+@pytest.fixture(scope="module")
+def short_doc_dir(spark):
+    """Documents corpus with degenerate short texts mixed in — empty
+    string, one token, two tokens. Token-window expansions
+    (sequence(0, size(t)-k) descends below zero for short docs and
+    element_at(t, 0)/slice(t, 0, n) THROW) are a valid-input crash
+    class the standard corpora never exercise (ADVICE round 3)."""
+    from pyspark.sql import functions as F
+
+    out = tempfile.mkdtemp(prefix="uchr_short_doc_corpus_")
+    for t in TABLES:
+        df = spark.read.parquet(f"{SF_SMOKE}/{t}.parquet")
+        if t == "documents":
+            df = df.withColumn(
+                "text",
+                F.when(F.col("doc_id") % 7 == 0, F.lit(""))
+                .when(F.col("doc_id") % 7 == 1, F.lit("one"))
+                .when(F.col("doc_id") % 7 == 2, F.lit("two words"))
+                .otherwise(F.col("text")),
+            )
+        df.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+    yield out
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_text_keys_survive_short_docs(spark, short_doc_dir):
+    """Every token-expansion key (text_*, dedup_*) must survive docs
+    with fewer tokens than its n-gram window."""
+    fails = []
+    for key in sorted(REGISTRY):
+        if not key.startswith(("text_", "dedup_")):
+            continue
+        try:
+            REGISTRY[key].fn(spark, short_doc_dir).limit(5).collect()
+        except Exception as exc:  # noqa: BLE001 — collecting a report
+            fails.append(f"{key}: {exc!r:.120}")
+    assert not fails, "\n".join(fails)
+
+
 def test_every_key_survives_null_heavy_corpus(spark, null_dir):
     fails = []
     for key in sorted(REGISTRY):

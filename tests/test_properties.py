@@ -276,3 +276,82 @@ def test_rfm_quintiles_are_balanced_permutations(spark):
         c = Counter(r[col] for r in rows)
         assert set(c) == {1, 2, 3, 4, 5}
         assert max(c.values()) - min(c.values()) <= 1, (col, c)
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_dedup_near_risky_band_pairs_are_lsh_candidates(spark, sf_dir):
+    """dedup_near's value-checked oracle equality rests on a
+    precondition: MinHash LSH at 16 bands x 4 rows misses a true pair
+    with P = (1 - j^4)^16 over the seed draw — 2.2e-4 at j=0.80,
+    1.5e-7 at 0.89, ~0 at the constructed >=0.9 near-dups. The seeds
+    are FIXED (xxhash64(tok, i)), so for a given corpus the outcome is
+    deterministic: a borderline pair is either found forever or missed
+    forever. Guard the precondition directly — enumerate every exact
+    pair in the risky band [0.8, 0.92) with DuckDB and assert each one
+    collides in at least one band under the actual seeded signatures.
+    A future corpus/SF variant that grows a genuinely-missed
+    borderline pair fails HERE with a precise message, instead of the
+    oracle sweep flaking (or a real recall bug hiding behind a 'known
+    miss')."""
+    from uchr_scetl_spark.llm.dedup import (
+        N_BANDS,
+        ROWS_PER_BAND,
+        _ORACLE_SHINGLED_CTE,
+        JACCARD_T,
+        minhash_signatures,
+    )
+
+    from .oracle import oracle_connection
+
+    con = oracle_connection(sf_dir)
+    try:
+        pairs = con.sql(
+            f"""
+            WITH {_ORACLE_SHINGLED_CTE},
+            shingle_rows AS (
+              SELECT doc_id, n, unnest(toks) AS tok FROM sized
+            ),
+            pair_inter AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                     CAST(COUNT(*) AS BIGINT) AS inter,
+                     any_value(a.n) AS a_n, any_value(b.n) AS b_n
+              FROM shingle_rows a JOIN shingle_rows b
+                ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT a_id, b_id,
+                   CAST(inter AS DOUBLE) / (a_n + b_n - inter) AS j
+            FROM pair_inter
+            WHERE CAST(inter AS DOUBLE) / (a_n + b_n - inter) >= {JACCARD_T}
+              AND CAST(inter AS DOUBLE) / (a_n + b_n - inter) < 0.92
+            """
+        ).fetchall()
+    finally:
+        con.close()
+    if not pairs:
+        return
+    ids = sorted({i for a, b, _ in pairs for i in (a, b)})
+    sigs = {
+        r["doc_id"]: [r[f"mh{i}"] for i in range(N_BANDS * ROWS_PER_BAND)]
+        for r in minhash_signatures(spark, sf_dir)
+        .where(F.col("doc_id").isin(ids))
+        .collect()
+    }
+    missed = []
+    for a_id, b_id, j in pairs:
+        sa, sb = sigs[a_id], sigs[b_id]
+        collides = any(
+            sa[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
+            == sb[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
+            for b in range(N_BANDS)
+        )
+        if not collides:
+            missed.append((a_id, b_id, j))
+    assert not missed, (
+        f"{len(missed)} exact pair(s) in the LSH-risky band at {sf_dir} "
+        f"collide in NO band under the fixed seeds: {missed[:5]} — "
+        "dedup_near's oracle-equality precondition no longer holds; "
+        "widen bands or mark the key rows-only"
+    )

@@ -136,7 +136,8 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS log10_bal_micro,
            CAST(floor(exp(s_nationkey / 10.0) * 1000000)
                 AS BIGINT) AS exp_nk_micro,
-           CAST(round(s_acctbal, 1) AS DECIMAL(12,1)) AS bal_round1
+           CAST(round(CAST(s_acctbal AS DECIMAL(12,2)), 1)
+                AS DECIMAL(12,1)) AS bal_round1
     FROM supplier
     """,
 )
@@ -150,9 +151,10 @@ def fn_math_libm(spark: SparkSession, sf_dir: str) -> DataFrame:
     disagreement would need a value within ~1e-15·x of a 1e-6 grid
     boundary — absent on this data (verified at every SF), and any
     future flake would surface as an off-by-one, not a silent pass.
-    Rounding is checked on the DECIMAL type, where both engines define
-    HALF_UP ties (round(double, n) would diverge on representational
-    ties)."""
+    Rounding is cast to DECIMAL(12,2) BEFORE the round on both sides
+    (acctbal is cents-valued so the cast is exact), then rounded on
+    the decimal type where both engines define HALF_UP ties —
+    round(double, n) would diverge on representational ties."""
     s = load(spark, sf_dir, "supplier")
     bal_d = F.col("s_acctbal").cast("double")
     return s.select(
@@ -166,7 +168,9 @@ def fn_math_libm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.exp(F.col("s_nationkey") / F.lit(10.0)) * 1e6)
         .cast("bigint")
         .alias("exp_nk_micro"),
-        F.round(F.col("s_acctbal"), 1).cast("decimal(12,1)").alias("bal_round1"),
+        F.round(F.col("s_acctbal").cast("decimal(12,2)"), 1)
+        .cast("decimal(12,1)")
+        .alias("bal_round1"),
     )
 
 

@@ -244,7 +244,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ['select','from','join','where','group'])) AS DOUBLE)
               / len(list_distinct(string_split(text, ' ')))) AS stopword_ratio,
            (CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
-              / length(text))                              AS alpha_ratio
+              / NULLIF(length(text), 0))                   AS alpha_ratio
     FROM documents
     """,
 )
@@ -267,9 +267,11 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.array_intersect(F.array_distinct(toks), stop)).cast("double")
             / F.size(F.array_distinct(toks))
         ).alias("stopword_ratio"),
+        # NULLIF guard: an empty doc has length 0 and ANSI mode makes
+        # x/0 a crash, not an inf — NULL alpha_ratio on both sides.
         (
             F.length(F.regexp_replace("text", "[^a-z]", "")).cast("double")
-            / F.length("text")
+            / F.nullif(F.length("text"), F.lit(0))
         ).alias("alpha_ratio"),
     )
 
@@ -493,6 +495,10 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse from inlining split() three times per row (measured 2×
     on this key)."""
     d = load(spark, sf_dir, "documents")
+    # Same short-doc hazard as text_bigram_lm_score: for <3 tokens the
+    # index sequence descends and slice(t, 0, 3) throws. Sub-3-token
+    # docs carry no 3-grams on either side, so filtering is exact.
+    d = d.where(F.size(F.split(F.col("text"), " ")) >= 3)
     grams = d.repartition(default_parallelism(), "doc_id").select(
         "doc_id",
         F.explode(
@@ -551,8 +557,14 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     only integers are summed — a float sum's value depends on
     accumulation order across partitions, an integer sum's does not."""
     d = load(spark, sf_dir, "documents")
+    # Guard the expansion: sequence(0, size(t)-2) DESCENDS for a
+    # 1-token doc ([0,-1]) and element_at(t, 0) throws. Docs with <2
+    # tokens produce no bigrams in the oracle either (generate_series
+    # is empty), so the filter is semantics-preserving and pushes to
+    # the scan rather than wrapping every row in a CASE.
     pairs = (
-        d.repartition(default_parallelism(), "doc_id")
+        d.where(F.size(F.split(F.col("text"), " ")) >= 2)
+        .repartition(default_parallelism(), "doc_id")
         .select(
             "doc_id",
             F.explode(

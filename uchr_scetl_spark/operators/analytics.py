@@ -570,14 +570,13 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     because durations are bounded ≤ 1 h, so only the previous day can
     carry in)."""
     e = load(spark, sf_dir, "events")
+    # Duration is defined ONCE and the interval end is built from it —
+    # a duplicate inline expression could silently drift.
     dur = 1 + (F.floor("value").cast("bigint") % 3600)
     iv = e.select(
         "event_type",
         F.col("ts").alias("s"),
-        F.expr(
-            "ts + make_interval(0, 0, 0, 0, 0, 0,"
-            " 1 + (CAST(floor(value) AS BIGINT) % 3600))"
-        ).alias("e"),
+        F.timestamp_add("SECOND", dur, F.col("ts")).alias("e"),
     )
     pts = iv.select(
         "event_type", F.col("s").alias("t"), F.lit(1).alias("prio"),

@@ -577,6 +577,35 @@ def sink_sorted_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_csv_malformed_memo: dict[tuple[str, str], str] = {}
+
+
+def _csv_malformed_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Render the malformed-CSV fixture once per (app, sf_dir) and
+    remove it at interpreter exit — mirrors _binary_fixture_dir so
+    bench sweeps don't leak one tempdir (plus a full customer CSV
+    render) per invocation."""
+    import atexit
+    import shutil
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _csv_malformed_memo:
+        src = load(spark, sf_dir, "customer")
+        line = F.when(
+            F.col("c_custkey") % 50 == 0,
+            F.concat_ws(",", F.col("c_custkey"), F.lit("NOT_A_NUMBER")),
+        ).otherwise(
+            F.concat_ws(
+                ",", F.col("c_custkey"), F.col("c_acctbal").cast("string")
+            )
+        )
+        out = tempfile.mkdtemp(prefix="uchr_csvmalformed_")
+        atexit.register(shutil.rmtree, out, ignore_errors=True)
+        src.select(line.alias("value")).write.mode("overwrite").text(out)
+        _csv_malformed_memo[key] = out
+    return _csv_malformed_memo[key]
+
+
 @query(
     "scan_csv_malformed",
     oracle="""
@@ -602,16 +631,7 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     under an explicit schema + PERMISSIVE, and reports valid/
     malformed/valid-total in one pass — parse and routing both happen
     scan-side, per file split."""
-    src = load(spark, sf_dir, "customer")
-    line = F.when(
-        F.col("c_custkey") % 50 == 0,
-        F.concat_ws(",", F.col("c_custkey"), F.lit("NOT_A_NUMBER")),
-    ).otherwise(
-        F.concat_ws(",", F.col("c_custkey"), F.col("c_acctbal").cast("string"))
-    )
-    out = tempfile.mkdtemp(prefix="uchr_csvmalformed_")
-    src.select(line.alias("value")).write.mode("overwrite").text(out)
-
+    out = _csv_malformed_dir(spark, sf_dir)
     parsed = (
         spark.read.schema("c_custkey bigint, c_acctbal double, _corrupt string")
         .option("mode", "PERMISSIVE")
