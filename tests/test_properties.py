@@ -355,3 +355,35 @@ def test_dedup_near_risky_band_pairs_are_lsh_candidates(spark, sf_dir):
         "dedup_near's oracle-equality precondition no longer holds; "
         "widen bands or mark the key rows-only"
     )
+
+
+def test_iterative_cc_pointer_jumping_on_chain_graph(spark):
+    """The distributed CC path (used above _SINGLE_TASK_EDGE_LIMIT)
+    must agree with the union-find fast path on the worst-case
+    topology for label propagation: one long chain (transitive
+    near-dup chains are how real scrape dups look). Pointer jumping
+    converges this in O(log n) rounds; the 50-round cap would fail a
+    plain O(n) propagation on a 200-node chain."""
+    from pyspark.sql import functions as F
+
+    from uchr_scetl_spark.llm.dedup import (
+        _iterative_components,
+        _single_task_components,
+    )
+
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a_id long, b_id long"
+    )
+    edges = pairs.union(
+        pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+    ).withColumnsRenamed({"a_id": "src", "b_id": "dst"}).localCheckpoint()
+    it = {
+        (r.doc_id, r.cluster_id)
+        for r in _iterative_components(edges, 2 * (n - 1)).collect()
+    }
+    uf = {
+        (r.doc_id, r.cluster_id)
+        for r in _single_task_components(edges).collect()
+    }
+    assert it == uf == {(i, 0) for i in range(n)}

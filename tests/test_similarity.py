@@ -41,3 +41,55 @@ def test_ivf_deterministic(spark):
     a = sorted(map(tuple, REGISTRY["sim_topk_ivf"].fn(spark, SF_ORACLE).collect()))
     b = sorted(map(tuple, REGISTRY["sim_topk_ivf"].fn(spark, SF_ORACLE).collect()))
     assert a == b
+
+
+@pytest.mark.parametrize("key", ["sim_topk_lsh", "sim_topk_ivf"])
+def test_ann_recall_floor_at_sf01(key, spark):
+    """MEASURED recall@3 against the exact brute-force top-k at sf0.1
+    — the scale the bench runs at, where the corpus (2000×64,
+    near-uniform: true-neighbour cosines sit inside the background
+    tail) is ANN's worst case. Both paths are deterministic
+    (fixed-seed planes / lowest-id k-means init), so these are stable
+    values, not flaky statistics: LSH 64×16 tables with Hamming-2
+    probe-side multiprobe measures 15/15, IVF nprobe=2 measures 15/15.
+    The floor is 13/15 to leave tuning slack without ever re-admitting
+    the round-3 regression (10/15)."""
+    sf = "/root/testdata/sf0.1"
+    exact = {
+        (r.probe_id, r.neighbor_id)
+        for r in REGISTRY["sim_topk"].fn(spark, sf).collect()
+    }
+    found = {
+        (r.probe_id, r.neighbor_id) for r in REGISTRY[key].fn(spark, sf).collect()
+    }
+    assert len(exact & found) >= 13, (
+        f"{key} recall@3 = {len(exact & found)}/{len(exact)} at sf0.1"
+    )
+
+
+def test_lsh_candidate_volume_well_below_brute_force(spark):
+    """The recall floor must not be bought with brute force in
+    disguise: the deduped LSH candidate set per probe stays ≤ 25% of
+    the corpus (measured 17% at sf0.1; brute force would score 100%)."""
+    from pyspark.sql import functions as F
+
+    from uchr_scetl_spark.io import load
+    from uchr_scetl_spark.llm.similarity import N_PROBES, _lsh_candidates
+
+    sf = "/root/testdata/sf0.1"
+    n_corpus = (
+        load(spark, sf, "embeddings")
+        .where(F.col("embedding").isNotNull())
+        .count()
+    )
+    per_probe = (
+        _lsh_candidates(spark, sf)
+        .groupBy("probe_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert 0 < len(per_probe) <= N_PROBES
+    worst = max(r.n for r in per_probe)
+    assert worst <= 0.25 * n_corpus, (
+        f"worst probe candidate volume {worst}/{n_corpus} exceeds 25%"
+    )

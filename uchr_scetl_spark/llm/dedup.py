@@ -554,48 +554,64 @@ _ORACLE_CLUSTERS = f"""
 @query("dedup_clusters", oracle=_ORACLE_CLUSTERS)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster assignment: connected components over the
-    near-dup pair graph via iterative min-label propagation — the
-    iterative-algorithm pattern (Pregel-style) in pure DataFrame
-    algebra.
+    near-dup pair graph — single-task union-find when the edge list
+    fits one executor (the normal post-LSH case), distributed
+    min-label propagation WITH POINTER JUMPING otherwise (O(log d)
+    rounds; see _min_label_components for both regimes' design notes).
+    Oracle: single-statement recursive CTE — transitive closure over
+    the same (SQL-derived) edge set, min reachable id per vertex — so
+    the fixpoint result is fully value-checked, not rows-only.
 
-    Each doc starts labelled with its own id; each round every doc
-    takes the min of its label and its neighbours' labels. Converges in
-    O(graph diameter) rounds — near-dup clusters are small and dense,
-    so diameter is tiny. Per round: one shuffle join edges⋈labels + one
-    groupBy — at 100 TB this is the standard big-graph CC recipe
-    (GraphX/GraphFrames run the same plan). The driver loop only reads
-    a scalar changed-count per round (no data collect); localCheckpoint
-    truncates the growing lineage. Oracle: single-statement recursive
-    CTE — transitive closure over the same (SQL-derived) edge set,
-    min reachable id per vertex — so the fixpoint result is fully
-    value-checked, not rows-only.
-
-    Two scale decisions keep the loop cheap: (1) the edge relation is
-    materialized ONCE (localCheckpoint) — uncached, every round would
-    re-execute the whole shingle→band→verify pipeline that produced it;
-    (2) the loop iterates only over vertices incident to ≥1 edge —
-    isolated docs can never change label (their neighbour set is
-    empty), so they are unioned back unchanged at the end. On a real
-    corpus duplicates are a small fraction, so per-round state is
-    |dup vertices|, not |corpus|.
-
-    The per-round state is sized to the data, not the cluster: the
-    edge/label relations are repartitioned to ceil(|edges|/1M)
-    partitions (1 here) so a tiny graph iterates without paying
-    32-empty-task scheduling overhead per round — the same code grows
-    the partition count with the edge count at scale. The changed-count
-    is carried as a flag column computed in the same pass as the new
-    label (no extra self-join per round)."""
+    Two scale decisions hold in both regimes: (1) the edge relation is
+    materialized ONCE (localCheckpoint) — unmaterialized, every
+    reference would re-execute the whole shingle→band→verify pipeline
+    that produced it; (2) CC runs only over vertices incident to ≥1
+    edge — isolated docs can never change label, so they are unioned
+    back unchanged at the end. On a real corpus duplicates are a small
+    fraction, so CC state is |dup vertices|, not |corpus|. In the
+    distributed regime the edge/label relations are repartitioned to
+    ceil(|edges|/1M) partitions so the graph iterates at its own
+    scale, and only a scalar changed-count reaches the driver per
+    round."""
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
     docs = load(spark, sf_dir, "documents").select("doc_id")
     return _min_label_components(pairs, docs).orderBy("doc_id")
 
 
+# Above this many (directed) edges the dup graph no longer fits one
+# executor task comfortably and CC switches to the distributed
+# iterative path. 5M edges ≈ 80 MB of long pairs — far under an
+# executor's memory, well over any LSH dup graph a healthy corpus
+# produces (dups are a small fraction; sf0.1 measures 142).
+_SINGLE_TASK_EDGE_LIMIT = 5_000_000
+
+
 def _min_label_components(pairs: DataFrame, docs: DataFrame) -> DataFrame:
-    """(doc_id, cluster_id) for EVERY doc: iterative min-label
-    propagation over the undirected pair graph, isolated docs labelled
-    with themselves. Shared by dedup_clusters and
-    dedup_near_survivors; see dedup_clusters for the scale notes."""
+    """(doc_id, cluster_id) for EVERY doc: connected components over
+    the undirected pair graph, isolated docs labelled with themselves;
+    cluster_id = the component's minimum doc_id (deterministic).
+    Shared by dedup_clusters and dedup_near_survivors.
+
+    Two-regime design — the honest 100 TB shape:
+
+    - **edges fit one task** (≤ _SINGLE_TASK_EDGE_LIMIT, the normal
+      case after LSH dedup, where edges ≪ corpus): one shuffle of the
+      bare edge list into a single union-find pass (path-halving +
+      union-by-min). One job instead of 2 jobs × rounds — measured
+      3.9 s → ~0.5 s at sf0.1, exact same output.
+    - **distributed**: min-label propagation WITH POINTER JUMPING —
+      each round first takes the min over the 1-hop neighbourhood,
+      then compresses L(u) ← L(L(u)) via a self-join of the label
+      table, doubling effective propagation distance per round:
+      O(log d) rounds instead of O(d) on chain-shaped dup graphs
+      (transitive near-dup chains are exactly how real scrape dups
+      look). Same join+agg shapes as plain propagation (star
+      -contraction alternatives rewrite the edge SET each round,
+      which costs an extra distinct-shuffle per round on the big
+      relation); per round one edges⋈labels shuffle + one label
+      self-join, localCheckpoint truncating lineage, only a scalar
+      changed-count ever reaching the driver.
+    """
     edges = (
         pairs.union(
             pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
@@ -604,6 +620,57 @@ def _min_label_components(pairs: DataFrame, docs: DataFrame) -> DataFrame:
         .localCheckpoint()
     )
     n_edges = edges.count()
+    verts = edges.select(F.col("src").alias("doc_id")).distinct()
+    if n_edges <= _SINGLE_TASK_EDGE_LIMIT:
+        labels = _single_task_components(edges)
+    else:
+        labels = _iterative_components(edges, n_edges)
+    isolated = docs.join(verts, "doc_id", "left_anti").withColumn(
+        "cluster_id", F.col("doc_id")
+    )
+    return labels.unionByName(isolated)
+
+
+def _single_task_components(edges: DataFrame) -> DataFrame:
+    """Union-find over the whole edge list in ONE executor task
+    (applyInPandas on a constant key): path-halving find, union by
+    MIN id so every root is its component's minimum — bit-identical
+    to the iterative fixpoint. The shuffle moves only (src, dst)
+    longs; no vector/text columns ride along."""
+    import pandas as pd
+
+    def uf(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for u, v in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
+            u, v = int(u), int(v)
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                if rv < ru:
+                    ru, rv = rv, ru
+                parent[rv] = ru  # larger root under smaller → min root
+        ids = sorted(parent)
+        return pd.DataFrame(
+            {"doc_id": ids, "cluster_id": [find(x) for x in ids]}
+        )
+
+    return (
+        edges.groupBy(F.lit(1).alias("g"))
+        .applyInPandas(lambda pdf: uf(pdf), "doc_id long, cluster_id long")
+    )
+
+
+def _iterative_components(edges: DataFrame, n_edges: int) -> DataFrame:
+    """Distributed min-label propagation with pointer jumping; see
+    _min_label_components for the design notes."""
     n_parts = max(1, min(default_parallelism(), n_edges // 1_000_000))
     edges = edges.repartition(n_parts, "dst").localCheckpoint()
     verts = edges.select(F.col("src").alias("doc_id")).distinct()
@@ -612,7 +679,7 @@ def _min_label_components(pairs: DataFrame, docs: DataFrame) -> DataFrame:
         .repartition(n_parts, "doc_id")
         .localCheckpoint()
     )
-    for _ in range(50):  # converges in O(diameter); break below fires long before
+    for _ in range(50):  # O(log d) with jumping; break below fires long before
         neighbor_min = (
             edges.join(
                 labels.select(
@@ -624,18 +691,31 @@ def _min_label_components(pairs: DataFrame, docs: DataFrame) -> DataFrame:
             .groupBy(F.col("src").alias("doc_id"))
             .agg(F.min("n_label").alias("n_min"))
         )
-        new_labels = (
+        hop = (
             labels.withColumnRenamed("cluster_id", "old_label")
             .join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
+                "old_label",
                 F.least(
                     F.col("old_label"), F.coalesce("n_min", "old_label")
-                ).alias("cluster_id"),
-                (
-                    F.least(F.col("old_label"), F.coalesce("n_min", "old_label"))
-                    != F.col("old_label")
-                ).alias("changed"),
+                ).alias("l1"),
+            )
+        )
+        # pointer jumping: L(u) ← L(L(u)). Labels only ever decrease
+        # and L(v) ≤ v, so the jump is monotone; the left join covers
+        # roots (L(u) = u has itself in the table by construction).
+        parent = hop.select(
+            F.col("doc_id").alias("p_id"), F.col("l1").alias("p_label")
+        )
+        new_labels = (
+            hop.join(parent, hop["l1"] == parent["p_id"], "left")
+            .select(
+                "doc_id",
+                F.coalesce("p_label", "l1").alias("cluster_id"),
+                (F.coalesce("p_label", "l1") != F.col("old_label")).alias(
+                    "changed"
+                ),
             )
             .repartition(n_parts, "doc_id")
             .localCheckpoint()
@@ -644,10 +724,7 @@ def _min_label_components(pairs: DataFrame, docs: DataFrame) -> DataFrame:
         labels = new_labels.drop("changed")
         if changed == 0:
             break
-    isolated = docs.join(verts, "doc_id", "left_anti").withColumn(
-        "cluster_id", F.col("doc_id")
-    )
-    return labels.unionByName(isolated)
+    return labels
 
 
 _ORACLE_NEAR_SURVIVORS = f"""

@@ -253,33 +253,59 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_CENTROIDS = 8  # IVF coarse-quantizer cells
 N_PROBE_CELLS = 2  # nprobe: cells searched per probe
-KMEANS_ITERS = 2  # Lloyd iterations (deterministic seed init)
+# One Lloyd iteration: offline sweep against the exact top-3 at sf0.1
+# measured recall@3 = 15/15 for 0, 1, 2 and 4 iterations alike at
+# nprobe=2 (the exact re-rank inside probed cells dominates; extra
+# iterations only move cell BOUNDARIES). One iteration keeps a genuine
+# k-means step while capping the blocking driver round-trips at two:
+# the init collect + one centroid-table collect (C×dim doubles each —
+# the same thing MLlib KMeans collects per iteration).
+KMEANS_ITERS = 1
 
 
-def _cell_udf(cents: list[list[float]]):
-    """Vectorized nearest-centroid assignment: one numpy matmul per
-    Arrow batch. A pure-SQL formulation (transform over a literal
-    centroid array + aggregate/zip_with dot) measured ~2 ms/row —
-    nested higher-order lambdas are interpreted and re-materialise the
-    literal per row — vs microseconds/batch here. argmax ties break to
-    the lowest cell id (deterministic). Cells are 1-indexed."""
-    C = np.asarray(cents)
-
-    @F.pandas_udf("int")
-    def cell_of(v):
-        if len(v) == 0:
-            return v.astype("int32")
-        import pandas as pd
-
-        M = np.stack(v.to_numpy())
-        return pd.Series(np.argmax(M @ C.T, axis=1) + 1).astype("int32")
-
-    return cell_of
+# One normalized-vector relation per sf_dir, cached and shared by every
+# IVF phase (init scan, Lloyd iteration, corpus assign, probe assign) —
+# the MLlib-KMeans pattern: persist the feature vectors once, iterate
+# over the cached relation. Normalization is pure JVM array algebra
+# (sqrt-of-dot + transform divide): a pandas_udf here cost a Python
+# worker round-trip on every pass over the base.
+_ivf_base_memo: dict[tuple[str, str], DataFrame] = {}
 
 
-def _probe_cells_udf(cents: list[list[float]], nprobe: int = N_PROBE_CELLS):
-    """The nprobe nearest 1-indexed cell ids per probe vector (stable
-    argsort → ties to the lowest cell id)."""
+def _ivf_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # applicationId, not id(spark): a GC'd session's id can be reused
+    # by a new session in the same process, silently aliasing the cache
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ivf_base_memo:
+        e = (
+            load(spark, sf_dir, "embeddings")
+            .where(F.col("embedding").isNotNull())
+            .withColumn("v", F.col("embedding").cast("array<double>"))
+            .withColumn("nrm", F.sqrt(dot_expr("v", "v")))
+            .select(
+                "vec_id",
+                "label",
+                F.when(
+                    F.col("nrm") > 0,
+                    F.transform("v", lambda x: x / F.col("nrm")),
+                )
+                .otherwise(F.col("v"))
+                .alias("vn"),
+            )
+        )
+        _ivf_base_memo[key] = e.cache()
+    return _ivf_base_memo[key]
+
+
+def _cells_udf(cents: list[list[float]], nprobe: int):
+    """The nprobe nearest 1-indexed cell ids per vector, as one array
+    column: a single numpy matmul per Arrow batch against the
+    closure-captured centroid matrix (a pure-SQL broadcast-join argmax
+    was tried in round 4 and measured 2.5× slower end-to-end — the HOF
+    dot fold is interpreted and every extra join/window adds a job's
+    fixed overhead; a literal-centroid HOF formulation before that
+    measured ~2 ms/row). Stable argsort → ties to the lowest cell
+    id (deterministic)."""
     C = np.asarray(cents)
 
     @F.pandas_udf("array<int>")
@@ -295,62 +321,24 @@ def _probe_cells_udf(cents: list[list[float]], nprobe: int = N_PROBE_CELLS):
     return cells_of
 
 
-# One normalized-vector relation per sf_dir, cached and shared by every
-# IVF phase (init scan, each Lloyd iteration, corpus assign, probe
-# assign) — the MLlib-KMeans pattern: persist the feature vectors once,
-# iterate over the cached relation. Uncached, each of the 5 phases
-# re-scans parquet and re-normalizes.
-_ivf_base_memo: dict[tuple[str, str], DataFrame] = {}
-
-
-def _ivf_base(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # applicationId, not id(spark): a GC'd session's id can be reused
-    # by a new session in the same process, silently aliasing the cache
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _ivf_base_memo:
-
-        @F.pandas_udf("array<double>")
-        def l2_normalize(v):
-            import pandas as pd
-
-            if len(v) == 0:
-                return pd.Series([], dtype=object)
-            M = np.stack(v.to_numpy())
-            n = np.linalg.norm(M, axis=1, keepdims=True)
-            n[n == 0] = 1.0
-            return pd.Series(list(M / n))
-
-        e = load(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull()).select(
-            "vec_id",
-            "label",
-            l2_normalize(F.col("embedding").cast("array<double>")).alias("vn"),
-        )
-        _ivf_base_memo[key] = e.cache()
-    return _ivf_base_memo[key]
-
-
 def _ivf_centroids(e: DataFrame) -> list[list[float]]:
-    """Deterministic mini k-means over UNIT vectors. Per iteration the
-    only driver round-trip is the centroid table itself (C×dim doubles
-    — the same thing MLlib KMeans collects every iteration), so the
-    pattern holds at 100 TB: assign = one vectorized map over the
-    corpus against closure-captured centroids, update = posexplode +
-    groupBy(cell, dim) avg — one shuffle of C×dim partial sums, never
-    the vectors themselves.
+    """Deterministic mini k-means over UNIT vectors. Exactly TWO
+    blocking driver round-trips for the whole IVF path, both bounded
+    by C×dim doubles — the same thing MLlib KMeans collects per
+    iteration, so the pattern holds at 100 TB:
 
-    Init = the C lowest-vec_id vectors (seeded-deterministic corpus →
-    deterministic plan; no rand())."""
-    init = (
-        e.orderBy("vec_id")
-        .limit(N_CENTROIDS)
-        .select("vn")
-        .collect()
-    )
+    - init: the C lowest-vec_id vectors (seeded-deterministic corpus →
+      deterministic; no rand()), fetched with limit pushdown;
+    - one Lloyd round: assign = one vectorized numpy pass over the
+      cached corpus, update = posexplode → groupBy(cell, dim) avg —
+      the shuffle carries C×dim partial sums, never the vectors —
+      collected as the final centroid table."""
+    init = e.orderBy("vec_id").limit(N_CENTROIDS).select("vn").collect()
     cents = [list(r.vn) for r in init]
     if not cents:  # empty corpus: nothing to cluster
         return []
     for _ in range(KMEANS_ITERS):
-        cell = _cell_udf(cents)(F.col("vn"))
+        cell = F.element_at(_cells_udf(cents, 1)(F.col("vn")), 1)
         sums = (
             e.select(cell.alias("cell"), F.posexplode("vn").alias("pos", "x"))
             .groupBy("cell", "pos")
@@ -380,30 +368,36 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Complements ``sim_topk_lsh``: LSH buckets are data-independent;
     IVF cells adapt to the corpus distribution (better recall per
-    candidate at equal fan-out). Corpus side: one pass to assign each
-    vector to its nearest centroid (literal centroids — no shuffle, no
-    broadcast var). Probe side: nprobe nearest cells per probe, then a
-    broadcast join restricted to those cells, so candidate volume is
-    ~|corpus|·nprobe/C. rows-only: approximate by construction."""
+    candidate at equal fan-out). Corpus and probe cell assignment is
+    ONE shared vectorized pass (array of nprobe nearest cells per
+    vector; corpus keeps element 1, probes explode the full array), so
+    the final job runs a single Python stage. Driver round-trips:
+    exactly two, both the C×dim centroid table (see _ivf_centroids).
+    Candidate volume ~|corpus|·nprobe/C; measured recall@3 = 15/15 at
+    sf0.1 (asserted ≥13/15 in tests/test_similarity.py). rows-only:
+    approximate by construction."""
     e = _ivf_base(spark, sf_dir)
     cents = _ivf_centroids(e)
     if not cents:  # empty corpus: no centroids, no neighbours
         return spark.createDataFrame(
             [], "probe_id bigint, neighbor_id bigint, cosine double"
         )
-    corpus = e.select(
-        "vec_id", "label", "vn", _cell_udf(cents)(F.col("vn")).alias("cell")
+    hashed = e.select(
+        "vec_id", "vn", _cells_udf(cents, N_PROBE_CELLS)(F.col("vn")).alias("cells")
     )
-    probes = e.where(F.col("vec_id") < N_PROBES).select(
+    corpus = hashed.select(
+        "vec_id", "vn", F.element_at("cells", 1).alias("cell")
+    )
+    probes = hashed.where(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"),
         F.col("vn").alias("pv"),
-        _probe_cells_udf(cents)(F.col("vn")).alias("pcells"),
+        F.explode("cells").alias("pcell"),
     )
     scored = (
         F.broadcast(probes)
         .join(
             corpus,
-            F.expr("array_contains(pcells, cell)")
+            (F.col("pcell") == F.col("cell"))
             & (F.col("vec_id") != F.col("probe_id")),
         )
         .select(
@@ -429,62 +423,100 @@ def _hyperplanes(dim: int = 64, n: int = N_HYPERPLANES) -> list[list[float]]:
     return rng.standard_normal((n, dim)).tolist()
 
 
-# L×b tuned on this corpus: the synthetic embeddings are near-uniform
-# on the sphere (true neighbours sit barely above background cosine),
-# which is LSH's worst case — measured recall@3: 4/15 at the old 4×4,
-# 10/15 at 16×6 (4× candidate reduction), 14/15 at 16×4 (but that
-# selects ~the whole corpus = brute force in disguise). 16×6 is the
-# honest ANN point; on clustered real-world embeddings the same code
-# runs higher b at better recall.
-LSH_TABLES = 16  # L independent hash tables ...
-LSH_BITS = 6  # ... of b sign-bits each (64 buckets/table)
+# L×b×multiprobe tuned by exhaustive offline sweep against the exact
+# top-3 at sf0.1 (2000×64). The synthetic embeddings are near-uniform
+# on the sphere — true neighbours (cos 0.34-0.42) sit INSIDE the
+# background tail (p999 = 0.39) — LSH's worst case. Measured recall@3
+# / candidate volume (fraction of brute force) at that corpus:
+#   16×6,  r=0 (round 3): 10/15 @ 24%
+#   16×10, r=1:           11/15 @ 18%
+#   48×16, r=2:           13/15 @ 13%
+#   64×16, r=2:           15/15 @ 17%   ← chosen
+# Multiprobe is PROBE-SIDE only: each probe additionally searches every
+# bucket within Hamming radius r of its own signature in each table
+# (1 + b + C(b,2) = 137 buckets/table at r=2) — recall that would
+# otherwise need ~8× more tables, at zero extra corpus storage. On
+# clustered real-world embeddings the same code runs fewer tables at
+# equal recall; L is the storage/recall dial (the corpus index stores
+# L entries per vector).
+LSH_TABLES = 64  # L independent hash tables ...
+LSH_BITS = 16  # ... of b sign-bits each (65536 buckets/table)
+LSH_MULTIPROBE_RADIUS = 2  # probe-side Hamming radius
 
 
-@query("sim_topk_lsh", tags=("rows-only",))
-def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale-path ANN: multi-table random-hyperplane LSH + exact re-rank
-    over the union of candidates.
+def _multiprobe_masks(bits: int, radius: int) -> list[int]:
+    """XOR masks enumerating the Hamming ball of the given radius."""
+    from itertools import combinations
 
-    L independent tables of b sign-bits each: a probe and its true
-    neighbour collide in table t with prob (1−θ/π)^b, so the miss
-    probability across tables is (1−(1−θ/π)^b)^L — multi-table recovers
-    the recall a single wide band destroys (single 8-bit band measured
-    0.33 recall on this corpus; 4×4-bit tables ≥0.8) at candidate
-    volume ~L·|corpus|/2^b. Bucket ids compute as one numpy matmul per
-    Arrow batch (the literal-plane HOF formulation is interpreted per
-    row — same pathology as the IVF cell assignment, see _cell_udf).
-    Shape at 100 TB: explode corpus to L rows, shuffle-join on the
-    (table,bucket) key — never a pairwise product; candidate dedup is
-    a groupBy on (probe, neighbor)."""
+    masks = [0]
+    if radius >= 1:
+        masks += [1 << j for j in range(bits)]
+    if radius >= 2:
+        masks += [(1 << j) | (1 << k) for j, k in combinations(range(bits), 2)]
+    return masks
+
+
+def _lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduped (probe_id, neighbor_id) LSH candidate pairs — the
+    recall/cost-defining stage, exposed for the recall test to measure
+    candidate volume directly."""
     e = load(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull()).withColumn(
         "v", F.col("embedding").cast("array<double>")
     )
     planes = _hyperplanes(n=LSH_TABLES * LSH_BITS)
     H = np.asarray(planes)  # (L*b, dim), rows grouped by table
+    probe_masks = np.asarray(
+        _multiprobe_masks(LSH_BITS, LSH_MULTIPROBE_RADIUS), dtype=np.int64
+    )
+    table_base = (np.arange(LSH_TABLES, dtype=np.int64) << LSH_BITS)  # (L,)
+
+    def _signatures(M: "np.ndarray") -> "np.ndarray":
+        bits = (M @ H.T >= 0).astype(np.int64).reshape(
+            len(M), LSH_TABLES, LSH_BITS
+        )
+        return bits @ (1 << np.arange(LSH_BITS))  # (n, L)
 
     @F.pandas_udf("array<int>")
     def buckets_of(v):
-        """Per vector: L bucket keys, table index packed into the high
-        bits so one int column keys the (table, bucket) join."""
+        """Corpus side: L keyed buckets per vector (table index packed
+        into the high bits so one int column keys the join)."""
         import pandas as pd
 
         if len(v) == 0:
             return pd.Series([], dtype=object)
-        M = np.stack(v.to_numpy())
-        bits = (M @ H.T >= 0).astype(np.int64).reshape(len(M), LSH_TABLES, LSH_BITS)
-        packed = bits @ (1 << np.arange(LSH_BITS))  # (n, L)
-        keyed = packed + (np.arange(LSH_TABLES) << LSH_BITS)
+        keyed = _signatures(np.stack(v.to_numpy())) + table_base
         return pd.Series([row.tolist() for row in keyed.astype("int32")])
 
-    hashed = e.select("vec_id", "v", buckets_of(F.col("v")).alias("buckets"))
-    corpus = hashed.select("vec_id", F.explode("buckets").alias("bucket"))
-    probes = hashed.where(F.col("vec_id") < N_PROBES).select(
-        F.col("vec_id").alias("probe_id"),
-        F.explode("buckets").alias("pbucket"),
+    @F.pandas_udf("array<int>")
+    def probe_buckets_of(v):
+        """Probe side: the full Hamming-r multiprobe fan-out —
+        L × |masks| keyed buckets per probe vector."""
+        import pandas as pd
+
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        packed = _signatures(np.stack(v.to_numpy()))  # (n, L)
+        # (n, L, masks): base signature XOR each ball mask, then key
+        fan = (packed[:, :, None] ^ probe_masks[None, None, :]) + table_base[
+            None, :, None
+        ]
+        return pd.Series(
+            [row.ravel().tolist() for row in fan.astype("int32")]
+        )
+
+    corpus = e.select(
+        "vec_id", F.explode(buckets_of(F.col("v"))).alias("bucket")
     )
-    # dedup multi-table collisions on the int pair key alone — the
-    # vectors re-attach afterwards, so no shuffle ever carries arrays
-    candidates = (
+    probes = (
+        e.where(F.col("vec_id") < N_PROBES)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.explode(probe_buckets_of(F.col("v"))).alias("pbucket"),
+        )
+    )
+    # dedup multi-table/multi-probe collisions on the int pair key
+    # alone — vectors re-attach afterwards, so no shuffle carries arrays
+    return (
         F.broadcast(probes)
         .join(
             corpus,
@@ -494,6 +526,31 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
     )
+
+
+@query("sim_topk_lsh", tags=("rows-only",))
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN: multi-table random-hyperplane LSH with probe-side
+    multiprobe + exact re-rank over the union of candidates.
+
+    L independent tables of b sign-bits each: a probe and its true
+    neighbour land in the same bucket of table t with prob (1−θ/π)^b;
+    multiprobe additionally searches the probe's Hamming-r ball in each
+    table, lifting the per-table hit prob to Σ_{i≤r} C(b,i)·p^(b−i)
+    ·(1−p)^i at zero extra corpus storage (see the tuning table above
+    — measured 15/15 recall@3 at 17% of brute-force candidate volume
+    on the sf0.1 corpus; asserted ≥13/15 in tests/test_similarity.py).
+    Bucket ids compute as one numpy matmul per Arrow batch (the
+    literal-plane HOF formulation is interpreted per row — same
+    pathology as the IVF cell assignment, see _cell_udf).
+    Shape at 100 TB: explode corpus to L rows, shuffle-join on the
+    (table,bucket) int key — never a pairwise product; the multiprobe
+    fan-out rides the tiny probe side only; candidate dedup is a
+    groupBy on the (probe, neighbor) int pair."""
+    e = load(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull()).withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    candidates = _lsh_candidates(spark, sf_dir)
     pvecs = e.where(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
     )
