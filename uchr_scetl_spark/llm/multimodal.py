@@ -7,13 +7,14 @@ modalities at once — SQL-checked against the oracle.
 ``multimodal_binary`` is the opaque-binary pipeline pattern for
 image/audio payloads: a `binary` column plus typed metadata travels
 through Spark untouched; decode/feature-extract runs as an
-Arrow-batched ``mapInPandas`` stage. The actual image decode is STUBBED
-(no imaging libraries in this environment): a real deployment drops
-PIL/librosa into ``_decode_batch`` behind the same signature. The
+Arrow-batched ``mapInPandas`` stage. Image decode is REAL whenever PIL
+is importable (per-row dispatch with a deterministic byte-statistics
+fallback for undecodable payloads or decoder-less environments — this
+container has no imaging libraries, so the fallback runs here); the
+contract test proves both branches with a hand-built valid PNG. The
 Spark-side plumbing — schema, binary handling, batch iteration,
-partition parallelism — is real and tested. The fake "decode" is
-deterministic (first bytes of the payload), so results are stable for
-the rows-only check.
+partition parallelism — is identical either way. Audio/video decode
+(librosa/cv2) would gate into ``_decode_batch.feats`` the same way.
 """
 
 from __future__ import annotations
@@ -145,31 +146,63 @@ DECODED_SCHEMA = StructType(
 )
 
 
-def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Per-Arrow-batch 'decode'. Real deployment: replace the body with
-    PIL.Image.open(io.BytesIO(b)) / soundfile.read / cv2.imdecode and
-    emit real features. Here: deterministic byte statistics stand in
-    for pixel statistics (imaging libs absent in this environment)."""
-    try:  # the real decode path would be gated exactly like this
-        import PIL.Image  # noqa: F401
+try:  # the real decode path activates the moment the lib exists
+    from PIL import Image as _PILImage
 
-        raise NotImplementedError(
-            "real image decode intentionally not wired in this environment"
-        )
-    except ImportError:
-        pass
-    payloads = pdf["payload"]
+    HAVE_PIL = True
+except ImportError:
+    _PILImage = None
+    HAVE_PIL = False
+
+
+def _image_stats(b: bytes) -> tuple[float, float]:
+    """REAL image decode (PIL): mean and first pixel of the grayscale
+    -converted image — raises on payloads that aren't valid images."""
+    import io
+
+    img = _PILImage.open(io.BytesIO(bytes(b))).convert("L")
+    px = list(img.getdata())
+    return float(sum(px) / len(px)), float(px[0])
+
+
+def _byte_stats(b: bytes) -> tuple[float, float]:
+    """Fallback features when no decoder applies: deterministic byte
+    statistics (stable for the rows-only check, shape-identical to the
+    pixel path)."""
+    if not len(b):
+        return 0.0, 0.0
+    return float(sum(b) / len(b)), float(b[0])
+
+
+def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-Arrow-batch decode. Dispatch per row: image payloads decode
+    FOR REAL when PIL is importable (pixel mean/first), anything
+    undecodable — wrong media_type, invalid bytes, or no decoder in
+    the image — falls back to byte statistics. The synthetic corpus
+    payloads are md5-derived bytes, not valid images, so the checked
+    key's output is identical with and without PIL; the contract test
+    (tests/test_multimodal_decode.py) proves BOTH branches with a
+    hand-built valid PNG."""
+
+    def feats(media_type: str, b: bytes) -> tuple[float, float]:
+        if HAVE_PIL and media_type.startswith("image/"):
+            try:
+                return _image_stats(b)
+            except Exception:  # not a decodable image → fallback
+                pass
+        return _byte_stats(b)
+
+    pairs = [
+        feats(mt, b)
+        for mt, b in zip(pdf["media_type"], pdf["payload"])
+    ]
     return pd.DataFrame(
         {
             "doc_id": pdf["doc_id"],
             "media_type": pdf["media_type"],
-            "byte_len": payloads.map(len).astype("int32"),
-            "feat_mean": payloads.map(
-                lambda b: float(sum(b) / len(b)) if len(b) else 0.0
-            ),
-            "feat_first": payloads.map(
-                lambda b: float(b[0]) if len(b) else 0.0
-            ),
+            "byte_len": pdf["payload"].map(len).astype("int32"),
+            "feat_mean": [p[0] for p in pairs],
+            "feat_first": [p[1] for p in pairs],
         }
     )
 
