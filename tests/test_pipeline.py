@@ -199,3 +199,37 @@ def test_run_counts_in_one_pass(spark, monkeypatch):
     )
     res = p.run(spark)
     assert res.rows_written == 25
+
+
+def test_zorder_clustering_localizes_rectangle_queries(spark):
+    """Z-order locality: a rectangle predicate on (custkey, date) must
+    find all its rows in a strict minority of the 8 clustered files —
+    that file locality is exactly what parquet min/max skipping prunes
+    on at scale. Also check the predicate reaches the scan."""
+    from pyspark.sql import functions as F
+
+    from uchr_scetl_spark.operators.etl import _zorder_dir
+
+    out = _zorder_dir(spark, SF_SMOKE)
+    back = spark.read.parquet(out)
+    n_files_total = back.select(
+        F.input_file_name()
+    ).distinct().count()
+    # quarter-of-range rectangle in both dims, sized from the corpus
+    # itself so the test holds at any SF
+    bounds = back.agg(
+        F.min("o_custkey").alias("klo"), F.max("o_custkey").alias("khi")
+    ).collect()[0]
+    k_hi = bounds.klo + max(1, (bounds.khi - bounds.klo) // 4)
+    lo = F.lit("1996-01-01").cast("timestamp_ntz")
+    hi = F.lit("1997-01-01").cast("timestamp_ntz")
+    rect = back.where(
+        F.col("o_custkey").between(bounds.klo, k_hi)
+        & (F.col("o_orderdate") >= lo)
+        & (F.col("o_orderdate") < hi)
+    )
+    touched = rect.select(F.input_file_name()).distinct().count()
+    assert rect.count() > 0
+    assert touched < n_files_total / 2, (touched, n_files_total)
+    plan = rect._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan

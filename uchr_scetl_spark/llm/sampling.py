@@ -191,3 +191,35 @@ def sample_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rate_ppm"),
         )
     )
+
+
+RESERVOIR_K = 100  # global sample size
+
+
+@query(
+    "sample_reservoir_hash",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    ORDER BY md5(concat('rsv:', CAST(doc_id AS VARCHAR))), doc_id
+    LIMIT {RESERVOIR_K}
+    """,
+)
+def sample_reservoir_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k uniform global sample in one distributed pass — the
+    deterministic replacement for reservoir sampling: order by an md5
+    of the row key and keep the k smallest. Every subset of size k is
+    equally likely under the hash's uniformity, the draw is
+    reproducible across retries/engines (unlike an RNG reservoir,
+    whose result depends on encounter order), and the plan is a
+    TakeOrderedAndProject — each partition keeps a size-k heap and the
+    driver merges P heaps, so no sort or shuffle of the corpus ever
+    happens. The salt ('rsv:') decorrelates this draw from other
+    hash-derived samples over the same keys."""
+    d = load(spark, sf_dir, "documents")
+    r = F.md5(F.concat(F.lit("rsv:"), F.col("doc_id").cast("string")))
+    return (
+        d.orderBy(r, "doc_id")
+        .limit(RESERVOIR_K)
+        .select("doc_id", "lang", "source")
+    )
