@@ -155,6 +155,20 @@ AUDITS: dict[str, tuple[str, list[str]]] = {
         "never the signature arrays.",
         [r"Exchange hashpartitioning", r"HashAggregate"],
     ),
+    "etl_zorder_cluster": (
+        "Z-order rectangle query: both filter dimensions (custkey AND "
+        "orderdate) reach the clustered parquet scan as PushedFilters, "
+        "so min/max stats over the Morton-sorted files can skip "
+        "whole files/row-groups; the aggregate is a partial+final pair.",
+        [r"PushedFilters", r"HashAggregate"],
+    ),
+    "sample_reservoir_hash": (
+        "Deterministic reservoir: the exact-k uniform sample plans as "
+        "TakeOrderedAndProject over the md5 sort key - a size-k heap "
+        "per partition merged on the driver, never a global sort or "
+        "shuffle of the corpus.",
+        [r"TakeOrderedAndProject"],
+    ),
 }
 
 
