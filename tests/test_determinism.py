@@ -34,6 +34,8 @@ KEYS = [
     "dedup_exact_keep_best",
     "win_median_sliding",
     "udf_cogrouped_pandas",
+    "sample_reservoir_hash",
+    "etl_zorder_cluster",
 ]
 
 
