@@ -664,3 +664,60 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "bucket")
         .agg(F.count("*").alias("n_docs"), F.sum("nt").alias("n_tokens"))
     )
+
+
+@query(
+    "text_repetition_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             [array_to_string(t[i : i + 2], ' ')
+              for i in generate_series(1, len(t) - 2)] AS g
+      FROM toks WHERE len(t) >= 3
+    )
+    SELECT doc_id,
+           CAST(len(g) AS BIGINT) AS n_grams,
+           CAST(len(g) - len(list_distinct(g)) AS BIGINT) AS n_dup_grams,
+           CAST(((len(g) - len(list_distinct(g))) * 1000000) // len(g)
+                AS BIGINT) AS dup_ppm
+    FROM grams
+    """,
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition score: the fraction of duplicated
+    3-grams inside each document — the standard boilerplate /
+    degenerate-generation signal (navigation chrome, scraped template
+    text, and looping model output all score high; Gopher/MassiveText
+    -style quality filters cut on exactly this family of ratios).
+
+    Entirely scan-side higher-order-function algebra: one token split,
+    one in-row 3-gram transform, array_distinct for the unique count —
+    no explode, no shuffle, no Python. The ratio is reported in exact
+    integer ppm so the checked value is engine-identical. Documents
+    shorter than the 3-gram window carry no grams and are excluded on
+    both sides (the same short-doc guard as text_contamination_check).
+    """
+    d = load(spark, sf_dir, "documents")
+    d = d.where(F.size(F.split(F.col("text"), " ")) >= 3)
+    grams = F.expr(
+        "transform(array(split(text, ' ')),"
+        " t -> transform(sequence(1, size(t) - 2),"
+        "   i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1),"
+        "                  element_at(t, i + 2))))[0]"
+    )
+    return (
+        d.select("doc_id", grams.alias("g"))
+        .select(
+            "doc_id",
+            F.size("g").cast("bigint").alias("n_grams"),
+            (F.size("g") - F.size(F.array_distinct("g")))
+            .cast("bigint")
+            .alias("n_dup_grams"),
+            F.expr(
+                "CAST(((size(g) - size(array_distinct(g))) * 1000000)"
+                " DIV size(g) AS BIGINT)"
+            ).alias("dup_ppm"),
+        )
+    )
