@@ -202,3 +202,47 @@ def interval_join_stream(views: DataFrame, purchases: DataFrame) -> DataFrame:
         "user_id", "view_id", "purchase_id", "view_ts", "purchase_ts",
         "purchase_value",
     )
+
+
+def idempotent_batch_sink(target_dir: str):
+    """Exactly-once ``foreachBatch`` sink: the function Structured
+    Streaming's at-least-once batch redelivery needs on the other side.
+
+    foreachBatch gives at-least-once semantics — after a failure the
+    SAME (batch_df, batch_id) can be delivered again, and a naive
+    append would double those rows. The standard fix (Structured
+    Streaming programming guide: "use batchId to deduplicate") is to
+    make the write KEYED by batch_id and skip batches already
+    committed: each batch lands under ``batch_id=N/`` only if that
+    partition is absent, so redelivery is a no-op and downstream
+    readers see each input row exactly once. The directory-per-batch
+    layout doubles as the commit log — a partition directory with a
+    parquet _SUCCESS marker IS the committed record, no side store.
+
+    At scale the same pattern targets a transactional table format
+    (MERGE keyed on batch_id) — the sink function's shape is
+    identical."""
+    import os
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        part = os.path.join(target_dir, f"batch_id={batch_id}")
+        if os.path.exists(os.path.join(part, "_SUCCESS")):
+            return  # redelivered batch: already committed, exactly-once
+        batch_df.write.mode("overwrite").parquet(part)
+
+    return write
+
+
+def committed_batches(spark: SparkSession, target_dir: str) -> list[int]:
+    """The batch ids the sink has durably committed (its commit log)."""
+    import os
+
+    if not os.path.isdir(target_dir):
+        return []
+    out = []
+    for name in sorted(os.listdir(target_dir)):
+        if name.startswith("batch_id=") and os.path.exists(
+            os.path.join(target_dir, name, "_SUCCESS")
+        ):
+            out.append(int(name.split("=", 1)[1]))
+    return out
