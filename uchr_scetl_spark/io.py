@@ -18,6 +18,20 @@ from .schemas import LOGICAL, TABLES
 from .session import configure
 
 
+def scratch_dir(prefix: str) -> str:
+    """mkdtemp with atexit cleanup — every write-then-read-back
+    operator scratches through here so sweep/bench loops never
+    accumulate orphan tempdirs (ADVICE round 3 flagged the leak
+    class)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    return out
+
+
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 

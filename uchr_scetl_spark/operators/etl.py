@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import load
+from ..io import load, scratch_dir
 from ..registry import query
 
 
@@ -208,14 +208,13 @@ def etl_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     128 MiB."""
     import math
     import os
-    import tempfile
 
     src = (
         load(spark, sf_dir, "lineitem")
         .where(F.col("l_orderkey") % 10 == 0)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
     )
-    landing = tempfile.mkdtemp(prefix="uchr_landing_")
+    landing = scratch_dir("uchr_landing_")
     src.repartition(64).write.mode("overwrite").parquet(landing)
 
     total_bytes = sum(
@@ -226,7 +225,7 @@ def etl_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     target_file_size = 128 * 1024 * 1024
     n_files = max(1, math.ceil(total_bytes / target_file_size))
 
-    compacted = tempfile.mkdtemp(prefix="uchr_compacted_")
+    compacted = scratch_dir("uchr_compacted_")
     spark.read.parquet(landing).repartition(n_files).write.mode(
         "overwrite"
     ).parquet(compacted)
@@ -295,15 +294,10 @@ def _backfill_dir(spark: SparkSession, sf_dir: str, o: DataFrame) -> str:
     """Run the corrupt-then-backfill write sequence once per
     (app, sf_dir) with atexit cleanup — repeated invocations (sweeps,
     bench loops) previously leaked a two-write tempdir per call."""
-    import atexit
-    import shutil
-    import tempfile
-
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _backfill_memo:
         target = "1998-03"
-        out = tempfile.mkdtemp(prefix="uchr_backfill_")
-        atexit.register(shutil.rmtree, out, ignore_errors=True)
+        out = scratch_dir("uchr_backfill_")
         corrupted = o.withColumn(
             "o_totalprice",
             F.when(F.col("month") == target, F.lit(0.0)).otherwise(
@@ -603,10 +597,6 @@ def _zorder_dir(spark: SparkSession, sf_dir: str) -> str:
     sortWithinPartitions(z) → parquet. Range partitioning keeps file
     count fixed AND gives every file a tight z-range, which is what
     makes BOTH dimensions' parquet min/max stats selective."""
-    import atexit
-    import shutil
-    import tempfile
-
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _zorder_memo:
         o = load(spark, sf_dir, "orders").select(
@@ -617,8 +607,7 @@ def _zorder_dir(spark: SparkSession, sf_dir: str) -> str:
         )
         day = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
         z = _zvalue(F.col("o_custkey"), day.cast("long"))
-        out = tempfile.mkdtemp(prefix="uchr_zorder_")
-        atexit.register(shutil.rmtree, out, ignore_errors=True)
+        out = scratch_dir("uchr_zorder_")
         (
             o.withColumn("z", z)
             .repartitionByRange(8, "z")

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..exprs import dec_sum, sql_dec_sum
-from ..io import load
+from ..io import load, scratch_dir
 from ..registry import query
 
 
@@ -249,7 +249,6 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same key from a full shuffle into a local merge: bucketing is
     paid once at write time, reused by every downstream join/agg on
     that key."""
-    import tempfile
 
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
@@ -258,7 +257,7 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # external tables at a fresh temp location: bucketed tables need the
     # catalog (bucket metadata lives there), but a managed location
     # would collide with stale dirs left by previous sessions
-    out = tempfile.mkdtemp(prefix="uchr_bucketed_")
+    out = scratch_dir("uchr_bucketed_")
     for name in ("uchr_b_lineitem", "uchr_b_orders"):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
     # repartition on the bucket key BEFORE the bucketed write: bucket-id

@@ -2,13 +2,14 @@
 
 Scans stay declarative so Catalyst pushes predicates and prunes columns
 into the parquet reader (verify with ``.explain``: PushedFilters /
-ReadSchema). Sink round-trips write to a fresh temp dir per invocation
-(deterministic content, driver-safe).
+ReadSchema). Sink round-trips write through ``io.scratch_dir`` (a fresh
+temp dir per invocation, removed at interpreter exit, so sweep/bench
+loops never accumulate orphans); rendered fixtures (binary files,
+malformed CSV) are additionally memoized per (app, sf_dir).
 """
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -20,7 +21,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..io import load, read_csv, read_json, write_csv, write_json
+from ..io import load, read_csv, read_json, scratch_dir, write_csv, write_json
 from ..registry import query
 
 
@@ -54,7 +55,7 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     representations and parses them back to the identical bits.
     """
     src = load(spark, sf_dir, "customer")
-    out = tempfile.mkdtemp(prefix="uchr_scan_csv_")
+    out = scratch_dir("uchr_scan_csv_")
     write_csv(src, out)
     return read_csv(spark, out, "customer").select(
         "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
@@ -71,7 +72,7 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines round-trip with an explicit schema."""
     src = load(spark, sf_dir, "part")
-    out = tempfile.mkdtemp(prefix="uchr_scan_json_")
+    out = scratch_dir("uchr_scan_json_")
     write_json(src, out)
     return read_json(spark, out, "part").select(
         "p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"
@@ -95,7 +96,7 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     enables static partition pruning on re-read at scale.
     """
     src = load(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 45)
-    out = tempfile.mkdtemp(prefix="uchr_sink_parq_")
+    out = scratch_dir("uchr_sink_parq_")
     src.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
     # explicit schema: a zero-row partitioned write creates no
     # directories, and a schema-less read of it cannot infer — empty
@@ -122,7 +123,7 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = load(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
     )
-    out = tempfile.mkdtemp(prefix="uchr_scan_orc_")
+    out = scratch_dir("uchr_scan_orc_")
     src.write.mode("overwrite").orc(out)
     return spark.read.orc(out).where(F.col("s_acctbal") > 0)
 
@@ -140,7 +141,7 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sink_orc_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partitioned ORC sink + pruned re-read aggregate."""
     src = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
-    out = tempfile.mkdtemp(prefix="uchr_sink_orc_")
+    out = scratch_dir("uchr_sink_orc_")
     src.write.mode("overwrite").partitionBy("o_orderpriority").orc(out)
     back = spark.read.schema(src.schema).orc(out)  # zero-row-write safe
     return back.groupBy("o_orderpriority").agg(
@@ -170,7 +171,7 @@ def sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("o_totalprice") > 450000)
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
     )
-    out = tempfile.mkdtemp(prefix="uchr_sink_csv_")
+    out = scratch_dir("uchr_sink_csv_")
     write_csv(src, out)
     return read_csv(spark, out, schema)
 
@@ -192,7 +193,7 @@ def scan_pruned_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
     )
-    out = tempfile.mkdtemp(prefix="uchr_pruned_")
+    out = scratch_dir("uchr_pruned_")
     src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
     return (
         spark.read.schema(src.schema).parquet(out)
@@ -225,7 +226,7 @@ def sink_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("c_acctbal") < 0)
         .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
     )
-    out = tempfile.mkdtemp(prefix="uchr_sink_json_")
+    out = scratch_dir("uchr_sink_json_")
     write_json(src, out)
     return read_json(spark, out, schema)
 
@@ -246,7 +247,7 @@ def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     the old files carry NULL for the new column. The everyday ETL
     reality of append-only datasets whose schema grows."""
     o = load(spark, sf_dir, "orders")
-    out = tempfile.mkdtemp(prefix="uchr_evolve_")
+    out = scratch_dir("uchr_evolve_")
     (
         o.where(F.col("o_orderstatus") == "F")
         .select("o_orderkey", "o_totalprice")
@@ -270,9 +271,6 @@ _binary_fixture_memo: dict[tuple[str, str], str] = {}
 def _binary_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     """Write the 32-doc .bin landing files once per (app, sf_dir);
     remove them at interpreter exit."""
-    import atexit
-    import shutil
-
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _binary_fixture_memo:
         docs = (
@@ -281,8 +279,7 @@ def _binary_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
             .select("doc_id", "text")
             .collect()
         )
-        out = tempfile.mkdtemp(prefix="uchr_bin_")
-        atexit.register(shutil.rmtree, out, ignore_errors=True)
+        out = scratch_dir("uchr_bin_")
         for r in docs:
             with open(f"{out}/doc_{r.doc_id:05d}.bin", "wb") as fh:
                 fh.write(r.text.encode("utf-8"))
@@ -346,7 +343,6 @@ def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage codegen (no UDF), and at 100 TB text scans
     parallelise per-file split exactly like CSV. Doubles survive
     because Spark renders shortest-round-trip decimal strings."""
-    import tempfile
 
     src = (
         load(spark, sf_dir, "orders")
@@ -361,7 +357,7 @@ def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("value")
         )
     )
-    out = tempfile.mkdtemp(prefix="uchr_textlines_")
+    out = scratch_dir("uchr_textlines_")
     src.write.mode("overwrite").text(out)
     lines = spark.read.text(out)
     pat = r"^(\d+)\|(\d+)\|([A-Z])\|([0-9.]+)$"
@@ -400,7 +396,6 @@ def scan_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     corrupt-row routing both happen scan-side (per-file-split
     parallel); doubles survive because to_json writes
     shortest-round-trip decimals."""
-    import tempfile
 
     src = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 150000)
     line = F.when(
@@ -409,7 +404,7 @@ def scan_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(
         F.to_json(F.struct("o_orderkey", "o_totalprice"))
     )
-    out = tempfile.mkdtemp(prefix="uchr_jsoncorrupt_")
+    out = scratch_dir("uchr_jsoncorrupt_")
     src.select(line.alias("value")).write.mode("overwrite").text(out)
 
     parsed = (
@@ -453,16 +448,15 @@ def sink_compressed_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB (zstd ≈ gzip ratio at several× the throughput, and
     parquet+zstd splits by row group where a .csv.gz file is ONE
     split — the classic ingest bottleneck this key documents)."""
-    import tempfile
 
     src = (
         load(spark, sf_dir, "orders")
         .where(F.col("o_totalprice") > 200000)
         .select("o_orderkey", "o_totalprice")
     )
-    pq = tempfile.mkdtemp(prefix="uchr_zstd_")
+    pq = scratch_dir("uchr_zstd_")
     src.write.mode("overwrite").option("compression", "zstd").parquet(pq)
-    cs = tempfile.mkdtemp(prefix="uchr_gzcsv_")
+    cs = scratch_dir("uchr_gzcsv_")
     src.write.mode("overwrite").option("compression", "gzip").option(
         "header", "true"
     ).csv(cs)
@@ -502,12 +496,11 @@ def scan_glob_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     strategy IS a performance decision (driver-side listing of a
     million-file tree), which is why both knobs exist; this key pins
     their completeness semantics."""
-    import tempfile
 
     src = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    root = tempfile.mkdtemp(prefix="uchr_glob_")
+    root = scratch_dir("uchr_glob_")
     # scatter into a two-level nested layout
     for status in ("F", "O", "P"):
         (
@@ -556,12 +549,11 @@ def sink_sorted_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     for time-filtered scans at 100 TB). The re-read's pushed range
     filter is what the oracle checks; the plan test asserts the
     filter reaches the scan."""
-    import tempfile
 
     src = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
     )
-    out = tempfile.mkdtemp(prefix="uchr_clustered_")
+    out = scratch_dir("uchr_clustered_")
     (
         src.repartition(4, "o_custkey")
         .sortWithinPartitions("o_orderdate")
@@ -585,9 +577,6 @@ def _csv_malformed_dir(spark: SparkSession, sf_dir: str) -> str:
     remove it at interpreter exit — mirrors _binary_fixture_dir so
     bench sweeps don't leak one tempdir (plus a full customer CSV
     render) per invocation."""
-    import atexit
-    import shutil
-
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _csv_malformed_memo:
         src = load(spark, sf_dir, "customer")
@@ -599,8 +588,7 @@ def _csv_malformed_dir(spark: SparkSession, sf_dir: str) -> str:
                 ",", F.col("c_custkey"), F.col("c_acctbal").cast("string")
             )
         )
-        out = tempfile.mkdtemp(prefix="uchr_csvmalformed_")
-        atexit.register(shutil.rmtree, out, ignore_errors=True)
+        out = scratch_dir("uchr_csvmalformed_")
         src.select(line.alias("value")).write.mode("overwrite").text(out)
         _csv_malformed_memo[key] = out
     return _csv_malformed_memo[key]
