@@ -110,6 +110,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # (checkpointing edges_deg as well was tried in round 4 and
+    # measured ZERO win — ReusedExchange already covers the repeated
+    # reference, so the extra storage buys nothing)
     edges_deg = edges.join(F.broadcast(deg), "src")
     nodes = edges.select(F.col("src").alias("part_id")).distinct()
     nn = nodes.agg(F.count("*").alias("n"))
