@@ -253,3 +253,34 @@ def test_simhash_pair_dedup_carries_no_arrays(spark):
     ]
     pair_exchanges = [ln for ln in exchange_lines if "a_id" in ln]
     assert not any("chunks" in ln for ln in pair_exchanges), plan
+
+
+def test_lsh_candidate_exchanges_carry_no_vectors(spark):
+    """The multiprobe LSH candidate stage deduplicates on the bare
+    (probe_id, neighbor_id) int pair; the embedding arrays re-attach
+    AFTER candidate generation, so no shuffle exchange in the
+    candidate subtree may carry the vector column (the 100 TB
+    shuffle-width guarantee for the ANN path)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from uchr_scetl_spark.llm.similarity import _lsh_candidates
+
+    from .conftest import SF_SMOKE
+
+    df = _lsh_candidates(spark, SF_SMOKE)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # At tiny SF the single-partition scan may need no exchange at
+    # all; the invariant is that WHEREVER an exchange exists in this
+    # subtree, it carries only int keys — never the vector column.
+    exchange_lines = [
+        ln for ln in plan.splitlines() if "Exchange" in ln
+    ]
+    assert not any(
+        " v#" in ln or "embedding" in ln for ln in exchange_lines
+    ), plan
+    # and the candidate output itself is the bare int pair
+    assert [f.name for f in df.schema.fields] == ["probe_id", "neighbor_id"]
