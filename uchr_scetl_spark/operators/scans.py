@@ -638,3 +638,85 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("valid_bal"),
     )
+
+
+_fixed_width_memo: dict[tuple[str, str], str] = {}
+
+# (name, width) layout of the fixed-width landing file: key 12, balance
+# 14 (sign + 10.2), nation 4, segment 12 — classic mainframe-extract
+# shape
+_FW_LAYOUT = [
+    ("c_custkey", 12),
+    ("c_acctbal", 14),
+    ("c_nationkey", 4),
+    ("c_mktsegment", 12),
+]
+
+
+def _fixed_width_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Render customer as a fixed-width text file once per
+    (app, sf_dir): every field right-padded/left-padded into its
+    column slot, one line per row, no delimiters."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _fixed_width_memo:
+        src = load(spark, sf_dir, "customer")
+        line = F.concat(
+            F.lpad(F.col("c_custkey").cast("string"), 12, " "),
+            F.lpad(
+                F.format_number(F.col("c_acctbal").cast("decimal(12,2)"), 2),
+                14,
+                " ",
+            ),
+            F.lpad(F.col("c_nationkey").cast("string"), 4, " "),
+            F.rpad(F.col("c_mktsegment"), 12, " "),
+        )
+        out = scratch_dir("uchr_fixedwidth_")
+        src.select(line.alias("value")).write.mode("overwrite").text(out)
+        _fixed_width_memo[key] = out
+    return _fixed_width_memo[key]
+
+
+@query(
+    "scan_fixed_width",
+    oracle="""
+    SELECT c_custkey,
+           CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS c_acctbal,
+           c_nationkey,
+           c_mktsegment
+    FROM customer
+    """,
+)
+def scan_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width text source — the mainframe/legacy-extract format
+    every long-lived ETL estate still receives (no delimiters; fields
+    live at fixed byte offsets). Spark has no fixed-width reader, but
+    none is needed: read as text lines and slice each field with
+    ``substring`` at its layout offset — all codegen projection over
+    the scan, splittable per line like any text source, and the layout
+    table is the only metadata.
+
+    The checked round-trip renders customer into the fixed-width
+    layout and parses it back: key and nation as integers, the
+    balance through DECIMAL(12,2) so the text rendering (2 decimal
+    places, thousands separators stripped) reparses to the exact
+    value, segment trimmed of its padding."""
+    out = _fixed_width_dir(spark, sf_dir)
+    lines = spark.read.text(out)
+    offsets: list[tuple[str, int, int]] = []
+    pos = 1
+    for name, width in _FW_LAYOUT:
+        offsets.append((name, pos, width))
+        pos += width
+    raw = {
+        name: F.substring(F.col("value"), start, width)
+        for name, start, width in offsets
+    }
+    return lines.select(
+        F.trim(raw["c_custkey"]).cast("bigint").alias("c_custkey"),
+        F.replace(F.trim(raw["c_acctbal"]), F.lit(","), F.lit(""))
+        .cast("decimal(12,2)")
+        .cast("double")
+        .alias("c_acctbal"),
+        F.trim(raw["c_nationkey"]).cast("int").alias("c_nationkey"),
+        F.rtrim(raw["c_mktsegment"]).alias("c_mktsegment"),
+    )
