@@ -660,15 +660,32 @@ def _fixed_width_dir(spark: SparkSession, sf_dir: str) -> str:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _fixed_width_memo:
         src = load(spark, sf_dir, "customer")
+        # NULL fields render as all-space slots (concat null-propagates
+        # and the text writer rejects NULL rows — a null-heavy feed
+        # must still land); the parse side reads a blank slot back as
+        # NULL via the trim+cast.
         line = F.concat(
-            F.lpad(F.col("c_custkey").cast("string"), 12, " "),
             F.lpad(
-                F.format_number(F.col("c_acctbal").cast("decimal(12,2)"), 2),
+                F.coalesce(F.col("c_custkey").cast("string"), F.lit("")),
+                12,
+                " ",
+            ),
+            F.lpad(
+                F.coalesce(
+                    F.format_number(
+                        F.col("c_acctbal").cast("decimal(12,2)"), 2
+                    ),
+                    F.lit(""),
+                ),
                 14,
                 " ",
             ),
-            F.lpad(F.col("c_nationkey").cast("string"), 4, " "),
-            F.rpad(F.col("c_mktsegment"), 12, " "),
+            F.lpad(
+                F.coalesce(F.col("c_nationkey").cast("string"), F.lit("")),
+                4,
+                " ",
+            ),
+            F.rpad(F.coalesce(F.col("c_mktsegment"), F.lit("")), 12, " "),
         )
         out = scratch_dir("uchr_fixedwidth_")
         src.select(line.alias("value")).write.mode("overwrite").text(out)
@@ -711,12 +728,16 @@ def scan_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
         name: F.substring(F.col("value"), start, width)
         for name, start, width in offsets
     }
+    # try_cast, not cast: a blank (NULL-rendered) slot must parse back
+    # to NULL instead of tripping ANSI CAST_INVALID_INPUT
     return lines.select(
-        F.trim(raw["c_custkey"]).cast("bigint").alias("c_custkey"),
+        F.trim(raw["c_custkey"]).try_cast("bigint").alias("c_custkey"),
         F.replace(F.trim(raw["c_acctbal"]), F.lit(","), F.lit(""))
-        .cast("decimal(12,2)")
+        .try_cast("decimal(12,2)")
         .cast("double")
         .alias("c_acctbal"),
-        F.trim(raw["c_nationkey"]).cast("int").alias("c_nationkey"),
-        F.rtrim(raw["c_mktsegment"]).alias("c_mktsegment"),
+        F.trim(raw["c_nationkey"]).try_cast("int").alias("c_nationkey"),
+        F.nullif(F.rtrim(raw["c_mktsegment"]), F.lit("")).alias(
+            "c_mktsegment"
+        ),
     )
