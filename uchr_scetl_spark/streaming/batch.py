@@ -272,3 +272,62 @@ def stream_user_running_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     )
+
+
+_exactly_once_memo: dict[tuple[str, str], str] = {}
+
+
+def _exactly_once_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Drive the idempotent foreachBatch sink through a REDELIVERY
+    once per (app, sf_dir): the first 5000 events split into two
+    batches, batch 0 delivered TWICE (what at-least-once does after a
+    failure), batch 1 once. The surviving files are the proof."""
+    from ..io import scratch_dir
+    from .streams import idempotent_batch_sink
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _exactly_once_memo:
+        out = scratch_dir("uchr_exactly_once_")
+        sink = idempotent_batch_sink(out)
+        e = load(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        b0 = e.where(F.col("event_id") % 2 == 0)
+        b1 = e.where(F.col("event_id") % 2 == 1)
+        sink(b0, 0)
+        sink(b0, 0)  # redelivered batch — must be a no-op
+        sink(b1, 1)
+        _exactly_once_memo[key] = out
+    return _exactly_once_memo[key]
+
+
+@query(
+    "stream_exactly_once_sink",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dec_sum('value', 'total_value')}
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once delivery through an at-least-once channel — THE
+    correctness property of a production streaming sink. foreachBatch
+    redelivers the same (batch_df, batch_id) after failures; the
+    idempotent sink (streaming/streams.py) keys each write by batch_id
+    with the parquet _SUCCESS marker as its commit record, so the
+    redelivery is a no-op. This key DRIVES a redelivery (batch 0
+    written twice, batch 1 once) and aggregates the sink's readback —
+    the oracle is the plain aggregate over the source, so ANY
+    duplicated or lost row hash-mismatches: append-mode double-count,
+    truncate-mode loss, and partial-batch commits are all caught by
+    the same equality."""
+    out = _exactly_once_dir(spark, sf_dir)
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(24,6)"))
+        .cast("double")
+        .alias("total_value"),
+    )
