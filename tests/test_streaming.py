@@ -404,3 +404,51 @@ def test_foreach_batch_sink_is_idempotent_under_redelivery(spark, tmp_path):
     q.awaitTermination(120)
     assert committed_batches(spark, stream_target)
     assert spark.read.parquet(stream_target).count() == 200
+
+
+def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
+    """Checkpoint recovery semantics: a restarted query resumes from
+    its checkpoint and processes ONLY data that arrived since — no
+    reprocessing (which would duplicate through a naive sink), no
+    loss. Run 1 drains the first file, new files land, run 2 restarts
+    with the SAME checkpoint; combined with the idempotent sink the
+    readback must equal the full source exactly once."""
+    import os
+
+    from uchr_scetl_spark.streaming.streams import (
+        committed_batches,
+        idempotent_batch_sink,
+        read_events_stream,
+    )
+
+    events_dir = str(tmp_path / "events")
+    os.makedirs(events_dir)
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").limit(300)
+    first = ev.where("event_id % 3 = 0")
+    rest = ev.where("event_id % 3 != 0")
+    first.coalesce(1).write.mode("append").parquet(events_dir)
+
+    sink_dir = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            read_events_stream(spark, events_dir)
+            .writeStream.foreachBatch(idempotent_batch_sink(sink_dir))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    n_first = spark.read.parquet(sink_dir).count()
+    assert n_first == first.count()
+
+    rest.coalesce(1).write.mode("append").parquet(events_dir)
+    run_once()  # restart from the same checkpoint
+
+    back = spark.read.parquet(sink_dir)
+    assert back.count() == 300  # all rows exactly once, none re-run
+    assert back.select("event_id").distinct().count() == 300
+    assert len(committed_batches(spark, sink_dir)) >= 2
