@@ -241,3 +241,112 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(within, F.col("purchase_id")).alias("purchase_id"),
         F.when(within, F.col("purchase_value")).alias("purchase_value"),
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH l AS (
+      SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'click'
+    ), r0 AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+             row_number() OVER (PARTITION BY user_id, ts
+                                ORDER BY event_id DESC) AS rn
+      FROM events WHERE event_type = 'purchase'
+    ), r AS (
+      SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value
+      FROM r0 WHERE rn = 1
+    )
+    SELECT l.click_id, l.user_id, l.ts,
+           CASE WHEN b.ts IS NOT NULL
+                 AND (f.ts IS NULL OR l.ts - b.ts <= f.ts - l.ts)
+                THEN b.purchase_id ELSE f.purchase_id END AS purchase_id,
+           CASE WHEN b.ts IS NOT NULL
+                 AND (f.ts IS NULL OR l.ts - b.ts <= f.ts - l.ts)
+                THEN b.purchase_value ELSE f.purchase_value
+           END AS purchase_value
+    FROM l
+      ASOF LEFT JOIN r b ON l.user_id = b.user_id AND l.ts >= b.ts
+      ASOF LEFT JOIN r f ON l.user_id = f.user_id AND l.ts <  f.ts
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-match as-of (pandas merge_asof direction='nearest'):
+    each click takes whichever purchase is CLOSER in time — the latest
+    at-or-before vs the earliest strictly-after — with ties preferring
+    the backward match.
+
+    Plan: BOTH directions come out of ONE union-tag window pass — the
+    partitionBy(user)/orderBy(ts, side) sort is shared, the backward
+    match is last(payload, ignoreNulls) over the preceding frame and
+    the forward match first(payload, ignoreNulls) over the following
+    frame, so nearest costs the same single shuffle as one-directional
+    as-of (a naive two-asof-join formulation pays two window plans
+    plus a fact-sized re-join). Right rows sort BEFORE left rows at
+    equal ts, which lands equal-ts matches in the backward frame —
+    exactly the tie rule."""
+    e = load(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    w_dedup = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    purchases = (
+        e.where(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(w_dedup))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    payload = ["purchase_id", "purchase_value"]
+    r_tagged = purchases.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("_side"),
+        F.lit(None).cast("bigint").alias("click_id"),
+        *payload,
+        F.col("ts").alias("matched_ts"),
+    )
+    l_tagged = clicks.select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("_side"),
+        "click_id",
+        *[
+            F.lit(None).cast(dict(purchases.dtypes)[c]).alias(c)
+            for c in payload
+        ],
+        F.lit(None).cast("timestamp_ntz").alias("matched_ts"),
+    )
+    unioned = r_tagged.unionByName(l_tagged)
+    base = Window.partitionBy("user_id").orderBy("ts", "_side")
+    back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    cols = [*payload, "matched_ts"]
+    matched = unioned.select(
+        "*",
+        *[F.last(c, ignorenulls=True).over(back).alias(f"_b_{c}") for c in cols],
+        *[F.first(c, ignorenulls=True).over(fwd).alias(f"_f_{c}") for c in cols],
+    ).where(F.col("_side") == 1)
+    use_back = F.col("_b_matched_ts").isNotNull() & (
+        F.col("_f_matched_ts").isNull()
+        | (
+            F.col("ts") - F.col("_b_matched_ts")
+            <= F.col("_f_matched_ts") - F.col("ts")
+        )
+    )
+    return matched.select(
+        "click_id",
+        "user_id",
+        "ts",
+        F.when(use_back, F.col("_b_purchase_id"))
+        .otherwise(F.col("_f_purchase_id"))
+        .alias("purchase_id"),
+        F.when(use_back, F.col("_b_purchase_value"))
+        .otherwise(F.col("_f_purchase_value"))
+        .alias("purchase_value"),
+    )
