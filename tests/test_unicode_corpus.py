@@ -55,6 +55,11 @@ KEYS = [
     "text_repetition_score",
     "dedup_exact",
     "dedup_exact_keep_best",
+    # hash-machinery keys: md5-derived SimHash signatures and
+    # shingle-count Jaccard must agree over UTF-8 bytes of multibyte
+    # text, not just ASCII
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
     "sample_stratified",
     "sample_split_assign",
 ]
