@@ -193,6 +193,70 @@ def sample_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sample_temperature",
+    oracle="""
+    WITH stats AS (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), w AS (
+      SELECT source, n_tokens,
+             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS w
+      FROM stats
+    ), tot AS (
+      SELECT SUM(n_tokens) AS tot_tokens, SUM(w) AS tot_w FROM w
+    )
+    SELECT source, n_tokens,
+           CAST((n_tokens * 1000000) // tot.tot_tokens AS BIGINT) AS raw_ppm,
+           CAST((w * 1000000) // tot.tot_w AS BIGINT) AS temp_ppm
+    FROM w, tot
+    """,
+)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-resampled source mix at α = 0.5 — the multilingual
+    /multi-domain rebalancing rule (p_i ∝ n_i^α) every large
+    pretraining recipe since mBERT/XLM-R uses to upweight low-resource
+    sources without letting them dominate. Emits each source's raw
+    token share and its temperature-flattened share, both in ppm.
+
+    Determinism: the only non-integer step is sqrt(n_tokens) — IEEE
+    754 requires sqrt (and the following multiply) to be correctly
+    rounded, so both engines produce the identical double from the
+    identical bigint, and the floor-to-micro quantization makes the
+    checked value integer-exact. Weights are then pure bigint sums and
+    floor divisions. Scale shape: one groupBy(source) with partial
+    aggregation plus a one-row totals broadcast — identical to
+    sample_mix_plan's single-scan plan."""
+    d = load(spark, sf_dir, "documents")
+    stats = (
+        d.select("source", F.size(F.split("text", " ")).cast("bigint").alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").alias("n_tokens"))
+        .withColumn(
+            "w",
+            F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1000000).cast(
+                "bigint"
+            ),
+        )
+    )
+    tot = stats.agg(
+        F.sum("n_tokens").alias("tot_tokens"), F.sum("w").alias("tot_w")
+    )
+    return (
+        stats.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            F.expr("CAST((n_tokens * 1000000) DIV tot_tokens AS BIGINT)").alias(
+                "raw_ppm"
+            ),
+            F.expr("CAST((w * 1000000) DIV tot_w AS BIGINT)").alias("temp_ppm"),
+        )
+    )
+
+
 RESERVOIR_K = 100  # global sample size
 
 

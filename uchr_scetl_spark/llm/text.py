@@ -721,3 +721,92 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_ppm"),
         )
     )
+
+
+SPAN_W = 3  # tokens per non-overlapping span
+
+
+@query(
+    "text_span_dedup",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      FROM documents
+    ), spans AS (
+      SELECT doc_id, n,
+             array_to_string(
+               t[(s.i - 1) * {SPAN_W} + 1 : s.i * {SPAN_W}], ' ') AS span
+      FROM t, UNNEST(generate_series(1, n // {SPAN_W})) AS s(i)
+    ), df AS (
+      SELECT span, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM spans GROUP BY span
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_spans,
+           CAST((SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END)
+                 * {SPAN_W} * 1000000) // MAX(s.n) AS BIGINT)
+             AS dup_token_ppm
+    FROM spans s JOIN df USING (span)
+    GROUP BY s.doc_id
+    """,
+)
+def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus duplicated-span accounting — the span-granular
+    relaxation of exact-substring dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): cut each document
+    into non-overlapping W-token spans, count in how many distinct
+    documents each span occurs corpus-wide, and report per document
+    how many of its spans (and what ppm of its tokens) are duplicated
+    text that a substring-dedup pass would remove.
+
+    Complements the neighbouring keys: text_repetition_score is
+    WITHIN-doc duplication, text_contamination_check is train-vs-eval
+    overlap — this is corpus-wide inter-document span duplication, the
+    signal behind "X% of tokens in the crawl are verbatim copies".
+
+    Scale shape: one in-row span transform (no per-token explode — the
+    explode is on span positions, n/W rows per doc), one groupBy on
+    the span key for document frequency, one join back on the same
+    key, one per-doc aggregate. Spans are xxhash64'd to int64 the
+    moment they're formed (the contamination-check trick) so every
+    shuffle carries 8-byte keys; the oracle joins raw strings but only
+    per-doc COUNTS are compared, so the ~1e-9 collision odds never
+    surface. Sub-W-token docs carry no spans on either side (the
+    generate_series upper bound is 0), so the pushed filter is exact."""
+    d = load(spark, sf_dir, "documents")
+    d = d.where(F.size(F.split(F.col("text"), " ")) >= SPAN_W)
+    spans = d.repartition(default_parallelism(), "doc_id").select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(array(split(text, ' ')),"
+                f" t -> transform(sequence(1, size(t) DIV {SPAN_W}),"
+                f"   i -> struct(size(t) AS n,"
+                f"     xxhash64(array_join("
+                f"       slice(t, (i - 1) * {SPAN_W} + 1, {SPAN_W}), ' '))"
+                f"     AS h)))[0]"
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.n").cast("bigint").alias("n"), F.col("s.h").alias("h"))
+    dfreq = spans.groupBy("h").agg(F.countDistinct("doc_id").alias("df"))
+    dup = F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).cast("bigint")
+    return (
+        spans.join(dfreq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            dup.alias("n_dup_spans"),
+            F.max("n").alias("_n"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            F.expr(
+                f"CAST((n_dup_spans * {SPAN_W} * 1000000) DIV _n AS BIGINT)"
+            ).alias("dup_token_ppm"),
+        )
+    )

@@ -674,3 +674,113 @@ def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(5).over(wf).cast("bigint").alias("f_quintile"),
         F.ntile(5).over(wm).cast("bigint").alias("m_quintile"),
     )
+
+
+@query(
+    "events_ab_lift",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id % 2 AS variant, user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts NULLS FIRST,
+                                         event_id NULLS FIRST) AS rn
+      FROM events
+    ), u AS (
+      SELECT variant, user_id,
+             MAX(CASE WHEN rn <= 5 AND event_type = 'purchase'
+                      THEN 1 ELSE 0 END) AS conv
+      FROM ranked GROUP BY variant, user_id
+    ), s AS (
+      SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(conv) AS BIGINT) AS n_conv
+      FROM u GROUP BY variant
+    ), wide AS (
+      SELECT MAX(CASE WHEN variant = 0 THEN n_users END) AS n0,
+             MAX(CASE WHEN variant = 0 THEN n_conv END) AS c0,
+             MAX(CASE WHEN variant = 1 THEN n_users END) AS n1,
+             MAX(CASE WHEN variant = 1 THEN n_conv END) AS c1
+      FROM s
+    )
+    SELECT n0, c0, n1, c1,
+           CAST((c0 * 1000000) // n0 AS BIGINT) AS rate0_ppm,
+           CAST((c1 * 1000000) // n1 AS BIGINT) AS rate1_ppm,
+           CAST((c1 * 1000000) // n1 - (c0 * 1000000) // n0 AS BIGINT)
+             AS lift_ppm,
+           CASE WHEN c0 + c1 > 0 AND c0 + c1 < n0 + n1 THEN
+             CAST(floor(
+               ((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+                / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                       * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                       * (CAST(1 AS DOUBLE) / n0 + CAST(1 AS DOUBLE) / n1)))
+               * 1000000) AS BIGINT)
+           END AS z_micro
+    FROM wide
+    """,
+)
+def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample A/B conversion readout: users split into variants by
+    a deterministic hash-stand-in (user_id parity), conversion defined
+    as "purchased within the user's first five events" (an activation
+    metric — raw ever-purchased saturates to 100% on a dense event
+    stream), per-variant exposed/converted counts, rates and lift in
+    exact integer ppm, and the pooled two-proportion z-statistic
+    quantized to micro-units — the experiment-analysis query every
+    product pipeline batch-computes next to funnels and retention.
+
+    Determinism: counts are bigints; the z-statistic's divisions,
+    sqrt, and multiply are IEEE-correctly-rounded operations on values
+    derived from those bigints through an identical expression tree,
+    so both engines produce the same double bit pattern and the same
+    floored micro value. Degenerate pools (zero or total conversion)
+    yield NULL z on both sides instead of a 0/0 — ANSI Spark raises on
+    the division where DuckDB emits NaN, so the guard is required for
+    cross-engine agreement, not just taste. Scale shape: one per-user
+    window (single shuffle on user_id, codegen'd top-5 frame), one
+    2-row variant rollup, one single-row pivot."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_first(), F.col("event_id").asc_nulls_first()
+    )
+    ranked = e.select(
+        (F.col("user_id") % 2).alias("variant"),
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+    )
+    u = ranked.groupBy("variant", "user_id").agg(
+        F.max(
+            F.when(
+                (F.col("rn") <= 5) & (F.col("event_type") == "purchase"), 1
+            ).otherwise(0)
+        ).alias("conv")
+    )
+    s = u.groupBy("variant").agg(
+        F.count("*").alias("n_users"), F.sum("conv").alias("n_conv")
+    )
+    wide = s.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_conv"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_conv"))).alias("c1"),
+    )
+    return wide.select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        F.expr("CAST((c0 * 1000000) DIV n0 AS BIGINT)").alias("rate0_ppm"),
+        F.expr("CAST((c1 * 1000000) DIV n1 AS BIGINT)").alias("rate1_ppm"),
+        F.expr(
+            "CAST((c1 * 1000000) DIV n1 - (c0 * 1000000) DIV n0 AS BIGINT)"
+        ).alias("lift_ppm"),
+        F.expr(
+            "CASE WHEN c0 + c1 > 0 AND c0 + c1 < n0 + n1 THEN"
+            " CAST(floor("
+            "  ((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)"
+            "   / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))"
+            "          * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))"
+            "          * (CAST(1 AS DOUBLE) / n0 + CAST(1 AS DOUBLE) / n1)))"
+            "  * 1000000) AS BIGINT)"
+            " END"
+        ).alias("z_micro"),
+    )
