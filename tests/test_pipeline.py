@@ -233,3 +233,44 @@ def test_zorder_clustering_localizes_rectangle_queries(spark):
     assert touched < n_files_total / 2, (touched, n_files_total)
     plan = rect._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan
+
+
+def test_ab_lift_degenerate_pool_yields_null_z(spark):
+    """When every user converts, the pooled proportion is 1 and the
+    z denominator is sqrt(0): ANSI Spark would raise on the division
+    and DuckDB would emit NaN — the guard must turn both into NULL.
+    Build a corpus where each user's first event is a purchase."""
+    import datetime
+    import shutil
+    import tempfile
+
+    from uchr_scetl_spark.registry import load_registry
+
+    out = tempfile.mkdtemp(prefix="uchr_ab_degenerate_")
+    try:
+        rows = []
+        t0 = datetime.datetime(2024, 1, 1)
+        for uid in range(8):
+            for i in range(3):
+                rows.append(
+                    (
+                        uid * 10 + i,
+                        t0 + datetime.timedelta(minutes=uid * 10 + i),
+                        uid,
+                        "purchase" if i == 0 else "view",
+                        1.0,
+                        "{}",
+                    )
+                )
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string"
+        ).write.mode("overwrite").parquet(f"{out}/events.parquet")
+        res = load_registry()["events_ab_lift"].fn(spark, out).collect()[0]
+        assert res.n0 == 4 and res.n1 == 4
+        assert res.c0 == 4 and res.c1 == 4
+        assert res.rate0_ppm == 1000000 and res.rate1_ppm == 1000000
+        assert res.lift_ppm == 0
+        assert res.z_micro is None
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

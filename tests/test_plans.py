@@ -284,3 +284,14 @@ def test_lsh_candidate_exchanges_carry_no_vectors(spark):
     ), plan
     # and the candidate output itself is the bare int pair
     assert [f.name for f in df.schema.fields] == ["probe_id", "neighbor_id"]
+
+
+def test_span_dedup_spans_are_hashed_before_shuffle(spark):
+    # span keys must shuffle as int64 xxhash64 values, not strings —
+    # the same 100 TB shuffle-width guarantee as the contamination
+    # check: no Exchange may partition on a raw span text column
+    plan = plan_of(spark, "text_span_dedup")
+    assert "xxhash64" in plan, plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "span" not in ln, plan
