@@ -46,6 +46,7 @@ KEYS = [
     "dedup_simhash",
     "text_contamination_check",
     "text_repetition_score",
+    "text_span_dedup",
     "sim_pairwise_threshold",
 ]
 

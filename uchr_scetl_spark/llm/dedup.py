@@ -269,6 +269,30 @@ def minhash_signatures(
     return _signature_memo[key]
 
 
+def band_buckets(sigs: DataFrame) -> DataFrame:
+    """(doc_id, bucket) LSH band buckets off a MinHash signature table:
+    each band's rows are folded into one xxhash64 bucket id (band index
+    salted in so band b of one doc never collides with band b' of
+    another). Shared by the self-join dedup (dedup_near) and the
+    incremental batch-vs-index variant."""
+    bands = sigs.select(
+        "doc_id",
+        *[
+            F.xxhash64(
+                F.lit(b),
+                *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
+            ).alias(f"band{b}")
+            for b in range(N_BANDS)
+        ],
+    )
+    return bands.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.col(f"band{b}") for b in range(N_BANDS)])
+        ).alias("bucket"),
+    )
+
+
 _ORACLE_NEAR = f"""
     WITH {_ORACLE_SHINGLED_CTE},
     shingle_rows AS (
@@ -304,22 +328,7 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     too; the LSH path additionally never *counts* shared shingles for
     non-candidates, which is what survives 100 TB.
     """
-    sigs = minhash_signatures(spark, sf_dir)
-    bands = sigs.select(
-        "doc_id",
-        *[
-            F.xxhash64(
-                F.lit(b), *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-            ).alias(f"band{b}")
-            for b in range(N_BANDS)
-        ],
-    )
-    exploded = bands.select(
-        "doc_id",
-        F.explode(
-            F.array(*[F.col(f"band{b}") for b in range(N_BANDS)])
-        ).alias("bucket"),
-    )
+    exploded = band_buckets(minhash_signatures(spark, sf_dir))
     a = exploded.alias("a")
     b = exploded.alias("b")
     candidates = (
@@ -365,6 +374,90 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("jaccard") >= JACCARD_T)
     )
     return verified.select("a_id", "b_id", "jaccard").orderBy("a_id", "b_id")
+
+
+_ORACLE_INCREMENTAL = f"""
+    WITH {_ORACLE_SHINGLED_CTE},
+    shingle_rows AS (
+      SELECT doc_id, n, unnest(toks) AS tok FROM sized
+    ),
+    pair_inter AS (
+      SELECT a.doc_id AS new_id, b.doc_id AS index_id,
+             CAST(COUNT(*) AS BIGINT) AS inter,
+             any_value(a.n) AS a_n, any_value(b.n) AS b_n
+      FROM shingle_rows a JOIN shingle_rows b
+        ON a.tok = b.tok AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT new_id, index_id,
+           CAST(inter AS DOUBLE) / (a_n + b_n - inter) AS jaccard
+    FROM pair_inter
+    WHERE CAST(inter AS DOUBLE) / (a_n + b_n - inter) >= {JACCARD_T}
+"""
+
+
+@query("dedup_incremental", oracle=_ORACLE_INCREMENTAL)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: a NEW BATCH (docs with doc_id % 10 = 0,
+    standing in for today's crawl) deduplicated against the existing
+    INDEX (the other 90%) without ever re-joining the index against
+    itself — the shape a daily-ingest pipeline actually runs, where
+    the index's MinHash band table is a persisted artifact and each
+    increment costs O(|batch| + matching buckets), not O(|corpus|²)
+    or even O(|corpus|) re-candidate-generation.
+
+    Same machinery as dedup_near (shared signature cache, shared band
+    bucketing, exact-Jaccard verify with zero false positives), but
+    the candidate join is batch-buckets ⋈ index-buckets: the batch
+    side is tiny, so at scale this join broadcasts the increment
+    against the bucketed index. Output: every (new doc, index doc)
+    pair at Jaccard ≥ {JACCARD_T} — the rows an upsert would use to
+    drop or link incoming duplicates."""
+    buckets = band_buckets(minhash_signatures(spark, sf_dir))
+    batch = buckets.where(F.col("doc_id") % 10 == 0)
+    index = buckets.where(F.col("doc_id") % 10 != 0)
+    candidates = (
+        batch.alias("a")
+        .join(index.alias("b"), F.col("a.bucket") == F.col("b.bucket"))
+        .select(
+            F.col("a.doc_id").alias("new_id"), F.col("b.doc_id").alias("index_id")
+        )
+        .distinct()
+    )
+    rows = shingle_rows(spark, sf_dir)
+    sizes = shingled_docs(spark, sf_dir).select("doc_id", "n")
+    inter_counts = (
+        candidates.join(
+            rows.select(F.col("doc_id").alias("new_id"), "shingle"), "new_id"
+        )
+        .join(
+            rows.select(F.col("doc_id").alias("index_id"), "shingle"),
+            ["index_id", "shingle"],
+        )
+        .groupBy("new_id", "index_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    verified = (
+        inter_counts.join(
+            sizes.select(F.col("doc_id").alias("new_id"), F.col("n").alias("a_n")),
+            "new_id",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("index_id"), F.col("n").alias("b_n")
+            ),
+            "index_id",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("a_n") + F.col("b_n") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= JACCARD_T)
+    )
+    return verified.select("new_id", "index_id", "jaccard").orderBy(
+        "new_id", "index_id"
+    )
 
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
