@@ -295,3 +295,26 @@ def test_span_dedup_spans_are_hashed_before_shuffle(spark):
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert "span" not in ln, plan
+
+
+def test_bloom_pruned_join_injects_runtime_filter(spark):
+    """Under the bloom confs the optimizer must build a Bloom filter
+    from the selective build side (bloom_filter_agg) and wrap the
+    probe scan in might_contain — the row-level runtime pruning
+    join_bloom_pruned exists to demonstrate."""
+    from uchr_scetl_spark.operators.joins import _BLOOM_CONFS, bloom_pruned_join
+
+    saved = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    try:
+        for k, v in _BLOOM_CONFS.items():
+            spark.conf.set(k, v)
+        df = bloom_pruned_join(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -304,7 +304,16 @@ def _backfill_dir(spark: SparkSession, sf_dir: str, o: DataFrame) -> str:
                 F.col("o_totalprice")
             ),
         )
-        corrupted.write.mode("overwrite").partitionBy("month").parquet(out)
+        # repartition on the partition column before a high-cardinality
+        # partitionBy write: without it the ~80 month directories are
+        # all written from the scan's task(s) — at sf0.1 orders scans
+        # as ONE partition, so one task wrote 80 files serially
+        # (measured 2.3 s → 1.5 s), and at 100 TB every task would
+        # open a file per month (the small-files pathology). With it,
+        # each task owns whole months and writes one file per month.
+        corrupted.repartition("month").write.mode("overwrite").partitionBy(
+            "month"
+        ).parquet(out)
 
         saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
         try:

@@ -513,3 +513,86 @@ def join_mark_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.coalesce("has_big_order", F.lit(False)).alias("has_big_order"),
     )
+
+
+_BLOOM_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # local corpus is far under the production-default thresholds that
+    # gate the rule (10 MB creation side / 10 GB application side), so
+    # open them up; on a real cluster the DEFAULTS fire for exactly the
+    # scale this key demonstrates — a selective mid-size build side too
+    # big to broadcast, probing a huge fact scan
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    # force the shuffle-join path: a broadcast join already semi-filters
+    # the fact side for free, which is precisely when bloom pruning is
+    # NOT needed
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The logical query of join_bloom_pruned, with no conf changes:
+    selective orders subset ⋈ full lineitem scan, revenue by return
+    flag. Shared with the plan-assertion test, which wraps it in the
+    bloom confs and inspects the executed plan."""
+    o = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(24,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@query(
+    "join_bloom_pruned",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE)
+             AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag
+    """,
+)
+def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning — Catalyst's row-level
+    semi-join reduction for the case broadcast can't cover: the build
+    side (selective orders subset) is aggregated into a Bloom filter
+    (`bloom_filter_agg`), and the probe side's scan is wrapped in
+    `might_contain`, so non-matching fact rows die AT THE SCAN instead
+    of travelling through the shuffle. At 100 TB this is the
+    difference between shuffling the whole fact table and shuffling
+    the ~matching fraction; with a dimension too big to broadcast it
+    is the only way to prune before the exchange.
+
+    The confs are restored immediately after execution, so the key
+    materializes eagerly (`localCheckpoint(eager=True)`) while they
+    are active — physical planning happens at action time, and a lazy
+    return would be planned AFTER the restore, silently dropping the
+    feature under test (the plan test would catch it)."""
+    saved = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    try:
+        for k, v in _BLOOM_CONFS.items():
+            spark.conf.set(k, v)
+        return bloom_pruned_join(spark, sf_dir).localCheckpoint(eager=True)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
