@@ -169,6 +169,20 @@ AUDITS: dict[str, tuple[str, list[str]]] = {
         "shuffle of the corpus.",
         [r"TakeOrderedAndProject"],
     ),
+    "text_span_dedup": (
+        "Span dedup: spans xxhash64 to int64 in the same projection "
+        "that forms them, so the document-frequency aggregation and "
+        "the join back both exchange 8-byte keys - no span strings "
+        "ever shuffle.",
+        [r"xxhash64", r"Exchange hashpartitioning", r"HashAggregate"],
+    ),
+    "dedup_incremental": (
+        "Incremental near-dup: batch and index band buckets come off "
+        "the SAME cached signature relation (one InMemoryRelation, "
+        "two filters), candidates join on the bucket hash, and the "
+        "exact-Jaccard verify joins on (doc, shingle-hash) longs.",
+        [r"InMemoryTableScan", r"Exchange hashpartitioning"],
+    ),
 }
 
 
