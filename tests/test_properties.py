@@ -387,3 +387,47 @@ def test_iterative_cc_pointer_jumping_on_chain_graph(spark):
         for r in _single_task_components(edges).collect()
     }
     assert it == uf == {(i, 0) for i in range(n)}
+
+
+def test_temperature_mix_flattens_toward_uniform(spark):
+    """α=0.5 temperature resampling must (a) conserve the ppm budget up
+    to floor loss, (b) compress the share range — every source's share
+    moves toward uniform, so max share shrinks and min share grows —
+    and (c) preserve the size ordering (x^0.5 is monotone)."""
+    from uchr_scetl_spark.registry import load_registry
+
+    rows = (
+        load_registry()["sample_temperature"].fn(spark, SF_SMOKE).collect()
+    )
+    n = len(rows)
+    assert n >= 2
+    for col in ("raw_ppm", "temp_ppm"):
+        total = sum(r[col] for r in rows)
+        assert 1_000_000 - n <= total <= 1_000_000
+    assert max(r.temp_ppm for r in rows) <= max(r.raw_ppm for r in rows)
+    assert min(r.temp_ppm for r in rows) >= min(r.raw_ppm for r in rows)
+    by_tokens = sorted(rows, key=lambda r: (r.n_tokens, r.source))
+    temp_seq = [r.temp_ppm for r in by_tokens]
+    assert temp_seq == sorted(temp_seq)
+
+
+def test_incremental_dedup_is_the_batch_slice_of_near_pairs(spark):
+    """Every (new, index) pair found incrementally must agree with the
+    full self-dedup restricted to batch×index pairs: incremental
+    ingestion may not invent or lose duplicates relative to the
+    monolithic pass (both verify with exact Jaccard, so equality is
+    exact, not approximate)."""
+    from uchr_scetl_spark.registry import load_registry
+
+    reg = load_registry()
+    inc = {
+        (r.new_id, r.index_id)
+        for r in reg["dedup_incremental"].fn(spark, SF_SMOKE).collect()
+    }
+    full = reg["dedup_near"].fn(spark, SF_SMOKE).collect()
+    expected = set()
+    for r in full:
+        for a, b in ((r.a_id, r.b_id), (r.b_id, r.a_id)):
+            if a % 10 == 0 and b % 10 != 0:
+                expected.add((a, b))
+    assert inc == expected

@@ -166,10 +166,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard = F.col("inter").cast("double") / (
         F.col("a_n") + F.col("b_n") - F.col("inter")
     )
-    return (
+    return _memo_pairs(
+        "ngram",
+        spark,
+        sf_dir,
         pairs.withColumn("jaccard", jaccard)
         .where(F.col("jaccard") >= 0.6)
-        .select("a_id", "b_id", "jaccard")
+        .select("a_id", "b_id", "jaccard"),
     )
 
 
@@ -373,7 +376,31 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("jaccard") >= JACCARD_T)
     )
-    return verified.select("a_id", "b_id", "jaccard").orderBy("a_id", "b_id")
+    return _memo_pairs(
+        "near",
+        spark,
+        sf_dir,
+        verified.select("a_id", "b_id", "jaccard").orderBy("a_id", "b_id"),
+    )
+
+
+# Verified pair relations cached per (app, sf_dir): the pair tables are
+# tiny (|true dups|, ~150 rows at sf0.1) but EXPENSIVE (band join +
+# exact-Jaccard verify), and each has a second consumer — dedup_clusters
+# re-derives the ngram pairs, dedup_near_survivors the LSH pairs — that
+# would otherwise re-execute the whole candidate pipeline. Same pattern
+# (and same lifetime) as the shingle/signature memos above; at 100 TB
+# the persisted-pairs table plays this role.
+_pairs_memo: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _memo_pairs(
+    tag: str, spark: SparkSession, sf_dir: str, df: DataFrame
+) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, tag)
+    if key not in _pairs_memo:
+        _pairs_memo[key] = df.cache()
+    return _pairs_memo[key]
 
 
 _ORACLE_INCREMENTAL = f"""
