@@ -63,3 +63,47 @@ def test_asof_preserves_left_rowcount(spark):
         "k long, ts timestamp_ntz, v double",
     )
     assert asof_join(left, right, on="k", ts="ts", payload=["v"]).count() == 3
+
+
+def test_asof_null_payload_field_stays_atomic(spark):
+    """A matched right row with a NULL payload FIELD must be carried
+    whole: (id=20, value=NULL), never a stitched row mixing id=20 with
+    an older row's value (the per-column last/first(ignoreNulls)
+    formulation did exactly that)."""
+    t = dt.datetime(2024, 1, 1)
+
+    def at(m):
+        return t + dt.timedelta(minutes=m)
+
+    left = spark.createDataFrame(
+        [Row(k=1, ts=at(6), click=100)], "k long, ts timestamp, click long"
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k=1, ts=at(1), pid=10, pv=5.0),
+            Row(k=1, ts=at(5), pid=20, pv=None),
+        ],
+        "k long, ts timestamp, pid long, pv double",
+    )
+    out = asof_join(
+        left, right, on="k", ts="ts", payload=["pid", "pv"]
+    ).collect()
+    assert len(out) == 1
+    assert out[0].pid == 20 and out[0].pv is None
+
+    fwd_left = spark.createDataFrame(
+        [Row(k=1, ts=at(0), click=100)], "k long, ts timestamp, click long"
+    )
+    fwd_right = spark.createDataFrame(
+        [
+            Row(k=1, ts=at(2), pid=30, pv=None),
+            Row(k=1, ts=at(4), pid=40, pv=9.0),
+        ],
+        "k long, ts timestamp, pid long, pv double",
+    )
+    out = asof_join(
+        fwd_left, fwd_right, on="k", ts="ts", payload=["pid", "pv"],
+        direction="forward",
+    ).collect()
+    assert len(out) == 1
+    assert out[0].pid == 30 and out[0].pv is None

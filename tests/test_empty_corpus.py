@@ -114,7 +114,14 @@ def test_text_keys_survive_short_docs(spark, short_doc_dir):
         if not key.startswith(("text_", "dedup_")):
             continue
         try:
-            REGISTRY[key].fn(spark, short_doc_dir).limit(5).collect()
+            # noop write, not limit(N).collect() (CollectLimit can stop
+            # after the first partition's rows, skipping the degenerate
+            # docs entirely) and not count() (Catalyst would prune the
+            # token-window expressions under test away): the noop sink
+            # evaluates EVERY column of EVERY row.
+            REGISTRY[key].fn(spark, short_doc_dir).write.format(
+                "noop"
+            ).mode("overwrite").save()
         except Exception as exc:  # noqa: BLE001 — collecting a report
             fails.append(f"{key}: {exc!r:.120}")
     assert not fails, "\n".join(fails)

@@ -80,7 +80,11 @@ def main() -> int:
     # warmup: run every key once on a throwaway replica so codegen,
     # Arrow workers, and scan paths are hot before any measurement —
     # without this the 1x pass absorbs all one-time costs and the
-    # curve reads sub-linear
+    # curve reads sub-linear. The throwaway MUST be a separate dir,
+    # not dirs[1]: the dedup keys memoize cached relations per
+    # (app, sf_dir), so warming on dirs[1] would leave ITS caches hot
+    # while 2x/4x still pay the cache build — biasing every ratio
+    # upward. One extra corpus write is the price of a fair curve.
     warm = build_replica(spark, sf_dir, 1)
     for key in KEYS:
         load_registry()[key].fn(spark, warm).write.format("noop").mode(

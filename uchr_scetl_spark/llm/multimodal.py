@@ -184,8 +184,14 @@ def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     (tests/test_multimodal_decode.py) proves BOTH branches with a
     hand-built valid PNG."""
 
-    def feats(media_type: str, b: bytes) -> tuple[float, float]:
-        if HAVE_PIL and media_type.startswith("image/"):
+    def feats(media_type, b) -> tuple[float, float]:
+        # NULL media_type / payload reach the worker as None: guard
+        # BOTH branches, not just the fallback one this container
+        # exercises — None.startswith would crash exactly when PIL is
+        # present, the branch the gate exists to activate
+        if b is None:
+            return 0.0, 0.0
+        if HAVE_PIL and media_type and media_type.startswith("image/"):
             try:
                 return _image_stats(b)
             except Exception:  # not a decodable image → fallback
@@ -200,7 +206,9 @@ def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         {
             "doc_id": pdf["doc_id"],
             "media_type": pdf["media_type"],
-            "byte_len": pdf["payload"].map(len).astype("int32"),
+            "byte_len": pdf["payload"].map(
+                lambda b: 0 if b is None else len(b)
+            ).astype("int32"),
             "feat_mean": [p[0] for p in pairs],
             "feat_first": [p[1] for p in pairs],
         }

@@ -109,8 +109,14 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_partkey").alias("n_parts_exact"),
         F.count("*").alias("n_lines"),
     )
-    return exact.join(approx, "l_returnflag").select(
-        "l_returnflag",
+    # null-SAFE join key: grouping keys can legitimately be NULL (a
+    # NULL l_returnflag forms its own group in both aggregates), and a
+    # plain equi-join would silently drop that group from the output
+    return exact.alias("e").join(
+        approx.alias("a"),
+        F.col("e.l_returnflag").eqNullSafe(F.col("a.l_returnflag")),
+    ).select(
+        F.col("e.l_returnflag").alias("l_returnflag"),
         "n_parts_exact",
         "n_lines",
         (
@@ -415,8 +421,13 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("n_parts_exact")
     )
-    return merged.join(exact, "l_returnflag").select(
-        "l_returnflag",
+    # null-safe key join: a NULL group must survive (see
+    # agg_approx_distinct)
+    return merged.alias("m").join(
+        exact.alias("e"),
+        F.col("m.l_returnflag").eqNullSafe(F.col("e.l_returnflag")),
+    ).select(
+        F.col("m.l_returnflag").alias("l_returnflag"),
         "n_parts_exact",
         (
             F.abs(F.col("approx_parts") - F.col("n_parts_exact"))

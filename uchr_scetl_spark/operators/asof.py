@@ -44,28 +44,43 @@ def asof_join(
     # with last(); forward: right sorts AFTER left and we look ahead
     # with first(). Either way equal-ts right rows are included.
     l_tag, r_tag = (1, 0) if direction == "backward" else (0, 1)
-    l_tagged = left.withColumn("_side", F.lit(l_tag))
-    for c in payload:
-        l_tagged = l_tagged.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
-    r_tagged = right.withColumn("_side", F.lit(r_tag))
-    for c in lcols:
-        if c not in (on, ts):
-            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
-    unioned = l_tagged.select(on, ts, "_side", *payload, *[c for c in lcols if c not in (on, ts)]).unionByName(
-        r_tagged.select(on, ts, "_side", *payload, *[c for c in lcols if c not in (on, ts)])
+    # The payload travels as ONE struct column: the struct is non-NULL
+    # for every right row even when individual payload FIELDS are NULL,
+    # so last/first(ignoreNulls) skips exactly the left rows'
+    # placeholder structs. Per-column picks (the first formulation)
+    # were wrong on nullable payloads: each column independently
+    # skipped a matched row's legit NULL and grabbed the field from an
+    # EARLIER right row, stitching together a row that never existed.
+    r_tagged = right.select(
+        on,
+        ts,
+        F.lit(r_tag).alias("_side"),
+        F.struct(*payload).alias("_m"),
+        *[
+            F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
+            for c in lcols
+            if c not in (on, ts)
+        ],
     )
+    m_type = dict(r_tagged.dtypes)["_m"]
+    l_tagged = left.select(
+        on,
+        ts,
+        F.lit(l_tag).alias("_side"),
+        F.lit(None).cast(m_type).alias("_m"),
+        *[c for c in lcols if c not in (on, ts)],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
     base = Window.partitionBy(on).orderBy(ts, "_side")
     if direction == "backward":
         w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        pick = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
+        picked = F.last("_m", ignorenulls=True).over(w)
     else:
         w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        pick = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
-    matched = unioned.select(
-        "*", *[pick(c).over(w).alias(f"_m_{c}") for c in payload]
-    )
+        picked = F.first("_m", ignorenulls=True).over(w)
+    matched = unioned.select("*", picked.alias("_mm"))
     return matched.where(F.col("_side") == F.lit(l_tag)).select(
-        *lcols, *[F.col(f"_m_{c}").alias(c) for c in payload]
+        *lcols, *[F.col(f"_mm.{c}").alias(c) for c in payload]
     )
 
 
@@ -303,50 +318,48 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     payload = ["purchase_id", "purchase_value"]
+    # one non-NULL struct per right row (see asof_join: per-column
+    # picks would stitch fields from different purchases when a
+    # payload field is legitimately NULL)
     r_tagged = purchases.select(
         "user_id",
         "ts",
         F.lit(0).alias("_side"),
         F.lit(None).cast("bigint").alias("click_id"),
-        *payload,
-        F.col("ts").alias("matched_ts"),
+        F.struct(*payload, F.col("ts").alias("matched_ts")).alias("_m"),
     )
+    m_type = dict(r_tagged.dtypes)["_m"]
     l_tagged = clicks.select(
         "user_id",
         "ts",
         F.lit(1).alias("_side"),
         "click_id",
-        *[
-            F.lit(None).cast(dict(purchases.dtypes)[c]).alias(c)
-            for c in payload
-        ],
-        F.lit(None).cast("timestamp_ntz").alias("matched_ts"),
+        F.lit(None).cast(m_type).alias("_m"),
     )
     unioned = r_tagged.unionByName(l_tagged)
     base = Window.partitionBy("user_id").orderBy("ts", "_side")
     back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     fwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    cols = [*payload, "matched_ts"]
     matched = unioned.select(
         "*",
-        *[F.last(c, ignorenulls=True).over(back).alias(f"_b_{c}") for c in cols],
-        *[F.first(c, ignorenulls=True).over(fwd).alias(f"_f_{c}") for c in cols],
+        F.last("_m", ignorenulls=True).over(back).alias("_b"),
+        F.first("_m", ignorenulls=True).over(fwd).alias("_f"),
     ).where(F.col("_side") == 1)
-    use_back = F.col("_b_matched_ts").isNotNull() & (
-        F.col("_f_matched_ts").isNull()
+    use_back = F.col("_b.matched_ts").isNotNull() & (
+        F.col("_f.matched_ts").isNull()
         | (
-            F.col("ts") - F.col("_b_matched_ts")
-            <= F.col("_f_matched_ts") - F.col("ts")
+            F.col("ts") - F.col("_b.matched_ts")
+            <= F.col("_f.matched_ts") - F.col("ts")
         )
     )
     return matched.select(
         "click_id",
         "user_id",
         "ts",
-        F.when(use_back, F.col("_b_purchase_id"))
-        .otherwise(F.col("_f_purchase_id"))
+        F.when(use_back, F.col("_b.purchase_id"))
+        .otherwise(F.col("_f.purchase_id"))
         .alias("purchase_id"),
-        F.when(use_back, F.col("_b_purchase_value"))
-        .otherwise(F.col("_f_purchase_value"))
+        F.when(use_back, F.col("_b.purchase_value"))
+        .otherwise(F.col("_f.purchase_value"))
         .alias("purchase_value"),
     )

@@ -588,11 +588,19 @@ def etl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 _zorder_memo: dict[tuple[str, str], str] = {}
 
 
-def _zvalue(x: F.Column, y: F.Column, bits: int = 16) -> F.Column:
+def _zvalue(x: F.Column, y: F.Column, bits: int = 21) -> F.Column:
     """Morton (Z-order) interleave of two non-negative ints, LSB-first:
     bit i of x lands at position 2i, bit i of y at 2i+1. Built as a sum
     of shift/mask terms — a flat codegen expression, no interpreted
-    higher-order lambda."""
+    higher-order lambda.
+
+    ``bits`` must cover the full key domain (bits ≥ log2(max+1) for
+    BOTH dimensions): bits above it are silently dropped, which keeps
+    results correct but quietly destroys the clustering the write
+    exists for (keys differing only in truncated high bits collapse to
+    one z-prefix). 21 bits covers o_custkey to ~2M (TPC-H sf ≈ 13) and
+    the day offset for ~5700 years; at real scale derive it from the
+    table's max-key statistics instead of a constant."""
     z = F.lit(0).cast("long")
     for i in range(bits):
         z = z + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)

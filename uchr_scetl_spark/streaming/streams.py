@@ -240,9 +240,11 @@ def committed_batches(spark: SparkSession, target_dir: str) -> list[int]:
     if not os.path.isdir(target_dir):
         return []
     out = []
-    for name in sorted(os.listdir(target_dir)):
+    for name in os.listdir(target_dir):
         if name.startswith("batch_id=") and os.path.exists(
             os.path.join(target_dir, name, "_SUCCESS")
         ):
             out.append(int(name.split("=", 1)[1]))
-    return out
+    # numeric sort: a lexicographic directory-name sort would return
+    # batch 10 between 1 and 2
+    return sorted(out)
