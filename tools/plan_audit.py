@@ -169,6 +169,15 @@ AUDITS: dict[str, tuple[str, list[str]]] = {
         "shuffle of the corpus.",
         [r"TakeOrderedAndProject"],
     ),
+    "join_asof": (
+        "As-of join as union-tag window algebra: the as-of core costs "
+        "ONE exchange on the join key - both sides union, the matched "
+        "row rides a single struct column through one last(ignoreNulls) "
+        "frame (atomic even when payload fields are NULL), left rows "
+        "filter back out. The second exchange is the right side's "
+        "(user, ts) dedup window, not the join. No per-key Python.",
+        [r"Exchange hashpartitioning", r"Window", r"Union"],
+    ),
     "text_span_dedup": (
         "Span dedup: spans xxhash64 to int64 in the same projection "
         "that forms them, so the document-frequency aggregation and "
