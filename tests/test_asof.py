@@ -6,6 +6,7 @@ from __future__ import annotations
 import datetime as dt
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from uchr_scetl_spark.operators.asof import asof_join
 
@@ -107,3 +108,47 @@ def test_asof_null_payload_field_stays_atomic(spark):
     ).collect()
     assert len(out) == 1
     assert out[0].pid == 30 and out[0].pv is None
+
+
+def test_asof_null_keys_and_ts_never_match(spark):
+    """SQL ASOF semantics on nullable inputs: NULL join keys / NULL
+    timestamps match nothing — left rows survive with NULL payload,
+    right rows with NULL key/ts are invisible. The naive window
+    formulation would co-group NULL keys and hand a NULL-ts left row
+    the earliest right row in the forward direction."""
+    t = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [
+            Row(k=1, ts=t, click=1),                 # normal row
+            Row(k=None, ts=t, click=2),              # NULL key
+            Row(k=1, ts=None, click=3),              # NULL ts
+        ],
+        "k long, ts timestamp, click long",
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k=1, ts=t - dt.timedelta(minutes=1), pid=10),
+            Row(k=None, ts=t - dt.timedelta(minutes=1), pid=20),
+            Row(k=1, ts=None, pid=30),
+        ],
+        "k long, ts timestamp, pid long",
+    )
+    for direction in ("backward", "forward"):
+        d = -1 if direction == "backward" else 1
+        rr = right.withColumn(
+            "ts",
+            F.when(F.col("pid") == 10, F.col("ts") + F.expr(
+                f"INTERVAL {0 if d < 0 else 2} MINUTES"
+            )).otherwise(F.col("ts")),
+        )
+        out = {
+            r.click: r.pid
+            for r in asof_join(
+                left, rr, on="k", ts="ts", payload=["pid"],
+                direction=direction,
+            ).collect()
+        }
+        assert len(out) == 3
+        assert out[1] == 10          # normal row matches the real purchase
+        assert out[2] is None        # NULL key: no match
+        assert out[3] is None        # NULL ts: no match

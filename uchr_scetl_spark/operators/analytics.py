@@ -90,7 +90,6 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     the retention matrix is a distinct-count per (cohort, offset) —
     at scale the distinct shuffles on (cohort, offset, user) which is
     already nearly unique, so partial aggregation absorbs it."""
-    from pyspark.sql import Window
 
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id")
@@ -163,7 +162,6 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexicographically smallest) via count + ranked window — the
     engine-portable formulation (`F.mode`'s tie choice is
     unspecified, so it can't be oracle-checked)."""
-    from pyspark.sql import Window
 
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
@@ -210,7 +208,6 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     (shuffle on user_id), then a hash agg on the triple and a global
     top-10 via TakeOrderedAndProject. The sequence-mining primitive
     behind funnels you haven't defined yet."""
-    from pyspark.sql import Window
 
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -267,7 +264,6 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, because Catalyst reuses the hashpartitioning(user_id)
     exchange across all three. Ties broken by event_id so the
     session assignment is deterministic at any parallelism."""
-    from pyspark.sql import Window
 
     e = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -380,7 +376,6 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation; the per-state totals join is a broadcast of an
     n_states-row relation. Counts are exact integers, probabilities a
     single deterministic division."""
-    from pyspark.sql import Window
 
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -494,7 +489,6 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     join_range_banded for the key-free variant). The per-purchase
     touch count is one window over the join output; credit is a
     deterministic 1/n division."""
-    from pyspark.sql import Window
 
     e = load(spark, sf_dir, "events")
     p = e.where(F.col("event_type") == "purchase").select(

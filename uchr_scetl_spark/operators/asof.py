@@ -38,6 +38,14 @@ def asof_join(
     from the matched right row (null when no matching right row
     exists). Both directions are the same single-shuffle union-tag
     window plan; only the tag ordering and frame direction flip.
+
+    NULL semantics follow SQL ASOF JOIN (the oracles' reference):
+    a NULL join key or NULL timestamp never matches — right rows with
+    NULL key/ts are dropped (they can satisfy no equality/inequality),
+    and a left row with NULL key/ts is kept with NULL payload. Without
+    the explicit guards, partitionBy would co-group NULL keys and
+    nulls-first ordering would hand a NULL-ts left row the earliest
+    right row in the forward direction.
     """
     lcols = left.columns
     # backward: right sorts BEFORE left at equal ts and we look back
@@ -51,7 +59,9 @@ def asof_join(
     # were wrong on nullable payloads: each column independently
     # skipped a matched row's legit NULL and grabbed the field from an
     # EARLIER right row, stitching together a row that never existed.
-    r_tagged = right.select(
+    r_tagged = right.where(
+        F.col(on).isNotNull() & F.col(ts).isNotNull()
+    ).select(
         on,
         ts,
         F.lit(r_tag).alias("_side"),
@@ -79,9 +89,40 @@ def asof_join(
         w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
         picked = F.first("_m", ignorenulls=True).over(w)
     matched = unioned.select("*", picked.alias("_mm"))
+    no_null_keys = F.col(on).isNotNull() & F.col(ts).isNotNull()
     return matched.where(F.col("_side") == F.lit(l_tag)).select(
-        *lcols, *[F.col(f"_mm.{c}").alias(c) for c in payload]
+        *lcols,
+        *[
+            F.when(no_null_keys, F.col(f"_mm.{c}")).alias(c)
+            for c in payload
+        ],
     )
+
+
+def _clicks_and_purchases(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared probe/reference preparation for the four as-of query
+    keys: clicks as the left side, purchases deduped to one row per
+    (user_id, ts) — highest event_id wins, mirroring each oracle's
+    ``r0``/``r`` CTEs. One definition so the dedup tiebreak can never
+    drift between the four variants."""
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    w_dedup = Window.partitionBy("user_id", "ts").orderBy(
+        F.col("event_id").desc()
+    )
+    purchases = (
+        e.where(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(w_dedup))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return clicks, purchases
 
 
 @query(
@@ -108,22 +149,7 @@ def asof_join(
 def join_asof_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each click matched to the user's latest prior (or simultaneous)
     purchase. Right side deduped per (user, ts) for determinism."""
-    e = load(spark, sf_dir, "events")
-    clicks = e.where(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"), "user_id", "ts"
-    )
-    w_dedup = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
-    purchases = (
-        e.where(F.col("event_type") == "purchase")
-        .withColumn("rn", F.row_number().over(w_dedup))
-        .where(F.col("rn") == 1)
-        .select(
-            "user_id",
-            "ts",
-            F.col("event_id").alias("purchase_id"),
-            F.col("value").alias("purchase_value"),
-        )
-    )
+    clicks, purchases = _clicks_and_purchases(load(spark, sf_dir, "events"))
     return asof_join(
         clicks,
         purchases,
@@ -159,22 +185,7 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     at-or-after it — attribution's "time to conversion" direction.
     Same single-shuffle union-tag window plan as join_asof with the
     frame reversed (first-following instead of last-preceding)."""
-    e = load(spark, sf_dir, "events")
-    clicks = e.where(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"), "user_id", "ts"
-    )
-    w_dedup = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
-    purchases = (
-        e.where(F.col("event_type") == "purchase")
-        .withColumn("rn", F.row_number().over(w_dedup))
-        .where(F.col("rn") == 1)
-        .select(
-            "user_id",
-            "ts",
-            F.col("event_id").alias("purchase_id"),
-            F.col("value").alias("purchase_value"),
-        )
-    )
+    clicks, purchases = _clicks_and_purchases(load(spark, sf_dir, "events"))
     return asof_join(
         clicks,
         purchases,
@@ -215,29 +226,14 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     hours of the click — stale matches null out. Implemented as the
     ordinary as-of carrying the matched right timestamp, then one
     scan-side null-out; no extra shuffle."""
-    e = load(spark, sf_dir, "events")
-    clicks = e.where(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"), "user_id", "ts"
-    )
-    w_dedup = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
-    purchases = (
-        e.where(F.col("event_type") == "purchase")
-        .withColumn("rn", F.row_number().over(w_dedup))
-        .where(F.col("rn") == 1)
-        .select(
-            "user_id",
-            F.col("ts").alias("r_ts"),
-            F.col("event_id").alias("purchase_id"),
-            F.col("value").alias("purchase_value"),
-        )
-    )
+    clicks, purchases = _clicks_and_purchases(load(spark, sf_dir, "events"))
     # carry the matched ts explicitly: duplicate it into the payload
     purchases2 = purchases.select(
         "user_id",
-        F.col("r_ts").alias("ts"),
+        "ts",
         "purchase_id",
         "purchase_value",
-        F.col("r_ts").alias("matched_ts"),
+        F.col("ts").alias("matched_ts"),
     )
     raw = asof_join(
         clicks,
@@ -301,27 +297,16 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus a fact-sized re-join). Right rows sort BEFORE left rows at
     equal ts, which lands equal-ts matches in the backward frame —
     exactly the tie rule."""
-    e = load(spark, sf_dir, "events")
-    clicks = e.where(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"), "user_id", "ts"
-    )
-    w_dedup = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
-    purchases = (
-        e.where(F.col("event_type") == "purchase")
-        .withColumn("rn", F.row_number().over(w_dedup))
-        .where(F.col("rn") == 1)
-        .select(
-            "user_id",
-            "ts",
-            F.col("event_id").alias("purchase_id"),
-            F.col("value").alias("purchase_value"),
-        )
-    )
+    clicks, purchases = _clicks_and_purchases(load(spark, sf_dir, "events"))
     payload = ["purchase_id", "purchase_value"]
     # one non-NULL struct per right row (see asof_join: per-column
     # picks would stitch fields from different purchases when a
-    # payload field is legitimately NULL)
-    r_tagged = purchases.select(
+    # payload field is legitimately NULL); NULL-key/ts right rows
+    # dropped and NULL-key/ts left rows nulled out, same SQL ASOF
+    # semantics as asof_join
+    r_tagged = purchases.where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    ).select(
         "user_id",
         "ts",
         F.lit(0).alias("_side"),
@@ -352,14 +337,15 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("_f.matched_ts") - F.col("ts")
         )
     )
+    ok = F.col("user_id").isNotNull() & F.col("ts").isNotNull()
     return matched.select(
         "click_id",
         "user_id",
         "ts",
-        F.when(use_back, F.col("_b.purchase_id"))
-        .otherwise(F.col("_f.purchase_id"))
+        F.when(ok & use_back, F.col("_b.purchase_id"))
+        .when(ok & ~use_back, F.col("_f.purchase_id"))
         .alias("purchase_id"),
-        F.when(use_back, F.col("_b.purchase_value"))
-        .otherwise(F.col("_f.purchase_value"))
+        F.when(ok & use_back, F.col("_b.purchase_value"))
+        .when(ok & ~use_back, F.col("_f.purchase_value"))
         .alias("purchase_value"),
     )

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load, scratch_dir
+from ..exprs import dec_sum
 from ..registry import query
 
 
@@ -253,9 +254,17 @@ def etl_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     exprs.py). The merge itself is the upsert full-outer-join shape.
     At 100 TB this is the difference between reprocessing the corpus
     per load and touching one day's partition: the merged result here
-    is verified identical to a full recompute by the oracle."""
+    is verified identical to a full recompute by the oracle.
+
+    The cutoff must sit INSIDE the corpus's time domain (events span
+    2024-01-01..2024-01-30; the first version used 2024-04-01, which
+    made the batch empty and the merge an identity pass that verified
+    nothing) — and at MID-day, not midnight: the split is by time but
+    the grouping by day, so only the cutoff day itself lands partial
+    aggregates on BOTH sides of the full-outer join and exercises the
+    n+n / tv+tv merge arithmetic rather than the coalesce legs."""
     e = load(spark, sf_dir, "events")
-    cutoff = F.lit("2024-04-01").cast("timestamp")
+    cutoff = F.lit("2024-01-20 12:00:00").cast("timestamp_ntz")
     day = F.date_trunc("day", F.col("ts")).alias("day")
 
     def partials(df: DataFrame) -> DataFrame:
@@ -366,9 +375,7 @@ def etl_backfill_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFram
     healed = spark.read.schema(o.schema).parquet(out)  # zero-row-write safe
     return healed.groupBy(F.col("month").cast("string").alias("month")).agg(
         F.count("*").alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(24,6)"))
-        .cast("double")
-        .alias("total_price"),
+        dec_sum("o_totalprice", "total_price"),
     )
 
 
@@ -417,9 +424,7 @@ def etl_managed_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(24,6)"))
-            .cast("double")
-            .alias("total_price"),
+            dec_sum("o_totalprice", "total_price"),
         )
     )
 
@@ -678,7 +683,5 @@ def etl_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return rect.agg(
         F.count("*").alias("n_rows"),
-        F.sum(F.col("o_totalprice").cast("decimal(24,6)"))
-        .cast("double")
-        .alias("total_price"),
+        dec_sum("o_totalprice", "total_price"),
     )

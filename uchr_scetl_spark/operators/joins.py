@@ -339,9 +339,7 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "c_mktsegment")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(24,6)"))
-            .cast("double")
-            .alias("total_value"),
+            dec_sum("value", "total_value"),
         )
     )
 
@@ -550,9 +548,7 @@ def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("l_extendedprice").cast("decimal(24,6)"))
-            .cast("double")
-            .alias("revenue"),
+            dec_sum("l_extendedprice", "revenue"),
         )
     )
 

@@ -22,6 +22,7 @@ from pyspark.sql.types import (
 )
 
 from ..io import load, read_csv, read_json, scratch_dir, write_csv, write_json
+from ..exprs import dec_sum
 from ..registry import query
 
 
@@ -293,7 +294,7 @@ def _binary_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     SELECT doc_id,
            sha256(text) AS content_sha,
            CAST(strlen(text) AS BIGINT) AS content_len
-    FROM documents WHERE doc_id < 32
+    FROM documents WHERE doc_id < 32 AND text IS NOT NULL
     """,
 )
 def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -464,9 +465,7 @@ def sink_compressed_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = lambda df, name: df.agg(  # noqa: E731
         F.lit(name).alias("codec"),
         F.count("*").alias("n"),
-        F.sum(F.col("o_totalprice").cast("decimal(24,6)"))
-        .cast("double")
-        .alias("total"),
+        dec_sum("o_totalprice", "total"),
     ).select("codec", "n", "total")
 
     back_pq = spark.read.schema(src.schema).parquet(pq)
@@ -516,9 +515,7 @@ def scan_glob_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = lambda df: df.groupBy("o_orderstatus").agg(  # noqa: E731
         F.count("*").alias("n"),
-        F.sum(F.col("o_totalprice").cast("decimal(24,6)"))
-        .cast("double")
-        .alias("total"),
+        dec_sum("o_totalprice", "total"),
     )
     # parity is part of the checked result: inner-join the two
     # aggregates on ALL columns — if either listing strategy misses or

@@ -791,9 +791,7 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").alias("cntrycode"))
         .agg(
             F.count("*").alias("numcust"),
-            F.sum(F.col("c_acctbal").cast("decimal(24,6)"))
-            .cast("double")
-            .alias("totacctbal"),
+            dec_sum("c_acctbal", "totacctbal"),
         )
         .orderBy("cntrycode")
     )
@@ -985,10 +983,10 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     per_part = natps.groupBy("ps_partkey").agg(
-        F.sum(F.col("v").cast("decimal(24,6)")).cast("double").alias("value")
+        dec_sum("v", "value")
     )
     tot = natps.agg(
-        F.sum(F.col("v").cast("decimal(24,6)")).cast("double").alias("t")
+        dec_sum("v", "t")
     )
     return (
         per_part.join(F.broadcast(tot))
