@@ -274,3 +274,44 @@ def test_ab_lift_degenerate_pool_yields_null_z(spark):
         assert res.z_micro is None
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_sql_transform_tolerates_literal_braces(spark):
+    """SQL legitimately contains braces (JSON literals, struct
+    constructors); only the {df} placeholder may be substituted — a
+    str.format implementation raised KeyError on any other brace."""
+    p = Pipeline(
+        source=Source("parquet", f"{SF_SMOKE}/documents.parquet"),
+        steps=[
+            SqlTransform(
+                "json_probe",
+                "SELECT doc_id, get_json_object('{\"k\": 1}', '$.k') AS k,"
+                " named_struct('a', 1) AS s FROM {df} WHERE doc_id < 5",
+            ),
+        ],
+        sink=Sink("noop", ""),
+    )
+    assert p.run(spark).rows_written == 5
+    # the step-scoped temp view must not leak into the session catalog
+    leaked = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.isTemporary and t.name.startswith("__pipeline_json_probe")
+    ]
+    assert leaked == []
+
+
+def test_text_sinks_honor_error_mode(spark):
+    """mode='error' (the documented default) must refuse to clobber an
+    existing csv/json sink path — the io helpers used to hardcode
+    overwrite, silently destroying prior output."""
+    import pytest
+
+    src = Source("parquet", f"{SF_SMOKE}/nation.parquet")
+    for fmt in ("csv", "json"):
+        out = tempfile.mkdtemp(prefix=f"uchr_{fmt}_mode_")
+        shutil.rmtree(out, ignore_errors=True)
+        Pipeline(source=src, sink=Sink(fmt, out, mode="overwrite")).run(spark)
+        with pytest.raises(Exception, match="already exists|ALREADY_EXISTS"):
+            Pipeline(source=src, sink=Sink(fmt, out, mode="error")).run(spark)
+        shutil.rmtree(out, ignore_errors=True)

@@ -81,9 +81,9 @@ def read_csv(spark: SparkSession, path: str, schema) -> DataFrame:
     )
 
 
-def write_csv(df: DataFrame, path: str) -> None:
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     (
-        df.write.mode("overwrite")
+        df.write.mode(mode)
         .option("header", "true")
         .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
         .csv(path)
@@ -96,18 +96,14 @@ def read_json(spark: SparkSession, path: str, schema) -> DataFrame:
     return spark.read.schema(_schema_of(schema)).json(path)
 
 
-def write_json(df: DataFrame, path: str) -> None:
-    df.write.mode("overwrite").json(path)
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
 
 
 def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame:
     """JDBC source — present for API completeness; no JDBC driver jar
     ships in this environment, so the call fails fast with a clear
     message instead of a Py4J class-not-found at action time."""
-    try:
-        spark._jvm.java.lang.Class.forName("java.sql.Driver")  # sanity only
-    except Exception:  # pragma: no cover
-        pass
     driver = options.get("driver")
     if not driver:
         raise NotImplementedError(

@@ -101,24 +101,41 @@ def multimodal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_crossmodal_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal retrieval shape: for each probe document, the top-2
     most vector-similar documents *per language* (text metadata drives
-    the grouping, vectors drive the ranking)."""
+    the grouping, vectors drive the ranking).
+
+    Norms are projected ONCE per vector before the probes×corpus
+    product (the sim_topk pattern): a per-pair cosine_expr would
+    re-fold dot(pv,pv) and dot(v,v) for every pair — 3× the
+    interpreted HOF work on the quadratic relation. The division
+    dot/(pnrm·nrm) is the identical IEEE op tree the oracle's
+    per-pair cosine evaluates, so values stay bit-equal."""
     from pyspark.sql import Window
+
+    from .similarity import dot_expr
 
     d = load(spark, sf_dir, "documents")
     e = load(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull()).withColumn(
         "v", F.col("embedding").cast("array<double>")
     )
-    langs = d.join(e, d.doc_id == e.vec_id).select("lang", "doc_id", "v")
+    langs = d.join(e, d.doc_id == e.vec_id).select(
+        "lang", "doc_id", "v", F.sqrt(dot_expr("v", "v")).alias("nrm")
+    )
     probes = langs.where(F.col("doc_id") < 3).select(
         F.col("lang").alias("probe_lang"),
         F.col("doc_id").alias("probe_doc"),
         F.col("v").alias("pv"),
+        F.col("nrm").alias("pnrm"),
     )
     scored = (
         F.broadcast(probes)
         .join(langs, F.col("doc_id") != F.col("probe_doc"))
         .select(
-            "probe_doc", "lang", "doc_id", cosine_expr("pv", "v").alias("cosine")
+            "probe_doc",
+            "lang",
+            "doc_id",
+            (dot_expr("pv", "v") / (F.col("pnrm") * F.col("nrm"))).alias(
+                "cosine"
+            ),
         )
     )
     w = Window.partitionBy("probe_doc", "lang").orderBy(
@@ -225,6 +242,23 @@ def decode_media(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, DECODED_SCHEMA)
 
 
+def _synthetic_media(d: DataFrame) -> DataFrame:
+    """Deterministic stand-in media relation shared by the binary and
+    resize keys: (doc_id, even/odd media type, md5-derived 16-byte
+    payload). One definition so the payload derivation can never drift
+    between the keys. Null texts are quarantined upstream, matching
+    what a real pipeline does before its decode stage."""
+    return d.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, "image/png")
+        .otherwise("audio/wav")
+        .alias("media_type"),
+        F.to_binary(F.md5("text"), F.lit("hex"))
+        .cast(BinaryType())
+        .alias("payload"),
+    )
+
+
 @query(
     "multimodal_binary",
     oracle="""
@@ -257,16 +291,7 @@ def multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     stand-in features are integer byte statistics divided by powers of
     two (exact in binary floating point), the DuckDB oracle recomputes
     them from the same md5 bytes and the key is fully value-checked."""
-    # null text -> null payload; a real media pipeline quarantines
-    # undecodable records before the decode stage, so do the same
-    d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    media = d.select(
-        "doc_id",
-        F.when(F.col("doc_id") % 2 == 0, "image/png")
-        .otherwise("audio/wav")
-        .alias("media_type"),
-        F.to_binary(F.md5("text"), F.lit("hex")).cast(BinaryType()).alias("payload"),
-    )
+    media = _synthetic_media(load(spark, sf_dir, "documents"))
     decoded = decode_media(media)
     return decoded.orderBy("doc_id")
 
@@ -322,14 +347,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection hex-encodes the resized payload (binary cells stringify
     differently across engines' pandas bridges; hex is unambiguous),
     so bytes, not just lengths, are value-checked."""
-    d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    media = d.select(
-        "doc_id",
-        F.when(F.col("doc_id") % 2 == 0, "image/png")
-        .otherwise("audio/wav")
-        .alias("media_type"),
-        F.to_binary(F.md5("text"), F.lit("hex")).cast(BinaryType()).alias("payload"),
-    )
+    media = _synthetic_media(load(spark, sf_dir, "documents"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

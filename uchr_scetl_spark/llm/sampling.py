@@ -85,13 +85,13 @@ def sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, source,
              (1 + CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 5)
                / 5.0 AS keep_frac,
-             substr(md5(concat(CAST(doc_id AS VARCHAR), '|', source)), 1, 4)
-               AS h4
+             '0' || substr(md5(concat(CAST(doc_id AS VARCHAR), '|', source)),
+                           1, 4) AS h5
       FROM documents
     )
     SELECT doc_id, source, keep_frac
     FROM weighted
-    WHERE h4 < printf('%04x', CAST(floor(65536 * keep_frac) AS BIGINT))
+    WHERE h5 < printf('%05x', CAST(floor(65536 * keep_frac) AS BIGINT))
     """,
 )
 def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -101,24 +101,39 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1 + src_number % 5)/5 ∈ {0.2 … 1.0}.
 
     The accept test is a LEXICOGRAPHIC compare of the row's md5-hex
-    prefix against the fraction's 4-hex-digit threshold — pure string
-    algebra both engines reproduce bit-for-bit, no RNG, no hex→int
-    parsing (which the engines expose differently). One narrow map
-    over the corpus, zero shuffles, retry-stable at any parallelism."""
+    prefix against the fraction's threshold — pure string algebra both
+    engines reproduce bit-for-bit, no RNG, no hex→int parsing (which
+    the engines expose differently). Both sides are padded to FIVE hex
+    digits ('0'+prefix vs %05x): keep_frac = 1.0 makes the threshold
+    65536 = '10000', which a 4-digit compare mangled — '%04x' rendered
+    it as the 5-char '10000' against 4-char prefixes, and 'ffff' >
+    '10000' lexicographically, so full-weight sources silently kept
+    only the ~6% of docs whose prefix starts with '0'. Equal-length
+    hex strings compare identically to their numeric values, so the
+    pad restores accept-iff prefix < 65536·frac for every frac ≤ 1.
+    One narrow map over the corpus, zero shuffles, retry-stable at any
+    parallelism."""
     d = load(spark, sf_dir, "documents")
     src_n = F.regexp_extract("source", r"([0-9]+)$", 1).cast("bigint")
     keep_frac = (1 + src_n % 5) / 5.0
-    h4 = F.substring(
-        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.col("source"))),
-        1,
-        4,
+    h5 = F.concat(
+        F.lit("0"),
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit("|"), F.col("source")
+                )
+            ),
+            1,
+            4,
+        ),
     )
     thr = F.format_string(
-        "%04x", F.floor(65536 * keep_frac).cast("bigint")
+        "%05x", F.floor(65536 * keep_frac).cast("bigint")
     )
     return (
         d.withColumn("keep_frac", keep_frac)
-        .where(h4 < thr)
+        .where(h5 < thr)
         .select("doc_id", "source", "keep_frac")
     )
 

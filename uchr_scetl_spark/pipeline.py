@@ -87,9 +87,20 @@ class SqlTransform:
     sql: str
 
     def apply(self, spark: SparkSession, df: DataFrame) -> DataFrame:
-        view = f"__pipeline_{self.name}"
+        # plain substring replace, NOT str.format: SQL legitimately
+        # contains braces (JSON literals, map/struct constructors) that
+        # format() would treat as placeholders and crash on. The view
+        # name is uniqued per application so two pipelines sharing a
+        # session with same-named steps can't read each other's
+        # intermediate relation; the view is dropped once the step's
+        # plan is built (the returned DataFrame holds the plan, not the
+        # view reference).
+        view = f"__pipeline_{self.name}_{id(df) & 0xFFFFFF:x}"
         df.createOrReplaceTempView(view)
-        return spark.sql(self.sql.format(df=view))
+        try:
+            return spark.sql(self.sql.replace("{df}", view))
+        finally:
+            spark.catalog.dropTempView(view)
 
 
 @dataclass(frozen=True)
@@ -105,13 +116,16 @@ class Sink:
         if self.fmt == "noop":
             df.write.format("noop").mode("overwrite").save()
             return
-        if self.fmt == "csv":
+        if self.fmt in ("csv", "json"):
+            # honor mode for the text sinks too: the hardcoded
+            # "overwrite" the io helpers default to would silently
+            # clobber under the documented default mode="error"
             if self.partition_by:
-                raise ValueError("csv sink does not support partition_by here")
-            write_csv(df, self.path)
-            return
-        if self.fmt == "json":
-            write_json(df, self.path)
+                raise ValueError(
+                    f"{self.fmt} sink does not support partition_by here"
+                )
+            writer = write_csv if self.fmt == "csv" else write_json
+            writer(df, self.path, mode=self.mode)
             return
         w = df.write.mode(self.mode)
         if self.partition_by:

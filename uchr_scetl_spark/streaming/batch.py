@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..exprs import sql_dec_sum
+from ..exprs import dec_sum, sql_dec_sum
 from ..io import load
 from ..registry import query
 
@@ -38,9 +38,7 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(24,6)")).cast("double").alias(
-                "total_value"
-            ),
+            dec_sum("value", "total_value"),
         )
         .select(
             F.col("w.start").cast("timestamp_ntz").alias("window_start"),
@@ -97,7 +95,7 @@ def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session_windows",
     oracle=f"""
     WITH gaps AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, value, event_id,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL 30 MINUTE
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -106,7 +104,8 @@ def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), sessions AS (
       SELECT user_id, ts, value,
              SUM(is_new_session) OVER (PARTITION BY user_id
-                 ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+                 ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+               AS session_id
       FROM gaps
     )
     SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
@@ -123,9 +122,12 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``F.session_window``, which the streaming mirror uses)."""
     e = load(spark, sf_dir, "events")
     w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # the running sum MUST share w_order's (ts, event_id) tiebreak: a
+    # ROWS frame over the non-unique ts alone assigns tied boundary
+    # rows nondeterministically across engines/partitionings
     w_run = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     prev_ts = F.lag("ts").over(w_order)
@@ -140,9 +142,7 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count("*").alias("n_events"),
-        F.sum(F.col("value").cast("decimal(24,6)")).cast("double").alias(
-            "session_value"
-        ),
+        dec_sum("value", "session_value"),
     )
 
 
@@ -182,18 +182,14 @@ def stream_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     the customer dimension (broadcast — a stream side never shuffles
     against a static dim at scale), aggregated per segment×type. The
     streaming mirror is enrich_static_stream (streams.py)."""
-    from ..io import load as _load
-
-    e = _load(spark, sf_dir, "events")
-    c = _load(spark, sf_dir, "customer")
+    e = load(spark, sf_dir, "events")
+    c = load(spark, sf_dir, "customer")
     return (
         e.join(F.broadcast(c), e.user_id == c.c_custkey)
         .groupBy("c_mktsegment", "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(24,6)"))
-            .cast("double")
-            .alias("total_value"),
+            dec_sum("value", "total_value"),
         )
     )
 
@@ -268,9 +264,7 @@ def stream_user_running_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     return e.groupBy("user_id").agg(
         F.count("*").alias("n_events"),
-        F.sum(F.col("value").cast("decimal(24,6)"))
-        .cast("double")
-        .alias("total_value"),
+        dec_sum("value", "total_value"),
     )
 
 
@@ -279,9 +273,10 @@ _exactly_once_memo: dict[tuple[str, str], str] = {}
 
 def _exactly_once_dir(spark: SparkSession, sf_dir: str) -> str:
     """Drive the idempotent foreachBatch sink through a REDELIVERY
-    once per (app, sf_dir): the first 5000 events split into two
-    batches, batch 0 delivered TWICE (what at-least-once does after a
-    failure), batch 1 once. The surviving files are the proof."""
+    once per (app, sf_dir): all events split by event_id parity into
+    two batches, batch 0 delivered TWICE (what at-least-once does
+    after a failure), batch 1 once. The surviving files are the
+    proof."""
     from ..io import scratch_dir
     from .streams import idempotent_batch_sink
 
@@ -327,7 +322,5 @@ def stream_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(out)
     return back.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
-        F.sum(F.col("value").cast("decimal(24,6)"))
-        .cast("double")
-        .alias("total_value"),
+        dec_sum("value", "total_value"),
     )

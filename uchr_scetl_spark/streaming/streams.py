@@ -6,11 +6,13 @@ infers). Each builder returns an *unstarted* streaming DataFrame whose
 transformation is shared with the batch twin in batch.py; tests run
 them synchronously through a memory sink (``run_to_memory``).
 
-Watermarks: every stateful operator carries one so state is bounded —
-the difference between a pipeline that runs forever at 100 TB/day and
-one whose state store grows without limit. Late rows beyond the
-watermark are dropped in append mode (unit-tested with a crafted late
-batch in tests/test_streaming.py).
+Watermarks: every windowed/dedup aggregation carries one so its state
+is bounded — the difference between a pipeline that runs forever at
+100 TB/day and one whose state store grows without limit. Late rows
+beyond the watermark are dropped in append mode (unit-tested with a
+crafted late batch in tests/test_streaming.py). The one deliberate
+exception is user_running_state_stream: lifetime running totals keep
+per-user state with NoTimeout by construction — see its docstring.
 
 ``applyInPandasWithState`` demonstrates the custom-stateful path:
 per-user running aggregates with explicit GroupState, Arrow-batched.
@@ -23,6 +25,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..exprs import dec_sum
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -63,9 +67,7 @@ def tumbling_counts_stream(events: DataFrame) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(24,6)")).cast("double").alias(
-                "total_value"
-            ),
+            dec_sum("value", "total_value"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events",
                 "total_value")
@@ -129,7 +131,15 @@ def _update_user_state(key, pdfs, state: GroupState):
 
 
 def user_running_state_stream(events: DataFrame) -> DataFrame:
-    """Custom stateful operator: applyInPandasWithState, update mode."""
+    """Custom stateful operator: applyInPandasWithState, update mode.
+
+    State-lifetime note: this operator keeps one (n, total) entry per
+    user FOREVER (NoTimeout) — running lifetime totals are the
+    semantics, so no watermark can evict the state (withWatermark
+    bounds the aggregation operators, not applyInPandasWithState
+    state). On an unbounded user population that is an unbounded state
+    store: a production deployment keys state to a bounded entity set
+    or adds EventTimeTimeout + state.remove for idle keys."""
     return (
         events.withWatermark("ts", "10 minutes")
         .groupBy("user_id")
