@@ -60,8 +60,11 @@ KEYS = [
     # text, not just ASCII
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "text_span_dedup",
     "sample_stratified",
     "sample_split_assign",
+    "sample_temperature",
+    "sample_weighted",
 ]
 
 REGISTRY = load_registry()
