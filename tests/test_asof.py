@@ -141,14 +141,14 @@ def test_asof_null_keys_and_ts_never_match(spark):
                 f"INTERVAL {0 if d < 0 else 2} MINUTES"
             )).otherwise(F.col("ts")),
         )
-        out = {
-            r.click: r.pid
-            for r in asof_join(
-                left, rr, on="k", ts="ts", payload=["pid"],
-                direction=direction,
-            ).collect()
-        }
-        assert len(out) == 3
+        rows = asof_join(
+            left, rr, on="k", ts="ts", payload=["pid"],
+            direction=direction,
+        ).collect()
+        # rowcount BEFORE the dict collapse: a NULL-path regression
+        # that duplicates a left row would be hidden by keying on click
+        assert len(rows) == 3
+        out = {r.click: r.pid for r in rows}
         assert out[1] == 10          # normal row matches the real purchase
         assert out[2] is None        # NULL key: no match
         assert out[3] is None        # NULL ts: no match

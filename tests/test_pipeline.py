@@ -311,7 +311,13 @@ def test_text_sinks_honor_error_mode(spark):
     for fmt in ("csv", "json"):
         out = tempfile.mkdtemp(prefix=f"uchr_{fmt}_mode_")
         shutil.rmtree(out, ignore_errors=True)
-        Pipeline(source=src, sink=Sink(fmt, out, mode="overwrite")).run(spark)
-        with pytest.raises(Exception, match="already exists|ALREADY_EXISTS"):
-            Pipeline(source=src, sink=Sink(fmt, out, mode="error")).run(spark)
-        shutil.rmtree(out, ignore_errors=True)
+        try:
+            Pipeline(
+                source=src, sink=Sink(fmt, out, mode="overwrite")
+            ).run(spark)
+            with pytest.raises(Exception, match="already exists|ALREADY_EXISTS"):
+                Pipeline(source=src, sink=Sink(fmt, out, mode="error")).run(
+                    spark
+                )
+        finally:
+            shutil.rmtree(out, ignore_errors=True)

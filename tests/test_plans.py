@@ -289,12 +289,20 @@ def test_lsh_candidate_exchanges_carry_no_vectors(spark):
 def test_span_dedup_spans_are_hashed_before_shuffle(spark):
     # span keys must shuffle as int64 xxhash64 values, not strings —
     # the same 100 TB shuffle-width guarantee as the contamination
-    # check: no Exchange may partition on a raw span text column
+    # check. Robust form: every attribute a hashpartitioning exchange
+    # keys on must be LongType (the '#nL' exprId suffix) — a 'span not
+    # in line' check was vacuous since no column carries that name,
+    # and 'xxhash64 in plan' alone passes even if hashing happens
+    # after the shuffle.
+    import re
+
     plan = plan_of(spark, "text_span_dedup")
     assert "xxhash64" in plan, plan
-    for ln in plan.splitlines():
-        if "Exchange hashpartitioning" in ln:
-            assert "span" not in ln, plan
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert exchanges, plan
+    for args in exchanges:
+        for attr in re.finditer(r"\w+#\d+(L?)\b", args):
+            assert attr.group(1) == "L", (args, plan)
 
 
 def test_bloom_pruned_join_injects_runtime_filter(spark):
@@ -302,19 +310,10 @@ def test_bloom_pruned_join_injects_runtime_filter(spark):
     from the selective build side (bloom_filter_agg) and wrap the
     probe scan in might_contain — the row-level runtime pruning
     join_bloom_pruned exists to demonstrate."""
-    from uchr_scetl_spark.operators.joins import _BLOOM_CONFS, bloom_pruned_join
+    from uchr_scetl_spark.operators.joins import bloom_confs, bloom_pruned_join
 
-    saved = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
-    try:
-        for k, v in _BLOOM_CONFS.items():
-            spark.conf.set(k, v)
+    with bloom_confs(spark):
         df = bloom_pruned_join(spark, SF_SMOKE)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "bloom_filter_agg" in plan, plan
         assert "might_contain" in plan, plan
-    finally:
-        for k, v in saved.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)

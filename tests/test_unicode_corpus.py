@@ -61,10 +61,13 @@ KEYS = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "text_span_dedup",
+    # sample_stratified's md5 salt includes the text column, so the
+    # multibyte gate is meaningful; sample_weighted hashes only the
+    # ASCII doc_id|source key and is deliberately NOT listed (it
+    # would document coverage that doesn't exist)
     "sample_stratified",
     "sample_split_assign",
     "sample_temperature",
-    "sample_weighted",
 ]
 
 REGISTRY = load_registry()

@@ -87,7 +87,7 @@ def main() -> int:
     # upward. One extra corpus write is the price of a fair curve.
     warm = build_replica(spark, sf_dir, 1)
     for key in KEYS:
-        load_registry()[key].fn(spark, warm).write.format("noop").mode(
+        registry[key].fn(spark, warm).write.format("noop").mode(
             "overwrite"
         ).save()
     base: dict[str, float] = {}

@@ -12,6 +12,8 @@ Strategy notes for 100 TB:
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -530,6 +532,25 @@ _BLOOM_CONFS = {
 }
 
 
+@contextmanager
+def bloom_confs(spark: SparkSession):
+    """Scoped application of _BLOOM_CONFS with exact restore (unset
+    keys go back to unset, not to a stringified default). Shared by
+    the registry key and the plan-assertion test so the save/restore
+    semantics cannot drift between them."""
+    saved = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    try:
+        for k, v in _BLOOM_CONFS.items():
+            spark.conf.set(k, v)
+        yield
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The logical query of join_bloom_pruned, with no conf changes:
     selective orders subset ⋈ full lineitem scan, revenue by return
@@ -581,14 +602,5 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     are active — physical planning happens at action time, and a lazy
     return would be planned AFTER the restore, silently dropping the
     feature under test (the plan test would catch it)."""
-    saved = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
-    try:
-        for k, v in _BLOOM_CONFS.items():
-            spark.conf.set(k, v)
+    with bloom_confs(spark):
         return bloom_pruned_join(spark, sf_dir).localCheckpoint(eager=True)
-    finally:
-        for k, v in saved.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
