@@ -551,13 +551,31 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v", F.col("embedding").cast("array<double>")
     )
     candidates = _lsh_candidates(spark, sf_dir)
+    # norms projected once per vector before the candidate join (the
+    # sim_topk pattern): per-pair cosine_expr would re-fold both
+    # self-dot-products for every candidate — 3× the interpreted HOF
+    # work; dot/(pnrm·nrm) is the identical IEEE op tree, so the
+    # ranking (and the measured recall) is unchanged
     pvecs = e.where(F.col("vec_id") < N_PROBES).select(
-        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+        F.col("vec_id").alias("probe_id"),
+        F.col("v").alias("pv"),
+        F.sqrt(dot_expr("v", "v")).alias("pnrm"),
+    )
+    nvecs = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "v",
+        F.sqrt(dot_expr("v", "v")).alias("nrm"),
     )
     scored = (
         candidates.join(F.broadcast(pvecs), "probe_id")
-        .join(e.select(F.col("vec_id").alias("neighbor_id"), "v"), "neighbor_id")
-        .select("probe_id", "neighbor_id", cosine_expr("pv", "v").alias("cosine"))
+        .join(nvecs, "neighbor_id")
+        .select(
+            "probe_id",
+            "neighbor_id",
+            (dot_expr("pv", "v") / (F.col("pnrm") * F.col("nrm"))).alias(
+                "cosine"
+            ),
+        )
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), "neighbor_id")
     return (
