@@ -14,3 +14,18 @@ __version__ = "0.1.0"
 
 from .registry import REGISTRY, QuerySpec, load_registry, query  # noqa: F401
 from .session import configure, get_session  # noqa: F401
+
+
+def clear_caches(sf_dir: str | None = None) -> None:
+    """Unpersist and drop every per-session relation memo (shingles,
+    MinHash signatures, verified pairs, IVF base + centroids) — all
+    entries, or just one corpus dir's. Long-lived sessions sweeping
+    many corpus dirs should call this when retiring a dir; sessions
+    re-reading a REWRITTEN dir must, or they'll be served stale cached
+    relations. Imports lazily so `import uchr_scetl_spark` stays
+    cheap."""
+    from .llm.dedup import clear_dedup_caches
+    from .llm.similarity import clear_similarity_caches
+
+    clear_dedup_caches(sf_dir)
+    clear_similarity_caches(sf_dir)

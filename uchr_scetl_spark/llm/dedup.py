@@ -403,6 +403,27 @@ def _memo_pairs(
     return _pairs_memo[key]
 
 
+def clear_dedup_caches(sf_dir: str | None = None) -> None:
+    """Unpersist and drop the shingle/signature/pair memos — all of
+    them, or just one corpus dir's entries.
+
+    The memos otherwise live for the session: a long-lived process
+    sweeping many corpus dirs (bench loops, the scaling probe) would
+    accumulate executor storage indefinitely, and a REGENERATED corpus
+    at the same path would be served stale cached relations. Call this
+    after retiring a corpus dir (or before re-reading a rewritten
+    one). Memo keys are (applicationId, sf_dir[, tag]) with sf_dir
+    always at index 1."""
+    for memo in (_shingled_memo, _signature_memo, _pairs_memo):
+        for key in list(memo):
+            if sf_dir is None or key[1] == sf_dir:
+                try:
+                    memo[key].unpersist()
+                except Exception:
+                    pass
+                del memo[key]
+
+
 _ORACLE_INCREMENTAL = f"""
     WITH {_ORACLE_SHINGLED_CTE},
     shingle_rows AS (
