@@ -460,7 +460,16 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     side is tiny, so at scale this join broadcasts the increment
     against the bucketed index. Output: every (new doc, index doc)
     pair at Jaccard ≥ {JACCARD_T} — the rows an upsert would use to
-    drop or link incoming duplicates."""
+    drop or link incoming duplicates.
+
+    Oracle-recall caveat (inherited from dedup_near, same band
+    parameters): the oracle is the exact all-pairs Jaccard while this
+    path only verifies LSH band-collision candidates, so a pair
+    sitting just above the 0.8 threshold could miss all 16 bands
+    (p ≈ 2.2e-4 per pair at j=0.80) and fail the value check. Safe on
+    this corpus's bimodal similarity gap (near-dups ≥ 0.9, background
+    ≈ 0 — measured, see module header); tag the key rows_only if the
+    corpus generator ever emits near-threshold pairs."""
     buckets = band_buckets(minhash_signatures(spark, sf_dir))
     batch = buckets.where(F.col("doc_id") % 10 == 0)
     index = buckets.where(F.col("doc_id") % 10 != 0)

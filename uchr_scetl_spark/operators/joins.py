@@ -537,8 +537,21 @@ def bloom_confs(spark: SparkSession):
     """Scoped application of _BLOOM_CONFS with exact restore (unset
     keys go back to unset, not to a stringified default). Shared by
     the registry key and the plan-assertion test so the save/restore
-    semantics cannot drift between them."""
-    saved = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    semantics cannot drift between them.
+
+    Never-explicitly-set keys are detected via RuntimeConfig.contains
+    (JVM-side: true only for keys in the session's explicit-settings
+    map, never for SQLConf defaults) so restore genuinely unsets them
+    rather than pinning a stringified default; ``get(k, None)`` is the
+    fallback when the private _jconf handle is unavailable."""
+    jconf = getattr(spark.conf, "_jconf", None)
+
+    def current(k):
+        if jconf is not None:
+            return spark.conf.get(k) if jconf.contains(k) else None
+        return spark.conf.get(k, None)
+
+    saved = {k: current(k) for k in _BLOOM_CONFS}
     try:
         for k, v in _BLOOM_CONFS.items():
             spark.conf.set(k, v)

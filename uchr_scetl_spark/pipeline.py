@@ -89,13 +89,19 @@ class SqlTransform:
     def apply(self, spark: SparkSession, df: DataFrame) -> DataFrame:
         # plain substring replace, NOT str.format: SQL legitimately
         # contains braces (JSON literals, map/struct constructors) that
-        # format() would treat as placeholders and crash on. The view
-        # name is uniqued per application so two pipelines sharing a
-        # session with same-named steps can't read each other's
-        # intermediate relation; the view is dropped once the step's
+        # format() would treat as placeholders and crash on. Note the
+        # token is replaced anywhere it appears, including inside SQL
+        # string literals — don't put a literal '{df}' in step SQL.
+        # The view name is uniqued with a process-wide uuid so two
+        # pipelines sharing a session with same-named steps can never
+        # collide (an id(df)-based suffix was used before: id() values
+        # recur after GC, so concurrent same-named steps could read or
+        # drop each other's view); the view is dropped once the step's
         # plan is built (the returned DataFrame holds the plan, not the
         # view reference).
-        view = f"__pipeline_{self.name}_{id(df) & 0xFFFFFF:x}"
+        import uuid
+
+        view = f"__pipeline_{self.name}_{uuid.uuid4().hex[:12]}"
         df.createOrReplaceTempView(view)
         try:
             return spark.sql(self.sql.replace("{df}", view))
