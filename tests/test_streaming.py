@@ -452,3 +452,83 @@ def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
     assert back.count() == 300  # all rows exactly once, none re-run
     assert back.select("event_id").distinct().count() == 300
     assert len(committed_batches(spark, sink_dir)) >= 2
+
+
+def _time_ordered_chunks(spark, tmp_path, n_chunks=3):
+    """events split into n time-contiguous single-file chunks whose
+    file mtimes follow event time, so a maxFilesPerTrigger=1 stream
+    consumes them oldest-first and the watermark ADVANCES between
+    micro-batches (the file source orders by modification time)."""
+    import glob
+    import os
+
+    src_dir = str(tmp_path / "chunked_events")
+    os.makedirs(src_dir)
+    ev = load(spark, SF_SMOKE, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / n_chunks
+    for i in range(n_chunks):
+        start = lo + i * span
+        end = hi if i == n_chunks - 1 else lo + (i + 1) * span
+        cond = (F.col("ts") >= F.lit(start)) & (
+            F.col("ts") <= F.lit(end) if i == n_chunks - 1 else F.col("ts") < F.lit(end)
+        )
+        stage = str(tmp_path / f"stage_{i}")
+        ev.where(cond).coalesce(1).write.parquet(stage)
+        (part,) = glob.glob(f"{stage}/part-*.parquet")
+        dest = os.path.join(src_dir, f"chunk_{i:03d}.parquet")
+        os.rename(part, dest)
+        os.utime(dest, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    return src_dir, ev.count()
+
+
+def test_max_files_per_trigger_backpressure(spark, tmp_path):
+    """maxFilesPerTrigger=1 must actually split the source into one
+    bounded micro-batch per file — the backpressure dial that keeps a
+    catch-up restart from loading a week of files into one giant
+    batch. Measured from StreamingQueryProgress, not assumed."""
+    from uchr_scetl_spark.streaming.streams import run_with_progress
+
+    src_dir, total = _time_ordered_chunks(spark, tmp_path)
+    stream = read_events_stream(spark, src_dir, max_files_per_trigger=1)
+    progress = run_with_progress(
+        stream.select("event_id", "ts", "event_type"), "t_backpressure"
+    )
+    fed = [p for p in progress if p["numInputRows"] > 0]
+    assert len(fed) == 3  # one micro-batch per file, no coalescing
+    assert all(p["numInputRows"] < total for p in fed)  # each batch bounded
+    assert sum(p["numInputRows"] for p in fed) == total  # nothing lost
+    assert spark.table("t_backpressure").count() == total
+
+
+def test_windowed_state_bounded_by_watermark_eviction(spark, tmp_path):
+    """The bounded-state claim, measured: feeding time-ordered chunks
+    through a watermarked tumbling aggregation must show the state
+    store EVICTING windows that fall behind the advancing watermark
+    (numRowsRemoved > 0) and ending far below one-state-row-per-window
+    (numRowsTotal << distinct windows) — the property that separates a
+    pipeline that runs forever from one whose state grows without
+    bound."""
+    from uchr_scetl_spark.streaming.streams import run_with_progress
+
+    src_dir, _ = _time_ordered_chunks(spark, tmp_path)
+    stream = tumbling_counts_stream(
+        read_events_stream(spark, src_dir, max_files_per_trigger=1)
+    )
+    progress = run_with_progress(stream, "t_state_metrics", output_mode="update")
+    stateful = [p for p in progress if p["stateOperators"]]
+    assert stateful, "no state operator metrics captured"
+    removed = sum(p["stateOperators"][0]["numRowsRemoved"] for p in stateful)
+    final_rows = stateful[-1]["stateOperators"][0]["numRowsTotal"]
+    n_windows = (
+        spark.table("t_state_metrics")
+        .select("window_start", "event_type")
+        .distinct()
+        .count()
+    )
+    assert removed > 0  # watermark eviction actually ran
+    # end-state is a fraction of the windows the stream produced: state
+    # holds only windows the watermark hasn't closed yet
+    assert final_rows < n_windows

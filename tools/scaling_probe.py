@@ -44,16 +44,35 @@ KEYS = [
     "dedup_ngram_jaccard",
     "dedup_near",
     "dedup_simhash",
+    "dedup_clusters",
+    "dedup_incremental",
     "text_contamination_check",
     "text_repetition_score",
     "text_span_dedup",
     "sim_pairwise_threshold",
+    "graph_pagerank",
+    "etl_incremental_agg_merge",
 ]
 
 FACTORS = [1, 2, 4]
 
 
 def build_replica(spark, sf_dir: str, factor: int) -> str:
+    """k-fold corpus replica. Growth semantics per table family:
+
+    - documents/embeddings: ids shifted by k·N — replicas are DISTINCT
+      rows with the same content distribution, so dup/near-dup
+      structure grows linearly (each original doc gains k-1 exact
+      twins plus its shifted near-dups).
+    - lineitem: l_orderkey shifted by k·(max+1) — k× the ORDERS over
+      the same part catalogue, the natural co-purchase-graph growth
+      axis (edges grow with baskets, the node set stays fixed), which
+      is what graph_pagerank's per-iteration cost scales with.
+    - events: plain k× row replication — group keys (day, event_type)
+      stay fixed while input volume grows, exercising exactly the
+      partial-aggregate reduction the incremental-merge keys rely on.
+    - dimension tables: copied as-is.
+    """
     out = scratch_dir(f"uchr_scaling_{factor}x_")
     for t in TABLES:
         df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
@@ -66,6 +85,21 @@ def build_replica(spark, sf_dir: str, factor: int) -> str:
             rep = parts[0]
             for p in parts[1:]:
                 rep = rep.unionByName(p)
+            rep.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+        elif t == "lineitem":
+            shift = df.agg(F.max("l_orderkey")).collect()[0][0] + 1
+            parts = [
+                df.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(k * shift))
+                for k in range(factor)
+            ]
+            rep = parts[0]
+            for p in parts[1:]:
+                rep = rep.unionByName(p)
+            rep.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+        elif t == "events":
+            rep = df
+            for _ in range(factor - 1):
+                rep = rep.unionByName(df)
             rep.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
         else:
             df.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
@@ -105,6 +139,14 @@ def main() -> int:
                 f"{key:28s} {f}x: {dt:6.2f}s  (x{ratio:4.1f} vs 1x)",
                 flush=True,
             )
+    # retire the replica dirs' cached relations (shingles, signatures,
+    # pairs, IVF base): a probe leaves them warm otherwise, which both
+    # leaks executor storage for dirs about to be deleted and would
+    # serve stale relations if a path were ever reused
+    from uchr_scetl_spark import clear_caches
+
+    for d in list(dirs.values()) + [warm]:
+        clear_caches(d)
     return 0
 
 

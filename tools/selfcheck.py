@@ -8,11 +8,21 @@ oracle SQL over the same parquet corpus, then compare
   - cell values (bit-exact, with a near-match diagnostic so "close but
     inexact" queries are visible and fixable before driver rounds).
 
-Usage:  python tools/selfcheck.py [sf_dir] [key ...]
+Usage:  python tools/selfcheck.py [--json OUT.json] [sf_dir] [key ...]
+
+With --json, a machine-readable per-key verdict is written in the
+driver's CORRECTNESS_r{N}.json format ({rows_match, schema_match,
+hash_match, spark_rows, oracle_rows, err}); rows-only keys additionally
+carry "rows_only": true with hash_match/oracle_rows null, since no
+equality invariant exists for them. The committed CORRECTNESS_LOCAL.json
+is produced by running this at the driver's sf0.01 each round (see
+README) so the ~160 keys outside the driver's 50-key alphabetical
+window still get a diffable verdict every round.
 """
 
 from __future__ import annotations
 
+import json
 import math
 import sys
 import time
@@ -89,40 +99,72 @@ def compare(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     registry = load_registry()
     spark = get_session("uchr-selfcheck")
     con = oracle_connection(sf_dir)
     n_pass = n_fail = n_rows_only = 0
+    report: dict[str, dict] = {}
     for key, spec in sorted(registry.items()):
         if only and key not in only:
             continue
         t0 = time.time()
+        rec = {
+            "rows_match": False,
+            "schema_match": False,
+            "hash_match": False,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
+        report[key] = rec
         try:
             sdf = spec.fn(spark, sf_dir).toPandas()
         except Exception:
             print(f"FAIL {key}: spark raised\n{traceback.format_exc()}")
+            rec["err"] = f"spark: {traceback.format_exc(limit=1).splitlines()[-1]}"
             n_fail += 1
             continue
+        rec["spark_rows"] = len(sdf)
         if spec.rows_only:
             print(f"ROWS {key}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
+            rec.update(
+                rows_match=True, schema_match=True, hash_match=None,
+                oracle_rows=None, rows_only=True,
+            )
             n_rows_only += 1
             continue
         try:
             odf = con.sql(spec.oracle).df()
         except Exception:
             print(f"FAIL {key}: oracle raised\n{traceback.format_exc()}")
+            rec["err"] = f"oracle: {traceback.format_exc(limit=1).splitlines()[-1]}"
             n_fail += 1
             continue
+        rec["oracle_rows"] = len(odf)
         problems = compare(sdf, odf)
+        rec["rows_match"] = len(sdf) == len(odf)
+        rec["schema_match"] = sorted(sdf.columns) == sorted(odf.columns)
+        rec["hash_match"] = not problems
         if problems:
             print(f"FAIL {key}: " + "; ".join(problems) + f" [{time.time()-t0:.1f}s]")
+            rec["err"] = "; ".join(problems)
             n_fail += 1
         else:
             print(f"PASS {key}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
             n_pass += 1
     print(f"\n== {n_pass} pass, {n_fail} fail, {n_rows_only} rows-only ==")
+    if json_out:
+        with open(json_out, "w") as fh:
+            json.dump(report, fh, indent=2, sort_keys=True)
+            fh.write("\n")
+        print(f"wrote {json_out} ({len(report)} keys)")
     return 1 if n_fail else 0
 
 

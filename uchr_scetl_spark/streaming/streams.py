@@ -171,6 +171,32 @@ def run_to_memory(
         q.awaitTermination()
 
 
+def run_with_progress(
+    sdf: DataFrame, name: str, output_mode: str = "append"
+) -> list:
+    """Like run_to_memory, but return the per-micro-batch
+    StreamingQueryProgress records captured before stop().
+
+    This is the measurement surface for the operational claims the
+    module docstring makes: ``numInputRows`` per batch shows
+    maxFilesPerTrigger backpressure actually splitting the source into
+    bounded micro-batches, and ``stateOperators`` (numRowsTotal /
+    numRowsRemoved) shows watermark eviction keeping state bounded —
+    asserted in tests/test_streaming.py rather than just claimed."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        return list(q.recentProgress or [])
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+
 def enrich_static_stream(events: DataFrame, customer: DataFrame) -> DataFrame:
     """Streaming twin of stream_enrich_static: stream-static broadcast
     join + windowed aggregate (stream-static joins need no watermark —
