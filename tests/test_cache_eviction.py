@@ -1,0 +1,88 @@
+"""clear_caches() contract: the per-session relation memos (shingles,
+signatures, verified pairs, IVF base/centroids) must be evictable per
+corpus dir, and a REWRITTEN corpus at the same path must be re-read
+after eviction — the stale-cache hazard the eviction hook exists for
+(a long-lived session re-generating a corpus dir would otherwise be
+served relations of the old data forever)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from uchr_scetl_spark import clear_caches, load_registry
+from uchr_scetl_spark.io import load
+from uchr_scetl_spark.llm import dedup, similarity
+
+from .conftest import SF_SMOKE
+
+REGISTRY = load_registry()
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture()
+def mutable_corpus(spark):
+    out = tempfile.mkdtemp(prefix="uchr_mutable_corpus_")
+    for t in TABLES:
+        spark.read.parquet(f"{SF_SMOKE}/{t}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{out}/{t}.parquet")
+    yield out
+    clear_caches(out)
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def _memo_entries(sf_dir: str) -> int:
+    memos = (
+        dedup._shingled_memo,
+        dedup._signature_memo,
+        dedup._pairs_memo,
+        similarity._ivf_base_memo,
+        similarity._ivf_centroids_memo,
+    )
+    return sum(1 for m in memos for k in m if k[1] == sf_dir)
+
+
+def test_clear_caches_scoped_to_dir(spark, mutable_corpus):
+    REGISTRY["dedup_near"].fn(spark, mutable_corpus).count()
+    REGISTRY["sim_topk_ivf"].fn(spark, mutable_corpus).count()
+    # the baseline smoke dir's memos (warm from other tests) must
+    # survive a scoped clear of the mutable dir
+    REGISTRY["dedup_near"].fn(spark, SF_SMOKE).count()
+    assert _memo_entries(mutable_corpus) > 0
+    before_other = _memo_entries(SF_SMOKE)
+    clear_caches(mutable_corpus)
+    assert _memo_entries(mutable_corpus) == 0
+    assert _memo_entries(SF_SMOKE) == before_other
+
+
+def test_rewritten_corpus_reread_after_clear(spark, mutable_corpus):
+    n1 = REGISTRY["dedup_exact"].fn(spark, mutable_corpus).count()
+    near1 = REGISTRY["dedup_near"].fn(spark, mutable_corpus).count()
+    assert near1 > 0  # the smoke corpus carries constructed near-dups
+
+    # rewrite documents to a tiny distinct corpus: every doc unique
+    docs = (
+        load(spark, SF_SMOKE, "documents")
+        .limit(4)
+        .withColumn(
+            "text",
+            F.concat(F.lit("unique document number "), F.col("doc_id").cast("string")),
+        )
+    )
+    docs.write.mode("overwrite").parquet(f"{mutable_corpus}/documents.parquet")
+
+    # WITHOUT eviction the memoized pair relation would still report
+    # the old corpus's near-dups; after clear_caches the engine must
+    # see the new 4-doc all-unique table
+    clear_caches(mutable_corpus)
+    assert REGISTRY["dedup_exact"].fn(spark, mutable_corpus).count() == 4 != n1
+    assert REGISTRY["dedup_near"].fn(spark, mutable_corpus).count() == 0

@@ -38,7 +38,14 @@ def test_ann_structure(key, spark, exact_topk):
 
 
 def test_ivf_deterministic(spark):
+    """Determinism of the REAL computation, not the memo: the centroid
+    cache (added round 5) would make back-to-back runs trivially equal,
+    so it is cleared between them — this must still pass because init
+    is lowest-vec_id seeded and every step is order-independent."""
+    from uchr_scetl_spark.llm.similarity import clear_similarity_caches
+
     a = sorted(map(tuple, REGISTRY["sim_topk_ivf"].fn(spark, SF_ORACLE).collect()))
+    clear_similarity_caches(SF_ORACLE)
     b = sorted(map(tuple, REGISTRY["sim_topk_ivf"].fn(spark, SF_ORACLE).collect()))
     assert a == b
 

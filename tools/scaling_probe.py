@@ -10,19 +10,25 @@ distinct rows with identical text distribution: near-dup structure
 grows linearly with the corpus, which is exactly the regime the
 banding math must survive.
 
-Usage: python tools/scaling_probe.py [sf_dir]   (default sf0.1)
+Usage: python tools/scaling_probe.py [sf_dir] [key ...]  (default sf0.1,
+       all probe keys; naming keys restricts the run for re-measures)
 Output: one line per (key, factor): wall seconds + ratio vs 1x.
 
-Interpretation note (measured 2026-08-14 at sf0.1, warm):
-dedup_exact / contamination / repetition stay FLAT (still overhead
--bound at 4x), ngram-Jaccard and MinHash-LSH grow ~1.2x at 4x volume,
-pairwise-threshold ~1.9x — all sub-linear in wall time. dedup_simhash
-reads 4.4x at 4x, which is the DATA being quadratic, not the plan:
-replication turns every doc into a 4-way exact duplicate, so banding
-buckets hold 4x entries of identical signatures and the TRUE pair
-output itself grows ~x^2 with the replication factor. A corpus whose
-duplicate clusters grow with corpus size is the one regime where any
-correct pair-emitting dedup is super-linear — the output is.
+Interpretation note (round-5 measurement, 2026-08-14, sf0.1, warm —
+12 keys × 1x/2x/4x; single-run spikes re-measured before recording):
+dedup_exact / contamination / repetition / span_dedup /
+dedup_incremental / etl_incremental_agg_merge stay FLAT at 4x
+(overhead-bound); ngram-Jaccard 1.5x, MinHash-LSH 1.2x, clusters
+1.5x, pairwise-threshold 1.8x, graph_pagerank 1.2x (on 4x the ORDER
+volume — the per-iteration contribution aggregation partial-reduces
+per task, so wall grows far below edge count) — all sub-linear.
+dedup_simhash improved from 4.4x (r4) to 1.6x at 4x after the
+packed-long Hamming rewrite; its candidate/output volume still grows
+~x² with replication (every doc gains k-1 exact twins, so the TRUE
+pair output is quadratic in k — any correct pair-emitting dedup is
+super-linear when the result itself is), but per-candidate cost is
+now one bit_count(xor), cheap enough that the quadratic term stays
+under the fixed overheads at this size.
 """
 
 from __future__ import annotations
@@ -108,6 +114,7 @@ def build_replica(spark, sf_dir: str, factor: int) -> str:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    keys = [k for k in sys.argv[2:]] or KEYS
     spark = get_session("uchr-scaling-probe")
     registry = load_registry()
     dirs = {f: build_replica(spark, sf_dir, f) for f in FACTORS}
@@ -120,12 +127,12 @@ def main() -> int:
     # while 2x/4x still pay the cache build — biasing every ratio
     # upward. One extra corpus write is the price of a fair curve.
     warm = build_replica(spark, sf_dir, 1)
-    for key in KEYS:
+    for key in keys:
         registry[key].fn(spark, warm).write.format("noop").mode(
             "overwrite"
         ).save()
     base: dict[str, float] = {}
-    for key in KEYS:
+    for key in keys:
         for f in FACTORS:
             t0 = time.time()
             registry[key].fn(spark, dirs[f]).write.format("noop").mode(
