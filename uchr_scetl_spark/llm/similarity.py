@@ -776,3 +776,132 @@ def embeddings_vector_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("norm_micro_avg"),
         )
     )
+
+
+KNN_K = 3
+
+
+@query(
+    "sim_knn_classify",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ), probes AS (
+      SELECT vec_id AS probe_id, label AS true_label, v AS pv, nrm AS pnrm
+      FROM e WHERE vec_id < {N_PROBES}
+    ), top_k AS (
+      SELECT p.probe_id, p.true_label, e.label,
+             (list_dot_product(p.pv, e.v) / (p.pnrm * e.nrm)) AS cosine,
+             e.vec_id AS neighbor_id
+      FROM probes p JOIN e ON e.vec_id <> p.probe_id
+      QUALIFY row_number() OVER (PARTITION BY p.probe_id
+                                 ORDER BY cosine DESC, neighbor_id) <= {KNN_K}
+    ), votes AS (
+      SELECT probe_id, true_label, label,
+             CAST(COUNT(*) AS BIGINT) AS n_votes
+      FROM top_k GROUP BY 1, 2, 3
+    )
+    SELECT probe_id, true_label, label AS predicted_label, n_votes
+    FROM votes
+    QUALIFY row_number() OVER (PARTITION BY probe_id
+                               ORDER BY n_votes DESC, label) = 1
+    """,
+)
+def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label prediction — the end-use the similarity machinery
+    exists for: each probe vector takes the majority label of its
+    exact top-k cosine neighbours (k={KNN_K}; ties → lower label, so
+    the vote is deterministic).
+
+    Composes sim_topk's plan (broadcast probe panel, one corpus scan,
+    bounded per-probe window) with a probe-sized vote aggregation —
+    nothing here grows with the corpus beyond the scan itself. The
+    scale path swaps the exact top-k stage for sim_topk_lsh/_ivf with
+    the vote unchanged."""
+    nbrs = sim_topk(spark, sf_dir)  # probe_id, neighbor_id, label, cosine
+    truth = (
+        load(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < N_PROBES)
+        .select(F.col("vec_id").alias("probe_id"), F.col("label").alias("true_label"))
+    )
+    votes = nbrs.groupBy("probe_id", "label").agg(F.count("*").alias("n_votes"))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("n_votes"), "label")
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .join(F.broadcast(truth), "probe_id")
+        .select(
+            "probe_id",
+            "true_label",
+            F.col("label").alias("predicted_label"),
+            "n_votes",
+        )
+    )
+
+
+HIST_PANEL_MOD = 20  # 1-in-20 vectors form the sampling panel
+HIST_BUCKETS_PER_UNIT = 20  # bucket width 0.05 in cosine space
+
+
+@query(
+    "sim_cosine_histogram",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ), panel AS (
+      SELECT vec_id AS p_id, v AS pv, nrm AS pnrm FROM e
+      WHERE vec_id % {HIST_PANEL_MOD} = 0
+    ), cosines AS (
+      SELECT CAST(floor((list_dot_product(p.pv, e.v) / (p.pnrm * e.nrm))
+                        * {HIST_BUCKETS_PER_UNIT}) AS BIGINT) AS bucket
+      FROM panel p JOIN e ON e.vec_id <> p.p_id
+    )
+    SELECT bucket,
+           (CAST(bucket AS DOUBLE) / {HIST_BUCKETS_PER_UNIT}) AS bucket_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM cosines GROUP BY bucket
+    """,
+)
+def sim_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-cosine distribution over a deterministic 1-in-{HIST_PANEL_MOD}
+    panel × the corpus — the diagnostic that tells you where a corpus's
+    similarity mass sits before you pick dedup/ANN thresholds (this
+    repo's own LSH tuning notes cite exactly this curve: true
+    neighbours at 0.34–0.42 inside a background p999 of 0.39).
+
+    Scale design: never all-pairs — the panel is a fixed-rate modulo
+    sample (corpus-size-proportional, deterministic, no rand()), rides
+    a broadcast, and the corpus is scanned once; the histogram is a
+    partial+final count on a ≤ few-hundred-bucket key. Counted pairs
+    are ORDERED (panel, other) pairs, so panel-panel pairs appear in
+    both directions — a constant factor that cancels in the shape.
+    Bucket boundaries are exact: the cosine fold is bit-identical in
+    both engines (module header), so floor() buckets agree at edges."""
+    e = _normed(spark, sf_dir)
+    panel = e.where(F.col("vec_id") % HIST_PANEL_MOD == 0).select(
+        F.col("vec_id").alias("p_id"),
+        F.col("v").alias("pv"),
+        F.col("nrm").alias("pnrm"),
+    )
+    cos = dot_expr("pv", "v") / (F.col("pnrm") * F.col("nrm"))
+    bucket = F.floor(cos * HIST_BUCKETS_PER_UNIT).cast("long")
+    return (
+        F.broadcast(panel)
+        .join(e, F.col("vec_id") != F.col("p_id"))
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_pairs"))
+        .select(
+            "bucket",
+            (F.col("bucket").cast("double") / HIST_BUCKETS_PER_UNIT).alias(
+                "bucket_lo"
+            ),
+            "n_pairs",
+        )
+    )

@@ -810,3 +810,64 @@ def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_token_ppm"),
         )
     )
+
+
+BPE_TOP_K = 20
+BPE_MIN_WORD_LEN = 2
+
+
+@query(
+    "text_bpe_pair_counts",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ), vocab AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS wc FROM words
+      WHERE length(w) >= {BPE_MIN_WORD_LEN} GROUP BY w
+    ), pairs AS (
+      SELECT unnest([{{'l': substring(w, i, 1), 'r': substring(w, i + 1, 1)}}
+                     for i in generate_series(1, length(w) - 1)]) AS p, wc
+      FROM vocab
+    )
+    SELECT p.l AS left_sym, p.r AS right_sym,
+           CAST(SUM(wc) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY 1, 2
+    ORDER BY pair_count DESC, left_sym, right_sym LIMIT {BPE_TOP_K}
+    """,
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE merge step of tokenizer training, distributed:
+    corpus-weighted adjacent-symbol pair counts, top candidates first
+    — the exact statistic a byte-pair-encoding trainer maximises when
+    choosing its next merge.
+
+    Scale design — the classic BPE factoring: pair generation runs on
+    the WORD VOCABULARY, not the corpus. The corpus-sized work is one
+    partial+final count per distinct word (the shuffle carries
+    vocabulary rows); the quadratic-feeling symbol-pair explode then
+    multiplies only |vocab| × word-length rows, each weighted by the
+    word's corpus frequency. On a 100 TB corpus the vocabulary is
+    millions of rows where the corpus is trillions — subsequent merge
+    rounds re-run over the (re-segmented) vocabulary alone, never
+    re-reading the corpus. Top-k is a total order (count DESC, then
+    both symbols), so the result set is deterministic under ties."""
+    d = load(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(tokens()).alias("w"))
+        .where(F.length("w") >= BPE_MIN_WORD_LEN)
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+    )
+    pair = F.explode(
+        F.expr(
+            "transform(sequence(1, length(w) - 1),"
+            " i -> struct(substring(w, i, 1) AS l, substring(w, i + 1, 1) AS r))"
+        )
+    )
+    return (
+        vocab.select("wc", pair.alias("p"))
+        .groupBy(F.col("p.l").alias("left_sym"), F.col("p.r").alias("right_sym"))
+        .agg(F.sum("wc").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
+        .limit(BPE_TOP_K)
+    )
