@@ -431,3 +431,82 @@ def test_incremental_dedup_is_the_batch_slice_of_near_pairs(spark):
             if a % 10 == 0 and b % 10 != 0:
                 expected.add((a, b))
     assert inc == expected
+
+
+def test_bpe_pair_counts_scale_linearly_with_corpus(spark, tmp_path):
+    """Pair counts are corpus-weighted sums, so doubling the corpus
+    must exactly double every count while preserving the top-k SET and
+    order — the linearity that lets merge rounds run on the vocabulary
+    while staying faithful to corpus statistics."""
+    from uchr_scetl_spark.registry import load_registry
+
+    reg = load_registry()
+    base = reg["text_bpe_pair_counts"].fn(spark, SF_SMOKE).collect()
+
+    # only documents is read by this key, so the doubled corpus dir
+    # needs only that table
+    doubled = str(tmp_path / "doubled")
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    n = d.count()
+    d.unionByName(
+        d.withColumn("doc_id", F.col("doc_id") + n)
+    ).write.parquet(f"{doubled}/documents.parquet")
+
+    twice = reg["text_bpe_pair_counts"].fn(spark, doubled).collect()
+    assert [(r.left_sym, r.right_sym) for r in base] == [
+        (r.left_sym, r.right_sym) for r in twice
+    ]
+    assert [2 * r.pair_count for r in base] == [r.pair_count for r in twice]
+
+
+def test_knn_classify_votes_are_the_topk_mode(spark):
+    """One prediction per probe; n_votes in [1, k]; and the predicted
+    label must be the deterministic mode (max votes, ties → lower
+    label) of the exact top-k neighbour labels the sim_topk key
+    reports — the vote may not disagree with its own evidence."""
+    from collections import Counter
+
+    from uchr_scetl_spark.llm.similarity import KNN_K
+    from uchr_scetl_spark.registry import load_registry
+
+    reg = load_registry()
+    preds = {
+        r.probe_id: r for r in reg["sim_knn_classify"].fn(spark, SF_SMOKE).collect()
+    }
+    topk: dict[int, list] = {}
+    for r in reg["sim_topk"].fn(spark, SF_SMOKE).collect():
+        topk.setdefault(r.probe_id, []).append(r.label)
+    assert set(preds) == set(topk)
+    for probe_id, labels in topk.items():
+        votes = Counter(labels)
+        want = min(
+            votes, key=lambda lab: (-votes[lab], lab)
+        )  # max votes, lower label on ties
+        got = preds[probe_id]
+        assert got.predicted_label == want
+        assert got.n_votes == votes[want]
+        assert 1 <= got.n_votes <= KNN_K
+
+
+def test_cosine_histogram_mass_and_range(spark):
+    """The histogram must account for every (panel, other) ordered
+    pair exactly once — total mass |panel|·(|corpus|−1) — with every
+    bucket inside the cosine domain [−1, 1]."""
+    from uchr_scetl_spark.llm.similarity import (
+        HIST_BUCKETS_PER_UNIT,
+        HIST_PANEL_MOD,
+    )
+    from uchr_scetl_spark.registry import load_registry
+
+    rows = (
+        load_registry()["sim_cosine_histogram"].fn(spark, SF_SMOKE).collect()
+    )
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").where(
+        "embedding IS NOT NULL"
+    )
+    n = e.count()
+    n_panel = e.where(F.col("vec_id") % HIST_PANEL_MOD == 0).count()
+    assert sum(r.n_pairs for r in rows) == n_panel * (n - 1)
+    for r in rows:
+        assert -HIST_BUCKETS_PER_UNIT <= r.bucket <= HIST_BUCKETS_PER_UNIT
+        assert r.bucket_lo == r.bucket / HIST_BUCKETS_PER_UNIT

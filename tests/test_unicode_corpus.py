@@ -53,6 +53,10 @@ KEYS = [
     "text_bigram_lm_score",
     "text_contamination_check",
     "text_repetition_score",
+    # per-CHARACTER substring pairing over multibyte words: Spark and
+    # DuckDB substring() must both count codepoints (not bytes or
+    # UTF-16 units — astral-plane chars in the suffix would split)
+    "text_bpe_pair_counts",
     "dedup_exact",
     "dedup_exact_keep_best",
     # hash-machinery keys: md5-derived SimHash signatures and
