@@ -11,12 +11,13 @@ SimHash.
   -count band). At 100 TB the band join keys keep each group at
   thousands of docs, and the self-join shuffles on the band key.
 - ``dedup_near`` (MinHash LSH): the unbounded-scale path. Cost is
-  linear in corpus size: explode distinct shingles (map-side), one
-  groupBy(doc) to fold 64 seeded xxhash64 minima into a signature, one
-  groupBy(band-hash) self-join that only materialises pairs whose band
-  collides. No full pairwise product ever exists. Candidates are then
-  *verified* with exact Jaccard, so false positives cost compute, never
-  correctness; band/row parameters trade recall for cost.
+  linear in corpus size: 64 seeded xxhash64 minima folded IN-ROW over
+  each doc's distinct-shingle array (zero-shuffle signatures — the
+  doc's shingles already sit in one row), then one groupBy(band-hash)
+  self-join that only materialises pairs whose band collides. No full
+  pairwise product ever exists. Candidates are then *verified* with
+  exact Jaccard, so false positives cost compute, never correctness;
+  band/row parameters trade recall for cost.
 - ``dedup_simhash``: constant-size signature per doc computed with
   higher-order functions (no explode, no UDF); banding over 4×15-bit
   chunks finds candidates with Hamming distance ≤ 3 at exact recall
@@ -251,7 +252,9 @@ def shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_signature_memo: dict[tuple[str, str, int], DataFrame] = {}
+# keyed (appId, sf_dir, n) for MinHash and (appId, sf_dir, "simhash")
+# for the packed SimHash relation — sf_dir is always index 1 (eviction)
+_signature_memo: dict[tuple, DataFrame] = {}
 
 
 def minhash_signatures(
@@ -639,9 +642,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates → Hamming filter) rather than settling for a rows-only
     check. Deterministic by construction: no sampling, no permutation
     seeds, same candidate semantics on both engines."""
-    d = load(spark, sf_dir, "documents")
-    # cached: the banding self-join references the signature relation
-    # twice, and signatures are 5 longs per doc — pennies to hold.
+    # cached via the session memo (same lifetime + eviction hook as the
+    # shingle/signature caches): the banding self-join references the
+    # signature relation twice, and signatures are 5 longs per doc —
+    # pennies to hold, but a fresh .cache() per call would leak one
+    # InMemoryRelation per invocation in sweep loops.
     # The 4 chunks are additionally packed into ONE 60-bit long: the
     # band join emits millions of candidate rows (templated docs pile
     # thousands of docs into single chunk buckets at sf0.1), and per
@@ -649,13 +654,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of a zip_with/aggregate HOF fold that allocates two
     # arrays per row — measured 1.9s → 1.2s for the whole key, output
     # bit-identical.
-    sig = (
-        simhash_signatures(d)
-        .withColumn(
-            "packed", F.expr("aggregate(chunks, 0L, (acc, c) -> acc * 32768L + c)")
+    memo_key = (spark.sparkContext.applicationId, sf_dir, "simhash")
+    if memo_key not in _signature_memo:
+        d = load(spark, sf_dir, "documents")
+        _signature_memo[memo_key] = (
+            simhash_signatures(d)
+            .withColumn(
+                "packed",
+                F.expr("aggregate(chunks, 0L, (acc, c) -> acc * 32768L + c)"),
+            )
+            .cache()
         )
-        .cache()
-    )
+    sig = _signature_memo[memo_key]
     exploded = sig.select(
         "doc_id",
         "packed",
