@@ -17,7 +17,7 @@ engine's graph module bothers to be.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load
@@ -155,3 +155,117 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=False)
         )
     return ranks.select("part_id", F.col("r").alias("rank"))
+
+
+def _copurchase_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical weighted co-purchase edges (a < b, w = number of
+    orders containing both parts), built the same shuffle-free way as
+    graph_pagerank's edges: per-order distinct part arrays, ordered
+    pairs exploded in-row, then one partial+final count on the pair
+    key. Never a lineitem self-join."""
+    order_parts = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+    )
+    pair = F.expr(
+        "flatten(transform(ps, x ->"
+        " transform(filter(ps, y -> y > x), y -> struct(x AS a, y AS b))))"
+    )
+    return (
+        order_parts.select(F.explode(pair).alias("e"))
+        .groupBy(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
+        .agg(F.count("*").alias("w"))
+    )
+
+
+_SQL_COPURCHASE = """
+    li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS a, b.l_partkey AS b, CAST(COUNT(*) AS BIGINT) AS w
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+"""
+
+
+@query(
+    "graph_degree_distribution",
+    oracle=f"""
+    WITH {_SQL_COPURCHASE},
+    nodes AS (
+      SELECT a AS part_id FROM pairs UNION ALL SELECT b FROM pairs
+    ),
+    deg AS (
+      SELECT part_id, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM nodes GROUP BY part_id
+    )
+    SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM deg GROUP BY degree
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the co-purchase graph — the first thing to
+    look at before running anything iterative on a graph (a heavy tail
+    here is what forces salting/skew handling downstream).
+
+    Three cheap aggregations end to end: pair counts (vocabulary of
+    edges, partial+final), per-node degree (each canonical edge
+    contributes one to each endpoint — counted via a two-sided
+    union-all explode, no distinct needed since edges are unique), and
+    the histogram itself (≤ max-degree rows)."""
+    edges = _copurchase_weighted(spark, sf_dir)
+    nodes = edges.select(F.col("a").alias("part_id")).unionAll(
+        edges.select(F.col("b").alias("part_id"))
+    )
+    deg = nodes.groupBy("part_id").agg(F.count("*").alias("degree"))
+    return deg.groupBy("degree").agg(F.count("*").alias("n_parts"))
+
+
+COPURCHASE_PROBE_MAX = 5  # probe parts: part_id <= 5
+COPURCHASE_TOP_K = 5
+
+
+@query(
+    "graph_copurchase_topk",
+    oracle=f"""
+    WITH {_SQL_COPURCHASE},
+    directed AS (
+      SELECT a AS part_id, b AS partner, w FROM pairs
+      UNION ALL
+      SELECT b, a, w FROM pairs
+    )
+    SELECT part_id, partner, w
+    FROM directed
+    WHERE part_id <= {COPURCHASE_PROBE_MAX}
+    QUALIFY row_number() OVER (PARTITION BY part_id
+                               ORDER BY w DESC, partner) <= {COPURCHASE_TOP_K}
+    """,
+)
+def graph_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """"Customers who bought X also bought…": for each probe part, the
+    top-k co-purchase partners by shared-order count — the
+    market-basket recommendation primitive, run straight off the
+    weighted edge relation.
+
+    The probe filter lands BEFORE the window (only probe rows enter
+    the rank), so the expensive part is just the edge aggregation the
+    other graph keys already need; the per-probe top-k is a bounded
+    window with a total tie-break order (w DESC, partner)."""
+    edges = _copurchase_weighted(spark, sf_dir)
+    directed = edges.select(
+        F.col("a").alias("part_id"), F.col("b").alias("partner"), "w"
+    ).unionAll(
+        edges.select(
+            F.col("b").alias("part_id"), F.col("a").alias("partner"), "w"
+        )
+    )
+    w_ = Window.partitionBy("part_id").orderBy(F.desc("w"), "partner")
+    return (
+        directed.where(F.col("part_id") <= COPURCHASE_PROBE_MAX)
+        .withColumn("rn", F.row_number().over(w_))
+        .where(F.col("rn") <= COPURCHASE_TOP_K)
+        .select("part_id", "partner", "w")
+    )
