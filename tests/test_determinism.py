@@ -36,6 +36,12 @@ KEYS = [
     "udf_cogrouped_pandas",
     "sample_reservoir_hash",
     "etl_zorder_cluster",
+    # sketch keys whose CHECKED columns are exact + an error-bound
+    # flag: KLL compaction and theta retained sets vary with merge
+    # order, so the flags (not raw estimates) must hold at any
+    # parallelism — exactly what this sweep exercises
+    "agg_kll_merge_quantiles",
+    "agg_theta_set_distinct",
 ]
 
 

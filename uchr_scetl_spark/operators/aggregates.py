@@ -436,6 +436,42 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _exact_price_quantiles(li: DataFrame, all_q: list) -> DataFrame:
+    """(l_returnflag, ex array<double>) exact quantiles of
+    l_extendedprice at the given ranks: numpy sort per group behind
+    ``applyInPandas``, interpolating PERCENTILE_CONT as
+    ``lo·(hi−pos) + hi·(pos−lo)`` — that exact form is verified
+    BIT-EXACT against DuckDB at sf0.01/sf0.1 (the algebraically equal
+    ``lo + (hi−lo)·frac`` is NOT; last-ulp disagreement). Shared by
+    every sketch key that oracle-checks against exact quantiles."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    def exact_quantiles(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        v = pdf["l_extendedprice"].to_numpy(dtype=float)
+        v = np.sort(v[~np.isnan(v)])
+        n = len(v)
+        res = []
+        for q in all_q:
+            pos = q * (n - 1)
+            lo, hi = math.floor(pos), math.ceil(pos)
+            if lo == hi:
+                res.append(float(v[lo]))
+            else:
+                res.append(float(v[lo]) * (hi - pos) + float(v[hi]) * (pos - lo))
+        return pd.DataFrame(
+            {"l_returnflag": [pdf["l_returnflag"].iloc[0]], "ex": [res]}
+        )
+
+    return (
+        li.select("l_returnflag", "l_extendedprice")
+        .groupBy("l_returnflag")
+        .applyInPandas(exact_quantiles, "l_returnflag string, ex array<double>")
+    )
+
+
 @query(
     "agg_approx_percentile",
     oracle="""
@@ -483,36 +519,10 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     The 100 TB answer is the sketch column (mergeable, single-pass);
     the exact side exists to ORACLE-CHECK the sketch and parallelises
     by group when group cardinality grows."""
-    import math
-
-    import numpy as np
-    import pandas as pd
-
     li = load(spark, sf_dir, "lineitem")
     qs = [0.25, 0.5, 0.75]
     all_q = [q + d for q in qs for d in (-0.005, 0.0, 0.005)]
-
-    def exact_quantiles(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        v = pdf["l_extendedprice"].to_numpy(dtype=float)
-        v = np.sort(v[~np.isnan(v)])
-        n = len(v)
-        res = []
-        for q in all_q:
-            pos = q * (n - 1)
-            lo, hi = math.floor(pos), math.ceil(pos)
-            if lo == hi:
-                res.append(float(v[lo]))
-            else:
-                res.append(float(v[lo]) * (hi - pos) + float(v[hi]) * (pos - lo))
-        return pd.DataFrame(
-            {"l_returnflag": [pdf["l_returnflag"].iloc[0]], "ex": [res]}
-        )
-
-    exact = (
-        li.select("l_returnflag", "l_extendedprice")
-        .groupBy("l_returnflag")
-        .applyInPandas(exact_quantiles, "l_returnflag string, ex array<double>")
-    )
+    exact = _exact_price_quantiles(li, all_q)
     agg = li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", qs, 2000).alias("aq"),
     ).join(F.broadcast(exact), "l_returnflag")
@@ -706,4 +716,155 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_bucket.groupBy("o_orderstatus").agg(
         F.sum(F.bitmap_count(F.col("bm"))).alias("n_customers")
+    )
+
+
+# KLL rank-error window: default sketch k=200 gives normalized rank
+# error ~0.8% at high confidence; ±0.02 is ~2.5x that bound — a real
+# invariant with slack for interpolation edges (same design as
+# agg_approx_percentile's GK window).
+_KLL_RANK_WINDOW = 0.02
+
+
+@query(
+    "agg_kll_merge_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY l_extendedprice)
+                AS DOUBLE) AS p25,
+           CAST(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY l_extendedprice)
+                AS DOUBLE) AS p50,
+           CAST(PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY l_extendedprice)
+                AS DOUBLE) AS p75,
+           TRUE AS kll_in_rank_bounds
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_kll_merge_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE quantile sketches (Apache DataSketches KLL, Spark 4
+    built-ins): one KLL sketch per (l_returnflag, l_linestatus)
+    partition, merged per flag with ``kll_merge_agg_double``, quartiles
+    estimated from the MERGED sketch — the pattern a 100 TB pipeline
+    actually runs (sketch each partition/day once, merge downstream,
+    never re-scan history), which percentile_approx's GK sketch cannot
+    express (no merge function is exposed for it).
+
+    Checked output: exact quartiles (bit-exact PERCENTILE_CONT via the
+    shared numpy exact side) plus the invariant that every
+    merged-sketch estimate lands between the exact quantiles at rank
+    ±0.02 — so the merge step's correctness is what's being asserted,
+    not just one sketch's."""
+    li = load(spark, sf_dir, "lineitem")
+    qs = [0.25, 0.5, 0.75]
+    all_q = [q + d for q in qs for d in (-_KLL_RANK_WINDOW, 0.0, _KLL_RANK_WINDOW)]
+    per_part = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.kll_sketch_agg_double("l_extendedprice").alias("sk")
+    )
+    merged = per_part.groupBy("l_returnflag").agg(
+        F.kll_merge_agg_double("sk").alias("sk")
+    )
+    est = merged.select(
+        "l_returnflag",
+        F.array(
+            *[F.kll_sketch_get_quantile_double("sk", F.lit(q)) for q in qs]
+        ).alias("kq"),
+    )
+    exact = _exact_price_quantiles(li, all_q)
+    in_bounds = F.forall(
+        F.expr(
+            "zip_with(kq, sequence(0, 2),"
+            " (a, i) -> a >= ex[i * 3] AND a <= ex[i * 3 + 2])"
+        ),
+        lambda x: x,
+    )
+    return est.join(F.broadcast(exact), "l_returnflag").select(
+        "l_returnflag",
+        F.col("ex")[1].alias("p25"),
+        F.col("ex")[4].alias("p50"),
+        F.col("ex")[7].alias("p75"),
+        in_bounds.alias("kll_in_rank_bounds"),
+    )
+
+
+# Theta relative-error window: default lgNomEntries=12 (4096 retained
+# entries) gives RSE ~1.6%; 5% is ~3 sigma. Below 4096 distincts the
+# sketch is in exact mode and the estimates are exact integers.
+_THETA_REL_WINDOW = 0.05
+_THETA_A = "1-URGENT"
+_THETA_B = "2-HIGH"
+
+
+@query(
+    "agg_theta_set_distinct",
+    oracle=f"""
+    WITH a AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderpriority = '{_THETA_A}'),
+         b AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderpriority = '{_THETA_B}')
+    SELECT
+      CAST((SELECT COUNT(*) FROM (SELECT * FROM a UNION SELECT * FROM b))
+           AS BIGINT) AS union_exact,
+      CAST((SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+           AS BIGINT) AS inter_exact,
+      CAST((SELECT COUNT(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b))
+           AS BIGINT) AS diff_exact,
+      TRUE AS union_in_bounds, TRUE AS inter_in_bounds, TRUE AS diff_in_bounds
+    """,
+)
+def agg_theta_set_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count SET ALGEBRA on theta sketches (Apache
+    DataSketches, Spark 4 built-ins): |A∪B|, |A∩B|, |A∖B| of the
+    distinct customer sets behind two order priorities, estimated
+    entirely from two pre-aggregated sketches — the operation HLL
+    fundamentally cannot do (HLL unions but never intersects), and the
+    reason theta sketches are the standard for audience-overlap at
+    scale: sketch each segment once, answer every pairwise overlap
+    question later without touching raw data.
+
+    Checked output: exact counts (trivially SQL) plus the invariant
+    that each sketch estimate is within ±5% relative — below the
+    sketch's 4096-entry exact mode the estimates are exactly the
+    integers, above it the bound is ~3x the configured RSE."""
+    o = load(spark, sf_dir, "orders")
+    sk = o.where(
+        F.col("o_orderpriority").isin(_THETA_A, _THETA_B)
+    ).groupBy("o_orderpriority").agg(F.theta_sketch_agg("o_custkey").alias("sk"))
+    a = sk.where(F.col("o_orderpriority") == _THETA_A).select(
+        F.col("sk").alias("ska")
+    )
+    b = sk.where(F.col("o_orderpriority") == _THETA_B).select(
+        F.col("sk").alias("skb")
+    )
+    ests = a.crossJoin(b).select(
+        F.theta_sketch_estimate(F.theta_union("ska", "skb")).alias("u_est"),
+        F.theta_sketch_estimate(F.theta_intersection("ska", "skb")).alias("i_est"),
+        F.theta_sketch_estimate(F.theta_difference("ska", "skb")).alias("d_est"),
+    )
+    au = o.where(F.col("o_orderpriority") == _THETA_A).select("o_custkey")
+    bu = o.where(F.col("o_orderpriority") == _THETA_B).select("o_custkey")
+    exact = (
+        au.union(bu).agg(F.countDistinct("o_custkey").alias("union_exact"))
+        .crossJoin(
+            au.intersect(bu).agg(F.count("*").alias("inter_exact"))
+        )
+        .crossJoin(
+            au.distinct().exceptAll(bu.distinct()).agg(
+                F.count("*").alias("diff_exact")
+            )
+        )
+    )
+
+    def bounded(est: str, exact_col: str) -> F.Column:
+        return (
+            F.abs(F.col(est) - F.col(exact_col))
+            <= F.greatest(F.col(exact_col) * _THETA_REL_WINDOW, F.lit(1.0))
+        )
+
+    return ests.crossJoin(F.broadcast(exact)).select(
+        "union_exact",
+        "inter_exact",
+        "diff_exact",
+        bounded("u_est", "union_exact").alias("union_in_bounds"),
+        bounded("i_est", "inter_exact").alias("inter_in_bounds"),
+        bounded("d_est", "diff_exact").alias("diff_in_bounds"),
     )
