@@ -192,6 +192,36 @@ AUDITS: dict[str, tuple[str, list[str]]] = {
         "exact-Jaccard verify joins on (doc, shingle-hash) longs.",
         [r"InMemoryTableScan", r"Exchange hashpartitioning"],
     ),
+    "text_bpe_pair_counts": (
+        "BPE pair counts: the only corpus-sized operation is the "
+        "word-count aggregation (partial+final, the exchange carries "
+        "vocabulary rows); symbol pairs explode in-row off the "
+        "vocabulary and reduce through a second partial+final pair; "
+        "top-k is TakeOrderedAndProject, never a global sort.",
+        [r"HashAggregate", r"TakeOrderedAndProject", r"Generate explode"],
+    ),
+    "graph_copurchase_topk": (
+        "Market-basket top-k: edges come from collect_set per order + "
+        "in-row pair explode - the plan contains NO self-join of "
+        "lineitem (no Join operator before the aggregation); the probe "
+        "filter lands before the rank window so only probe rows enter "
+        "it.",
+        [r"ObjectHashAggregate", r"Generate explode", r"Window"],
+    ),
+    "agg_kll_merge_quantiles": (
+        "Mergeable KLL quantiles: two aggregation levels - per-"
+        "partition sketches then kll_merge_agg - each partial+final, "
+        "so history is never re-scanned to answer a quantile query; "
+        "the exact side is one Arrow-grouped python stage.",
+        [r"ObjectHashAggregate", r"FlatMapGroupsInPandas"],
+    ),
+    "sim_cosine_histogram": (
+        "Cosine histogram: the modulo panel rides a BroadcastExchange "
+        "against ONE corpus scan (no shuffle of the embedding side); "
+        "the histogram reduces on a few-hundred-key bucket column, "
+        "partial+final.",
+        [r"BroadcastExchange", r"HashAggregate"],
+    ),
 }
 
 
