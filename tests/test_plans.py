@@ -317,3 +317,24 @@ def test_bloom_pruned_join_injects_runtime_filter(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "bloom_filter_agg" in plan, plan
         assert "might_contain" in plan, plan
+
+
+def test_copurchase_edges_have_no_lineitem_self_join(spark):
+    """The weighted co-purchase edge relation must come from the
+    collect_set + in-row pair explode, never a lineitem self-join: the
+    executed plan may contain NO join operator at all (the round-5
+    edge-build rewrite this family standardised on — a join here means
+    someone regressed to the O(parts-per-order²)-probe formulation)."""
+    plan = plan_of(spark, "graph_copurchase_topk")
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert op not in plan, plan
+    assert "Generate explode" in plan, plan
+
+
+def test_bpe_topk_never_global_sorts(spark):
+    """BPE's top-k must plan as TakeOrderedAndProject (size-k heap per
+    partition, driver merge) — a global Sort of the pair-count
+    relation would be the classic orderBy().limit() scale trap."""
+    plan = plan_of(spark, "text_bpe_pair_counts")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", ""), plan
