@@ -324,7 +324,14 @@ def test_copurchase_edges_have_no_lineitem_self_join(spark):
     collect_set + in-row pair explode, never a lineitem self-join: the
     executed plan may contain NO join operator at all (the round-5
     edge-build rewrite this family standardised on — a join here means
-    someone regressed to the O(parts-per-order²)-probe formulation)."""
+    someone regressed to the O(parts-per-order²)-probe formulation).
+
+    The edge memo is cleared first: a warm cache would collapse the
+    build into an InMemoryTableScan and make the assertion vacuous
+    (and dependent on which test ran before this one)."""
+    from uchr_scetl_spark.operators.graph import clear_graph_caches
+
+    clear_graph_caches(SF_SMOKE)
     plan = plan_of(spark, "graph_copurchase_topk")
     for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
         assert op not in plan, plan

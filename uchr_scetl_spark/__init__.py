@@ -18,7 +18,8 @@ from .session import configure, get_session  # noqa: F401
 
 def clear_caches(sf_dir: str | None = None) -> None:
     """Unpersist and drop every per-session relation memo (shingles,
-    MinHash signatures, verified pairs, IVF base + centroids) — all
+    MinHash/SimHash signatures, verified pairs, IVF base + centroids,
+    weighted co-purchase edges) — all
     entries, or just one corpus dir's. Long-lived sessions sweeping
     many corpus dirs should call this when retiring a dir; sessions
     re-reading a REWRITTEN dir must, or they'll be served stale cached
@@ -26,6 +27,8 @@ def clear_caches(sf_dir: str | None = None) -> None:
     cheap."""
     from .llm.dedup import clear_dedup_caches
     from .llm.similarity import clear_similarity_caches
+    from .operators.graph import clear_graph_caches
 
     clear_dedup_caches(sf_dir)
     clear_similarity_caches(sf_dir)
+    clear_graph_caches(sf_dir)

@@ -157,27 +157,51 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("part_id", F.col("r").alias("rank"))
 
 
+# One weighted-edge relation per (app, sf_dir), cached and shared by
+# the degree-distribution and market-basket keys (same pattern and
+# lifetime as the dedup shingle memo; evicted via clear_graph_caches).
+_copurchase_memo: dict[tuple[str, str], DataFrame] = {}
+
+
 def _copurchase_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical weighted co-purchase edges (a < b, w = number of
     orders containing both parts), built the same shuffle-free way as
     graph_pagerank's edges: per-order distinct part arrays, ordered
     pairs exploded in-row, then one partial+final count on the pair
     key. Never a lineitem self-join."""
-    order_parts = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .groupBy("l_orderkey")
-        .agg(F.collect_set("l_partkey").alias("ps"))
-    )
-    pair = F.expr(
-        "flatten(transform(ps, x ->"
-        " transform(filter(ps, y -> y > x), y -> struct(x AS a, y AS b))))"
-    )
-    return (
-        order_parts.select(F.explode(pair).alias("e"))
-        .groupBy(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
-        .agg(F.count("*").alias("w"))
-    )
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _copurchase_memo:
+        order_parts = (
+            load(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .groupBy("l_orderkey")
+            .agg(F.collect_set("l_partkey").alias("ps"))
+        )
+        pair = F.expr(
+            "flatten(transform(ps, x ->"
+            " transform(filter(ps, y -> y > x), y -> struct(x AS a, y AS b))))"
+        )
+        _copurchase_memo[key] = (
+            order_parts.select(F.explode(pair).alias("e"))
+            .groupBy(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
+            .agg(F.count("*").alias("w"))
+            .cache()
+        )
+    return _copurchase_memo[key]
+
+
+def clear_graph_caches(sf_dir: str | None = None) -> None:
+    """Unpersist and drop the weighted-edge memo — all entries, or one
+    corpus dir's (see llm.dedup.clear_dedup_caches for the rationale:
+    session-lifetime memos leak storage across corpus sweeps and serve
+    stale relations for rewritten dirs)."""
+    for key in list(_copurchase_memo):
+        if sf_dir is None or key[1] == sf_dir:
+            try:
+                _copurchase_memo[key].unpersist()
+            except Exception:
+                pass
+            del _copurchase_memo[key]
 
 
 _SQL_COPURCHASE = """
