@@ -93,28 +93,19 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-point (scale 10^12), so results are identical at any
     parallelism and bit-comparable against the unrolled SQL oracle."""
     # Edge generation WITHOUT a self-join (round-5 rewrite, measured
-    # ~35% faster end-to-end): aggregate each order's distinct parts
-    # into one array (collect_set partial-aggregates map-side, so the
-    # groupBy shuffle carries one set per order, not one row per
-    # lineitem), then emit the ordered pairs of each array in-row with
-    # a nested-transform explode. An order touches ≤ a handful of
-    # parts, so the per-row pair array is tiny and bounded; the old
-    # formulation shuffled the same rows into a self-join and probed
+    # ~35% faster end-to-end): the shared weighted co-purchase
+    # relation (collect_set per order + in-row ordered-pair explode +
+    # one partial+final count — see _copurchase_weighted) holds each
+    # undirected edge exactly once, so the distinct DIRECTED edge set
+    # is just its two projections unioned — no extra distinct shuffle,
+    # and the (cached) build is shared with the degree/market-basket
+    # keys instead of re-run per graph key. The old formulation
+    # shuffled lineitem into a self-join and probed
     # |parts-per-order|² rows through the join operator per order.
-    order_parts = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .groupBy("l_orderkey")
-        .agg(F.collect_set("l_partkey").alias("ps"))
-    )
-    pair_expr = F.expr(
-        "flatten(transform(ps, x ->"
-        " transform(filter(ps, y -> y != x), y -> struct(x AS src, y AS dst))))"
-    )
+    ew = _copurchase_weighted(spark, sf_dir)
     edges = (
-        order_parts.select(F.explode(pair_expr).alias("e"))
-        .select("e.src", "e.dst")
-        .distinct()
+        ew.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(ew.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .localCheckpoint(eager=False)
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
