@@ -143,6 +143,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # output to all-pairs (inter=0 implies J=0 < tau) at a fraction of
     # the cost, and the shape that survives 100 TB: shuffles on
     # shingle and pair keys, never a quadratic block product.
+    # (A posting-list variant — collect_list per shingle + in-row pair
+    # explode, the trick that won for the co-purchase edge build — was
+    # measured SLOWER here, 0.68s vs 0.45s warm at sf0.1: both sides
+    # of this self-join come off one cached relation, so ReusedExchange
+    # already halves the join's shuffle and the posting build is pure
+    # extra cost.)
     sh = shingled_docs(spark, sf_dir).select(
         "doc_id", "lang", "band", "n", F.explode("toks").alias("tok")
     )
