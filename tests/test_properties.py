@@ -494,7 +494,7 @@ def test_cosine_histogram_mass_and_range(spark):
     bucket inside the cosine domain [−1, 1]."""
     from uchr_scetl_spark.llm.similarity import (
         HIST_BUCKETS_PER_UNIT,
-        HIST_PANEL_MOD,
+        HIST_PANEL_K,
     )
     from uchr_scetl_spark.registry import load_registry
 
@@ -505,7 +505,7 @@ def test_cosine_histogram_mass_and_range(spark):
         "embedding IS NOT NULL"
     )
     n = e.count()
-    n_panel = e.where(F.col("vec_id") % HIST_PANEL_MOD == 0).count()
+    n_panel = min(HIST_PANEL_K, n)
     assert sum(r.n_pairs for r in rows) == n_panel * (n - 1)
     for r in rows:
         assert -HIST_BUCKETS_PER_UNIT <= r.bucket <= HIST_BUCKETS_PER_UNIT

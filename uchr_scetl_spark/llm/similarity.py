@@ -65,7 +65,7 @@ def sql_cosine(a: str, b: str) -> str:
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
              sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                    CAST(embedding AS DOUBLE[]))) AS nrm
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ), probes AS (
       SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm
       FROM e WHERE vec_id < {N_PROBES}
@@ -169,7 +169,7 @@ def _pair_candidates(e: DataFrame, tau: float) -> DataFrame:
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
              sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                    CAST(embedding AS DOUBLE[]))) AS nrm
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     )
     SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label,
            (list_dot_product(a.v, b.v) / (a.nrm * b.nrm)) AS cosine
@@ -212,7 +212,7 @@ def sim_pairwise_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
              sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                    CAST(embedding AS DOUBLE[]))) AS nrm
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ), dup_pairs AS (
       SELECT b.vec_id AS b_id
       FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
@@ -788,7 +788,7 @@ KNN_K = 3
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
              sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                    CAST(embedding AS DOUBLE[]))) AS nrm
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ), probes AS (
       SELECT vec_id AS probe_id, label AS true_label, v AS pv, nrm AS pnrm
       FROM e WHERE vec_id < {N_PROBES}
@@ -842,7 +842,7 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-HIST_PANEL_MOD = 20  # 1-in-20 vectors form the sampling panel
+HIST_PANEL_K = 100  # fixed ABSOLUTE panel size, corpus-independent
 HIST_BUCKETS_PER_UNIT = 20  # bucket width 0.05 in cosine space
 
 
@@ -853,10 +853,11 @@ HIST_BUCKETS_PER_UNIT = 20  # bucket width 0.05 in cosine space
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
              sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                    CAST(embedding AS DOUBLE[]))) AS nrm
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ), panel AS (
       SELECT vec_id AS p_id, v AS pv, nrm AS pnrm FROM e
-      WHERE vec_id % {HIST_PANEL_MOD} = 0
+      ORDER BY md5('hist:' || CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {HIST_PANEL_K}
     ), cosines AS (
       SELECT CAST(floor((list_dot_product(p.pv, e.v) / (p.pnrm * e.nrm))
                         * {HIST_BUCKETS_PER_UNIT}) AS BIGINT) AS bucket
@@ -869,25 +870,38 @@ HIST_BUCKETS_PER_UNIT = 20  # bucket width 0.05 in cosine space
     """,
 )
 def sim_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairwise-cosine distribution over a deterministic 1-in-{HIST_PANEL_MOD}
-    panel × the corpus — the diagnostic that tells you where a corpus's
+    """Pairwise-cosine distribution over a FIXED-SIZE uniform panel ×
+    the corpus — the diagnostic that tells you where a corpus's
     similarity mass sits before you pick dedup/ANN thresholds (this
     repo's own LSH tuning notes cite exactly this curve: true
     neighbours at 0.34–0.42 inside a background p999 of 0.39).
 
-    Scale design: never all-pairs — the panel is a fixed-rate modulo
-    sample (corpus-size-proportional, deterministic, no rand()), rides
-    a broadcast, and the corpus is scanned once; the histogram is a
-    partial+final count on a ≤ few-hundred-bucket key. Counted pairs
-    are ORDERED (panel, other) pairs, so panel-panel pairs appear in
-    both directions — a constant factor that cancels in the shape.
-    Bucket boundaries are exact: the cosine fold is bit-identical in
-    both engines (module header), so floor() buckets agree at edges."""
+    Scale design: the panel is the k smallest vectors by a salted md5
+    of vec_id (the same deterministic exact-k draw sample_reservoir_hash
+    proves: TakeOrderedAndProject, no RNG, reproducible across engines),
+    so the counted pair set is O(k·n) — LINEAR in the corpus at fixed
+    k={HIST_PANEL_K}, and the broadcast panel stays k rows no matter how
+    large the corpus grows. (The previous fixed-RATE `vec_id % 20`
+    panel grew with the corpus, making the pair count O(n²/20) — a
+    scale bug this formulation removes.) The corpus is scanned once;
+    the histogram is a partial+final count on a ≤ few-hundred-bucket
+    key. Counted pairs are ORDERED (panel, other) pairs, so
+    panel-panel pairs appear in both directions — a constant factor
+    that cancels in the shape. Bucket boundaries are exact: the cosine
+    fold is bit-identical in both engines (module header), so floor()
+    buckets agree at edges."""
     e = _normed(spark, sf_dir)
-    panel = e.where(F.col("vec_id") % HIST_PANEL_MOD == 0).select(
-        F.col("vec_id").alias("p_id"),
-        F.col("v").alias("pv"),
-        F.col("nrm").alias("pnrm"),
+    panel = (
+        e.orderBy(
+            F.md5(F.concat(F.lit("hist:"), F.col("vec_id").cast("string"))),
+            "vec_id",
+        )
+        .limit(HIST_PANEL_K)
+        .select(
+            F.col("vec_id").alias("p_id"),
+            F.col("v").alias("pv"),
+            F.col("nrm").alias("pnrm"),
+        )
     )
     cos = dot_expr("pv", "v") / (F.col("pnrm") * F.col("nrm"))
     bucket = F.floor(cos * HIST_BUCKETS_PER_UNIT).cast("long")
