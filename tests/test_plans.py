@@ -345,3 +345,36 @@ def test_bpe_topk_never_global_sorts(spark):
     plan = plan_of(spark, "text_bpe_pair_counts")
     assert "TakeOrderedAndProject" in plan, plan
     assert "Sort " not in plan.replace("TakeOrderedAndProject", ""), plan
+
+
+def test_bpe_merge_rounds_scan_corpus_once(spark):
+    """The iterated BPE merge loop must read the documents parquet in
+    exactly ONE scan node (the cached vocabulary build): every merge
+    round re-reads the |vocab|-row InMemoryRelation, never the corpus.
+    Each round's argmax must be a 1-row TakeOrderedAndProject and the
+    re-segmentation a broadcast join (a shuffle join of vocab against
+    the single merge row would be the scale regression)."""
+    plan = plan_of(spark, "text_bpe_merge_rounds")
+    # every documents FileScan line in the display sits inside an
+    # InMemoryRelation's cached-plan subtree (they pair 1:1) — i.e.
+    # the only physical corpus read is the one-time cache fill
+    assert plan.count("documents.parquet") == plan.count(
+        "InMemoryRelation"
+    ), plan
+    assert "InMemoryTableScan" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_distributed_quantile_windows_are_chunk_bounded(spark):
+    """agg_percentile_exact_distributed's big-side window must be
+    partitioned by (chunk, group) — a window partitioned by group
+    alone would funnel whole groups through single tasks, the exact
+    pathology the key exists to avoid. The sort feeding ranks must be
+    a RANGE repartitioning on (group, value)."""
+    plan = plan_of(spark, "agg_percentile_exact_distributed")
+    assert "rangepartitioning(l_returnflag" in plan, plan
+    import re
+
+    rn = re.search(r"row_number\(\) windowspecdefinition\((\w+#\d+), (\w+#\d+)", plan)
+    assert rn, plan

@@ -871,3 +871,146 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
         .limit(BPE_TOP_K)
     )
+
+
+BPE_MERGE_ROUNDS = 3
+# ASCII unit separator: symbol-list delimiter for the merge loop's
+# string-encoded segmentations. Can never appear inside a symbol
+# (symbols are built from whitespace-split token characters + merges).
+_BPE_SEP = chr(31)
+
+
+def _bpe_merge_oracle() -> str:
+    """Unrolled-CTE DuckDB twin of text_bpe_merge_rounds: one
+    pair-count + argmax + re-segment CTE trio per merge round.
+
+    Segmentations are encoded as strings with every symbol wrapped in
+    chr(31) separators ('␟a␟␟b␟…'), so applying merge rule (l, r) is
+    replace('␟l␟␟r␟' → '␟lr␟') — plain left-to-right non-overlapping
+    string replace, IDENTICAL semantics in both engines, and the
+    double separator means adjacent occurrences never share matched
+    characters (['a','a','a'] merges to ['aa','a'], leftmost-first)."""
+    wrap = "regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31), 'g')"
+    syms = "list_filter(string_split(s, chr(31)), x -> x <> '')"
+    sql = f"""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ), vocab AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS wc FROM words
+      WHERE length(w) >= {BPE_MIN_WORD_LEN} GROUP BY w
+    ), v0 AS (
+      SELECT wc, {wrap} AS s FROM vocab
+    )"""
+    prev = "v0"
+    selects = []
+    for r in range(1, BPE_MERGE_ROUNDS + 1):
+        sql += f""",
+    pe{r} AS (
+      SELECT wc, unnest([{{'l': sy[i], 'r': sy[i+1]}}
+                         for i in generate_series(1, len(sy) - 1)]) AS p
+      FROM (SELECT wc, {syms} AS sy FROM {prev})
+    ), p{r} AS (
+      SELECT p.l AS l, p.r AS r, CAST(SUM(wc) AS BIGINT) AS cnt
+      FROM pe{r} GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1
+    ), v{r} AS (
+      SELECT wc, replace(s, chr(31)||b.l||chr(31)||chr(31)||b.r||chr(31),
+                         chr(31)||b.l||b.r||chr(31)) AS s
+      FROM {prev} CROSS JOIN p{r} b
+    )"""
+        prev = f"v{r}"
+        selects.append(
+            f"SELECT {r} AS round, l AS left_sym, r AS right_sym,"
+            f" cnt AS pair_count FROM p{r}"
+        )
+    return sql + "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY round"
+
+
+@query("text_bpe_merge_rounds", oracle=_bpe_merge_oracle())
+def text_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERATED BPE tokenizer training: {BPE_MERGE_ROUNDS} full merge
+    rounds — count corpus-weighted adjacent-symbol pairs over the
+    current vocabulary segmentation, pick the argmax pair (ties →
+    lexicographic, so the learned merge table is deterministic),
+    re-segment the vocabulary by applying the merge, repeat. Output is
+    the learned merge table: (round, left_sym, right_sym, pair_count).
+
+    This proves the iteration claim text_bpe_pair_counts' docstring
+    makes: the CORPUS is scanned exactly once (the word-vocabulary
+    build, cached); every merge round after that touches only the
+    |vocab|-row segmentation relation — pair counts are a
+    partial+final aggregate over vocab, the argmax is a 1-row
+    TakeOrderedAndProject, and the re-segmentation rides that single
+    row back over vocab as a broadcast crossJoin (no shuffle). At
+    100 TB: vocabulary is millions of rows where the corpus is
+    trillions, so R merge rounds cost R vocabulary passes + one
+    corpus pass — the same factoring every production BPE trainer
+    (e.g. the original Sennrich implementation) uses, here as
+    distributed dataframe algebra.
+
+    Segmentations are string-encoded with each symbol wrapped in
+    chr(31) ('␟a␟␟b␟…'): applying merge (l, r) is then the plain
+    string replace '␟l␟␟r␟' → '␟lr␟' — left-to-right non-overlapping
+    in BOTH engines (['a','a','a'] → ['aa','a'], leftmost-first), and
+    the doubled separator stops adjacent matches sharing characters.
+    The oracle unrolls the identical loop as chained CTEs."""
+    d = load(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(tokens()).alias("w"))
+        .where(F.length("w") >= BPE_MIN_WORD_LEN)
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+    )
+    # cached: the one corpus-derived relation; every round re-reads it
+    v = vocab.select(
+        "wc",
+        F.regexp_replace("w", "(.)", _BPE_SEP + "$1" + _BPE_SEP).alias("s"),
+    ).cache()
+    # sy[i-1]/sy[i] is 0-based element access; the filter() guard
+    # yields an EMPTY index list for single-symbol words (sequence(1,0)
+    # would generate a DESCENDING [1,0] — a Spark footgun)
+    pairs = F.explode(
+        F.expr(
+            "transform(filter(sequence(1, size(sy)), i -> i < size(sy)),"
+            " i -> struct(sy[i-1] AS l, sy[i] AS r))"
+        )
+    )
+    per_round = []
+    for r in range(1, BPE_MERGE_ROUNDS + 1):
+        top1 = (
+            v.select(
+                "wc",
+                F.filter(
+                    F.split("s", _BPE_SEP), lambda x: x != F.lit("")
+                ).alias("sy"),
+            )
+            .select("wc", pairs.alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("wc").alias("cnt"))
+            .orderBy(F.desc("cnt"), "l", "r")
+            .limit(1)
+        )
+        per_round.append(
+            top1.select(
+                F.lit(r).alias("round"),
+                F.col("l").alias("left_sym"),
+                F.col("r").alias("right_sym"),
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+        v = v.crossJoin(F.broadcast(top1)).select(
+            "wc",
+            F.replace(
+                F.col("s"),
+                F.concat(
+                    F.lit(_BPE_SEP), F.col("l"), F.lit(_BPE_SEP),
+                    F.lit(_BPE_SEP), F.col("r"), F.lit(_BPE_SEP),
+                ),
+                F.concat(
+                    F.lit(_BPE_SEP), F.col("l"), F.col("r"), F.lit(_BPE_SEP)
+                ),
+            ).alias("s"),
+        )
+    out = per_round[0]
+    for nxt in per_round[1:]:
+        out = out.unionAll(nxt)
+    return out.orderBy("round")
