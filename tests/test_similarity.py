@@ -100,3 +100,22 @@ def test_lsh_candidate_volume_well_below_brute_force(spark):
     assert worst <= 0.25 * n_corpus, (
         f"worst probe candidate volume {worst}/{n_corpus} exceeds 25%"
     )
+
+
+@pytest.mark.parametrize("sf", [SF_ORACLE, "/root/testdata/sf0.1"])
+def test_knn_ann_agreement(spark, sf):
+    """The ANN classifier must agree with the exact classifier on at
+    least 4/5 probe predictions (measured 5/5 at both scales; both
+    pipelines deterministic → stable value). This is the 'swap the
+    top-k stage, vote unchanged' claim made executable."""
+    exact = {
+        r.probe_id: r.predicted_label
+        for r in REGISTRY["sim_knn_classify"].fn(spark, sf).collect()
+    }
+    ann = {
+        r.probe_id: r.predicted_label
+        for r in REGISTRY["sim_knn_classify_ann"].fn(spark, sf).collect()
+    }
+    assert set(ann) == set(exact)
+    agree = sum(1 for p in exact if ann[p] == exact[p])
+    assert agree >= 4, f"ANN/exact prediction agreement {agree}/5 at {sf}"

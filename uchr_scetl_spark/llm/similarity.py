@@ -822,6 +822,17 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale path swaps the exact top-k stage for sim_topk_lsh/_ivf with
     the vote unchanged."""
     nbrs = sim_topk(spark, sf_dir)  # probe_id, neighbor_id, label, cosine
+    return _knn_vote(spark, sf_dir, nbrs)
+
+
+def _knn_vote(
+    spark: SparkSession, sf_dir: str, nbrs: DataFrame
+) -> DataFrame:
+    """The kNN vote stage, shared verbatim by the exact and ANN
+    classifiers: majority label over (probe_id, label) neighbour rows,
+    ties → lower label, joined against the probe's true label. The
+    vote relation is probe-bounded (≤ |probes|·k rows), so everything
+    here is broadcast-sized regardless of corpus scale."""
     truth = (
         load(spark, sf_dir, "embeddings")
         .where(F.col("vec_id") < N_PROBES)
@@ -840,6 +851,30 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_votes",
         )
     )
+
+
+@query("sim_knn_classify_ann", tags=("rows-only",))
+def sim_knn_classify_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_knn_classify's documented scale path made literal: the
+    exact brute-force top-k stage is SWAPPED for sim_topk_lsh's
+    multiprobe-LSH candidates; the vote stage (_knn_vote) is shared
+    verbatim with the exact classifier. Rows-only by construction (the
+    ANN stage is approximate), but the approximation is pinned by
+    tests/test_similarity.py::test_knn_ann_agreement — prediction
+    agreement with the exact classifier ≥ 4/5 probes (measured 5/5 at
+    sf0.001 and sf0.1; both pipelines are deterministic, so this is a
+    stable value, not a flaky statistic).
+
+    Labels re-attach to the neighbour rows via a broadcast of the
+    probe-bounded top-k relation against the corpus — at 100 TB the
+    only corpus-sized work is sim_topk_lsh's bucketed candidate join;
+    everything after it is |probes|·k rows."""
+    nbrs = sim_topk_lsh(spark, sf_dir)  # probe_id, neighbor_id, cosine
+    labels = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("neighbor_id"), "label"
+    )
+    labeled = labels.join(F.broadcast(nbrs), "neighbor_id")
+    return _knn_vote(spark, sf_dir, labeled)
 
 
 HIST_PANEL_K = 100  # fixed ABSOLUTE panel size, corpus-independent
