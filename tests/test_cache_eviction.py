@@ -86,3 +86,41 @@ def test_rewritten_corpus_reread_after_clear(spark, mutable_corpus):
     clear_caches(mutable_corpus)
     assert REGISTRY["dedup_exact"].fn(spark, mutable_corpus).count() == 4 != n1
     assert REGISTRY["dedup_near"].fn(spark, mutable_corpus).count() == 0
+
+
+def test_memo_get_is_race_free_and_prunes_dead_sessions(spark):
+    """Round-5 advice: the bare check-then-insert could double-build
+    under threads (leaking an InMemoryRelation), and stopped-session
+    entries lived until process exit. memo_get must (a) build exactly
+    once across concurrent callers and (b) drop entries whose
+    applicationId is not the caller's."""
+    import threading
+
+    from uchr_scetl_spark.memo import memo_get
+
+    memo: dict = {}
+    app = spark.sparkContext.applicationId
+    builds = []
+
+    def build():
+        builds.append(1)
+        return spark.range(1).cache()
+
+    threads = [
+        threading.Thread(
+            target=lambda: memo_get(memo, (app, "/tmp/x"), build)
+        )
+        for _ in range(8)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(builds) == 1
+    assert list(memo) == [(app, "/tmp/x")]
+
+    # a dead session's entry (different applicationId) prunes on access
+    memo[("dead-app-id", "/tmp/y")] = spark.range(1)
+    memo_get(memo, (app, "/tmp/x"), build)
+    assert ("dead-app-id", "/tmp/y") not in memo
+    assert len(builds) == 1

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from ..io import load
 from ..registry import query
+from ..memo import memo_clear, memo_get
 from ..session import default_parallelism
 
 # MinHash runs on 3-gram SHINGLES, not tokens: the corpus draws from a
@@ -233,9 +234,10 @@ def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # applicationId, not id(spark): a GC'd session's id can be reused
     # by a new session in the same process, silently aliasing the cache
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _shingled_memo:
+
+    def _build() -> DataFrame:
         d = load(spark, sf_dir, "documents")
-        df = (
+        return (
             d.repartition(default_parallelism(), "doc_id")
             .withColumn("t", F.split("text", " "))
             .select(
@@ -247,8 +249,8 @@ def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("n", F.size("toks"))
             .cache()
         )
-        _shingled_memo[key] = df
-    return _shingled_memo[key]
+
+    return memo_get(_shingled_memo, key, _build)
 
 
 def shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -280,9 +282,10 @@ def minhash_signatures(
     relation — uncached, the survivors key re-executes the whole
     subtree."""
     key = (spark.sparkContext.applicationId, sf_dir, n)
-    if key not in _signature_memo:
+
+    def _build() -> DataFrame:
         sh = shingled_docs(spark, sf_dir)
-        _signature_memo[key] = sh.where(F.size("toks") > 0).select(
+        return sh.where(F.size("toks") > 0).select(
             "doc_id",
             *[
                 F.expr(f"array_min(transform(toks, t -> xxhash64(t, {i})))").alias(
@@ -291,7 +294,8 @@ def minhash_signatures(
                 for i in range(n)
             ],
         ).cache()
-    return _signature_memo[key]
+
+    return memo_get(_signature_memo, key, _build)
 
 
 def band_buckets(sigs: DataFrame) -> DataFrame:
@@ -420,9 +424,7 @@ def _memo_pairs(
     tag: str, spark: SparkSession, sf_dir: str, df: DataFrame
 ) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, tag)
-    if key not in _pairs_memo:
-        _pairs_memo[key] = df.cache()
-    return _pairs_memo[key]
+    return memo_get(_pairs_memo, key, lambda: df.cache())
 
 
 def clear_dedup_caches(sf_dir: str | None = None) -> None:
@@ -435,15 +437,11 @@ def clear_dedup_caches(sf_dir: str | None = None) -> None:
     at the same path would be served stale cached relations. Call this
     after retiring a corpus dir (or before re-reading a rewritten
     one). Memo keys are (applicationId, sf_dir[, tag]) with sf_dir
-    always at index 1."""
+    always at index 1. Insertion, lookup and eviction all serialize on
+    the shared memo lock (memo.py); stopped-session entries are pruned
+    on access."""
     for memo in (_shingled_memo, _signature_memo, _pairs_memo):
-        for key in list(memo):
-            if sf_dir is None or key[1] == sf_dir:
-                try:
-                    memo[key].unpersist()
-                except Exception:
-                    pass
-                del memo[key]
+        memo_clear(memo, sf_dir)
 
 
 _ORACLE_INCREMENTAL = f"""
@@ -661,9 +659,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # arrays per row — measured 1.9s → 1.2s for the whole key, output
     # bit-identical.
     memo_key = (spark.sparkContext.applicationId, sf_dir, "simhash")
-    if memo_key not in _signature_memo:
+
+    def _build() -> DataFrame:
         d = load(spark, sf_dir, "documents")
-        _signature_memo[memo_key] = (
+        return (
             simhash_signatures(d)
             .withColumn(
                 "packed",
@@ -671,7 +670,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cache()
         )
-    sig = _signature_memo[memo_key]
+
+    sig = memo_get(_signature_memo, memo_key, _build)
     exploded = sig.select(
         "doc_id",
         "packed",

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load
+from ..memo import memo_clear, memo_get
 from ..registry import query
 
 N_PROBES = 5  # probe set: vec_id < 5
@@ -276,8 +277,9 @@ def _ivf_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     # applicationId, not id(spark): a GC'd session's id can be reused
     # by a new session in the same process, silently aliasing the cache
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _ivf_base_memo:
-        e = (
+
+    def _build() -> DataFrame:
+        return (
             load(spark, sf_dir, "embeddings")
             .where(F.col("embedding").isNotNull())
             .withColumn("v", F.col("embedding").cast("array<double>"))
@@ -292,26 +294,21 @@ def _ivf_base(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .otherwise(F.col("v"))
                 .alias("vn"),
             )
+            .cache()
         )
-        _ivf_base_memo[key] = e.cache()
-    return _ivf_base_memo[key]
+
+    return memo_get(_ivf_base_memo, key, _build)
 
 
 def clear_similarity_caches(sf_dir: str | None = None) -> None:
     """Unpersist and drop the IVF base/centroid memos — all of them,
     or just one corpus dir's entries (see clear_dedup_caches for why:
     unbounded session-lifetime memos leak storage across corpus
-    sweeps and serve stale data for rewritten dirs)."""
-    for key in list(_ivf_base_memo):
-        if sf_dir is None or key[1] == sf_dir:
-            try:
-                _ivf_base_memo[key].unpersist()
-            except Exception:
-                pass
-            del _ivf_base_memo[key]
-    for key in list(_ivf_centroids_memo):
-        if sf_dir is None or key[1] == sf_dir:
-            del _ivf_centroids_memo[key]
+    sweeps and serve stale data for rewritten dirs). Lock-guarded via
+    the shared memo helpers; stopped-session entries also prune on
+    access."""
+    memo_clear(_ivf_base_memo, sf_dir)
+    memo_clear(_ivf_centroids_memo, sf_dir)
 
 
 def _cells_udf(cents: list[list[float]], nprobe: int):
@@ -361,35 +358,39 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str, e: DataFrame) -> list[list[
       the shuffle carries C×dim partial sums, never the vectors —
       collected as the final centroid table."""
     memo_key = (spark.sparkContext.applicationId, sf_dir)
-    if memo_key in _ivf_centroids_memo:
-        return _ivf_centroids_memo[memo_key]
-    init = e.orderBy("vec_id").limit(N_CENTROIDS).select("vn").collect()
-    cents = [list(r.vn) for r in init]
-    if not cents:  # empty corpus: nothing to cluster
-        return []
-    for _ in range(KMEANS_ITERS):
-        cell = F.element_at(_cells_udf(cents, 1)(F.col("vn")), 1)
-        sums = (
-            e.select(cell.alias("cell"), F.posexplode("vn").alias("pos", "x"))
-            .groupBy("cell", "pos")
-            .agg(F.avg("x").alias("m"))
-            .collect()
-        )
-        by_cell: dict[int, dict[int, float]] = {}
-        for r in sums:
-            by_cell.setdefault(r.cell, {})[r.pos] = r.m
-        new = []
-        for j in range(N_CENTROIDS):
-            if (j + 1) in by_cell:
-                d = by_cell[j + 1]
-                v = np.array([d[p] for p in sorted(d)])
-                n = float(np.linalg.norm(v))
-                new.append((v / n).tolist() if n > 0 else cents[j])
-            else:  # empty cell keeps its previous centroid
-                new.append(cents[j])
-        cents = new
-    _ivf_centroids_memo[memo_key] = cents
-    return cents
+
+    def _build() -> list[list[float]]:
+        init = e.orderBy("vec_id").limit(N_CENTROIDS).select("vn").collect()
+        cents = [list(r.vn) for r in init]
+        if not cents:  # empty corpus: nothing to cluster
+            return []
+        for _ in range(KMEANS_ITERS):
+            cell = F.element_at(_cells_udf(cents, 1)(F.col("vn")), 1)
+            sums = (
+                e.select(cell.alias("cell"), F.posexplode("vn").alias("pos", "x"))
+                .groupBy("cell", "pos")
+                .agg(F.avg("x").alias("m"))
+                .collect()
+            )
+            by_cell: dict[int, dict[int, float]] = {}
+            for r in sums:
+                by_cell.setdefault(r.cell, {})[r.pos] = r.m
+            new = []
+            for j in range(N_CENTROIDS):
+                if (j + 1) in by_cell:
+                    d = by_cell[j + 1]
+                    v = np.array([d[p] for p in sorted(d)])
+                    n = float(np.linalg.norm(v))
+                    new.append((v / n).tolist() if n > 0 else cents[j])
+                else:  # empty cell keeps its previous centroid
+                    new.append(cents[j])
+            cents = new
+        return cents
+
+    # the build collects under the memo lock — bounded (C×dim doubles,
+    # the documented exception) and intended: concurrent callers must
+    # not run duplicate k-means jobs
+    return memo_get(_ivf_centroids_memo, memo_key, _build)
 
 
 @query("sim_topk_ivf", tags=("rows-only",))

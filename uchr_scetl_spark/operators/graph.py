@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load
+from ..memo import memo_clear, memo_get
 from ..registry import query
 
 _SCALE = 10**12
@@ -161,7 +162,8 @@ def _copurchase_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs exploded in-row, then one partial+final count on the pair
     key. Never a lineitem self-join."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _copurchase_memo:
+
+    def _build() -> DataFrame:
         order_parts = (
             load(spark, sf_dir, "lineitem")
             .select("l_orderkey", "l_partkey")
@@ -172,27 +174,23 @@ def _copurchase_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "flatten(transform(ps, x ->"
             " transform(filter(ps, y -> y > x), y -> struct(x AS a, y AS b))))"
         )
-        _copurchase_memo[key] = (
+        return (
             order_parts.select(F.explode(pair).alias("e"))
             .groupBy(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
             .agg(F.count("*").alias("w"))
             .cache()
         )
-    return _copurchase_memo[key]
+
+    return memo_get(_copurchase_memo, key, _build)
 
 
 def clear_graph_caches(sf_dir: str | None = None) -> None:
     """Unpersist and drop the weighted-edge memo — all entries, or one
     corpus dir's (see llm.dedup.clear_dedup_caches for the rationale:
     session-lifetime memos leak storage across corpus sweeps and serve
-    stale relations for rewritten dirs)."""
-    for key in list(_copurchase_memo):
-        if sf_dir is None or key[1] == sf_dir:
-            try:
-                _copurchase_memo[key].unpersist()
-            except Exception:
-                pass
-            del _copurchase_memo[key]
+    stale relations for rewritten dirs). Lock-guarded via the shared
+    memo helpers; stopped-session entries also prune on access."""
+    memo_clear(_copurchase_memo, sf_dir)
 
 
 _SQL_COPURCHASE = """
