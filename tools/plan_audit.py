@@ -205,22 +205,47 @@ AUDITS: dict[str, tuple[str, list[str]]] = {
         "in-row pair explode - the plan contains NO self-join of "
         "lineitem (no Join operator before the aggregation); the probe "
         "filter lands before the rank window so only probe rows enter "
-        "it.",
+        "it. BENCH ACCOUNTING: the weighted-edge relation is a session "
+        "memo shared by all three graph_* keys, so whichever graph key "
+        "the bench happens to run FIRST is charged the whole edge "
+        "build (~2s at sf0.1); later keys ride the cache. Read the "
+        "graph family's bench numbers as a family total, not per-key "
+        "costs.",
         [r"ObjectHashAggregate", r"Generate explode", r"Window"],
     ),
     "agg_kll_merge_quantiles": (
         "Mergeable KLL quantiles: two aggregation levels - per-"
         "partition sketches then kll_merge_agg - each partial+final, "
         "so history is never re-scanned to answer a quantile query; "
-        "the exact side is one Arrow-grouped python stage.",
+        "the exact side is one Arrow-grouped python stage (CHECK "
+        "SCAFFOLDING - whole-group-per-task, not a 100 TB path; the "
+        "scale-safe exact method is agg_percentile_exact_distributed).",
         [r"ObjectHashAggregate", r"FlatMapGroupsInPandas"],
     ),
     "sim_cosine_histogram": (
-        "Cosine histogram: the modulo panel rides a BroadcastExchange "
-        "against ONE corpus scan (no shuffle of the embedding side); "
-        "the histogram reduces on a few-hundred-key bucket column, "
-        "partial+final.",
-        [r"BroadcastExchange", r"HashAggregate"],
+        "Cosine histogram: the FIXED-SIZE panel (k smallest by salted "
+        "md5 - TakeOrderedAndProject, k corpus-independent, so pair "
+        "volume is O(k*n), linear at any scale) rides a "
+        "BroadcastExchange against ONE corpus scan (no shuffle of the "
+        "embedding side); the histogram reduces on a few-hundred-key "
+        "bucket column, partial+final.",
+        [r"TakeOrderedAndProject", r"BroadcastExchange", r"HashAggregate"],
+    ),
+    "agg_percentile_exact_distributed": (
+        "Distributed exact quantiles: RANGE repartitioning on (group, "
+        "value) bounds every task to a chunk (never a whole group); "
+        "the rank-pick window partitions by (chunk, group); the "
+        "needed-rank join is a BroadcastExchange of <=2*|quantiles| "
+        "rows per group.",
+        [r"Exchange rangepartitioning", r"Window", r"BroadcastExchange"],
+    ),
+    "text_bpe_merge_rounds": (
+        "Iterated BPE merges: the corpus appears only inside the "
+        "cached vocabulary's InMemoryRelation (one physical scan); "
+        "each round's argmax is a 1-row TakeOrderedAndProject and the "
+        "re-segmentation a broadcast nested-loop of that single row - "
+        "no shuffle join anywhere in the merge loop.",
+        [r"InMemoryTableScan", r"TakeOrderedAndProject", r"Broadcast"],
     ),
 }
 
