@@ -45,6 +45,7 @@ from .similarity import cosine_expr, sql_cosine
     oracle=f"""
     WITH e AS (
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE embedding IS NOT NULL
     )
     SELECT d.doc_id, d.lang, d.source, e.label,
            CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
@@ -83,6 +84,7 @@ def multimodal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH e AS (
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE embedding IS NOT NULL
     ), langs AS (
       SELECT d.lang, d.doc_id, e.v
       FROM documents d JOIN e ON d.doc_id = e.vec_id

@@ -626,6 +626,7 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                           AS BIGINT)) AS DOUBLE)
               / 1000000.0 / COUNT(*)) AS centroid
     FROM embeddings, generate_series(1, 64) g(i)
+    WHERE embedding IS NOT NULL
     GROUP BY label, i
     """,
 )
