@@ -58,6 +58,15 @@ KEYS = [
     "sim_pairwise_threshold",
     "graph_pagerank",
     "etl_incremental_agg_merge",
+    # round-6 additions: the fixed-panel histogram (the whole point of
+    # the round-6 rewrite is that pair volume is O(k·n), so wall time
+    # must grow ~linearly where the old modulo panel grew ~x²), the
+    # two-pass distributed quantile (lineitem axis), and the iterated
+    # BPE loop (vocabulary axis — replication grows the corpus but
+    # BARELY grows the vocab, so this should stay near-flat)
+    "sim_cosine_histogram",
+    "agg_percentile_exact_distributed",
+    "text_bpe_merge_rounds",
 ]
 
 FACTORS = [1, 2, 4]

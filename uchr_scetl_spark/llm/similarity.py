@@ -713,6 +713,64 @@ def embeddings_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MRL_TRUNC_DIM = 16  # Matryoshka prefix length
+
+
+@query(
+    "embeddings_matryoshka_truncate",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE embedding IS NOT NULL
+        AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                             CAST(embedding AS DOUBLE[])) > 0
+    )
+    SELECT vec_id, label,
+           CAST(floor(sqrt(list_dot_product(v[1:{MRL_TRUNC_DIM}],
+                                            v[1:{MRL_TRUNC_DIM}]))
+                      * 1000000) AS BIGINT) AS trunc_norm_micro,
+           CAST(floor(list_dot_product(v[1:{MRL_TRUNC_DIM}],
+                                       v[1:{MRL_TRUNC_DIM}])
+                      / list_dot_product(v, v) * 1000000) AS BIGINT)
+             AS retained_energy_ppm
+    FROM e
+    """,
+)
+def embeddings_matryoshka_truncate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Matryoshka-style prefix truncation QA: per vector, the norm of
+    the first {MRL_TRUNC_DIM} dimensions and the retained-energy ratio
+    ‖x[:d']‖²/‖x‖² — the numbers that decide whether a corpus's
+    embeddings tolerate prefix truncation (the standard 4× index-size/
+    recall trade MRL-trained encoders are built for) before you build
+    the cheap ANN tier on truncated vectors.
+
+    Pure scan-side HOF algebra (slice + the shared sequential-fold dot
+    product, bit-equal to DuckDB's list_dot_product), no explode, no
+    shuffle — at 100 TB this is a map-only pass. Outputs are floor-
+    quantized to micro/ppm integers so both engines agree exactly;
+    zero-norm vectors are excluded (the ratio is undefined) by the
+    same predicate on both sides."""
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .where(F.col("embedding").isNotNull())
+        .withColumn("v", F.col("embedding").cast("array<double>"))
+        .where(dot_expr("v", "v") > 0)
+        .withColumn("t", F.slice("v", 1, MRL_TRUNC_DIM))
+    )
+    return e.select(
+        "vec_id",
+        "label",
+        F.floor(F.sqrt(dot_expr("t", "t")) * 1e6)
+        .cast("bigint")
+        .alias("trunc_norm_micro"),
+        F.floor(dot_expr("t", "t") / dot_expr("v", "v") * 1e6)
+        .cast("bigint")
+        .alias("retained_energy_ppm"),
+    )
+
+
 @query(
     "embeddings_vector_qa",
     oracle="""
