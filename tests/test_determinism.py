@@ -42,6 +42,11 @@ KEYS = [
     # parallelism — exactly what this sweep exercises
     "agg_kll_merge_quantiles",
     "agg_theta_set_distinct",
+    # round 6: the two-pass distributed quantile (rank arithmetic must
+    # not depend on how the window shuffles land) and the iterated BPE
+    # loop (argmax ties and merge application must be order-free)
+    "agg_percentile_exact_distributed",
+    "text_bpe_merge_rounds",
 ]
 
 

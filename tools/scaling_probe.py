@@ -29,6 +29,16 @@ pair output is quadratic in k — any correct pair-emitting dedup is
 super-linear when the result itself is), but per-candidate cost is
 now one bit_count(xor), cheap enough that the quadratic term stays
 under the fixed overheads at this size.
+
+Round-6 additions (quiet exclusive run, sf0.1 base): the FIXED-PANEL
+sim_cosine_histogram measures 1.1x wall at 4x the corpus — the
+empirical proof of the round-6 rewrite (pair volume O(k·n); the old
+fixed-rate modulo panel would have run ~16x the pairs at 4x).
+agg_percentile_exact_distributed 1.2x at 4x (two range-sort passes,
+linear). text_bpe_merge_rounds 0.7x at 4x — replication grows the
+corpus but NOT the vocabulary (replicas share words), so the
+vocabulary-iteration claim shows up as a near-flat curve with only
+the one corpus scan growing.
 """
 
 from __future__ import annotations
