@@ -46,6 +46,7 @@ KEYS = [
     # not depend on how the window shuffles land) and the iterated BPE
     # loop (argmax ties and merge application must be order-free)
     "agg_percentile_exact_distributed",
+    "agg_weighted_median_distributed",
     "text_bpe_merge_rounds",
 ]
 

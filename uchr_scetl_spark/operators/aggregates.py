@@ -718,6 +718,100 @@ def agg_percentile_exact_distributed(
 
 
 @query(
+    "agg_weighted_median_distributed",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+             CAST(l_quantity AS BIGINT) AS wt
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ), c AS (
+      SELECT l_returnflag, v,
+             SUM(wt) OVER (PARTITION BY l_returnflag ORDER BY v) AS cumw,
+             SUM(wt) OVER (PARTITION BY l_returnflag) AS total
+      FROM w
+    )
+    SELECT l_returnflag,
+           CAST(MIN(total) AS BIGINT) AS total_weight,
+           MIN(CASE WHEN cumw >= 0.5 * total THEN v END) AS weighted_p50,
+           MIN(CASE WHEN cumw >= 0.9 * total THEN v END) AS weighted_p90
+    FROM c GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_median_distributed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WEIGHTED quantiles (p50/p90 of price weighted by quantity) —
+    an aggregate Spark simply does not ship (percentile_approx and the
+    KLL sketches are all unweighted), yet every sampling/reweighting
+    pipeline needs: the weighted p-quantile is the smallest value
+    whose cumulative weight reaches p·W.
+
+    Same two-pass distributed-selection skeleton as
+    agg_percentile_exact_distributed, generalized from row counts to
+    WEIGHT sums: range-partition by (group, value); per-chunk weight
+    totals → cumulative chunk offsets (window over the tiny P×G
+    relation); a row's global cumulative weight = its chunk's offset +
+    a local RANGE-frame running sum within (chunk, group) — bounded by
+    chunk size, never group size. Equal values cannot straddle chunks
+    (the range partitioner maps equal keys to one partition), and the
+    RANGE frame gives every tie the same cumulative weight, so the
+    definition is partitioning-independent. Weights are INTEGER
+    (quantity), so cumulative sums are exact and order-free — the
+    reason this oracle-checks bit-exactly where a double-weight
+    running sum would drift in the last ulp. The final pick is one
+    conditional-min aggregate over the scanned relation."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..session import default_parallelism
+
+    li = load(spark, sf_dir, "lineitem")
+    df = li.where(F.col("l_extendedprice").isNotNull()).select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("bigint").alias("wt"),
+    )
+    srt = (
+        df.repartitionByRange(default_parallelism(), "l_returnflag", "v")
+        .withColumn("chunk", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    chunkw = srt.groupBy("chunk", "l_returnflag").agg(F.sum("wt").alias("cw"))
+    w_off = Window.partitionBy("l_returnflag").orderBy("chunk")
+    w_tot = Window.partitionBy("l_returnflag")
+    offsets = chunkw.select(
+        "chunk",
+        "l_returnflag",
+        (F.sum("cw").over(w_off) - F.col("cw")).alias("off"),
+        F.sum("cw").over(w_tot).alias("total"),
+    ).cache()
+    # default frame with orderBy = RANGE UNBOUNDED PRECEDING..CURRENT
+    # ROW: all ties share one cumulative weight (order-independent)
+    w_loc = Window.partitionBy("chunk", "l_returnflag").orderBy("v")
+    ranked = (
+        srt.withColumn("lcum", F.sum("wt").over(w_loc))
+        .join(
+            F.broadcast(offsets.select("chunk", "l_returnflag", "off", "total")),
+            ["chunk", "l_returnflag"],
+        )
+        .select(
+            "l_returnflag",
+            "v",
+            "total",
+            (F.col("off") + F.col("lcum")).alias("cumw"),
+        )
+    )
+    return ranked.groupBy("l_returnflag").agg(
+        F.min("total").alias("total_weight"),
+        F.min(
+            F.when(F.col("cumw") >= 0.5 * F.col("total"), F.col("v"))
+        ).alias("weighted_p50"),
+        F.min(
+            F.when(F.col("cumw") >= 0.9 * F.col("total"), F.col("v"))
+        ).alias("weighted_p90"),
+    )
+
+
+@query(
     "agg_unpivot",
     oracle=f"""
     WITH wide AS (
