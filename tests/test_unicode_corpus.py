@@ -57,6 +57,12 @@ KEYS = [
     # DuckDB substring() must both count codepoints (not bytes or
     # UTF-16 units — astral-plane chars in the suffix would split)
     "text_bpe_pair_counts",
+    # the iterated merge loop adds regexp char-wrapping ('(.)' must
+    # match CODEPOINTS in both engines — Java regex and RE2 both do),
+    # list/replace segmentation algebra over multibyte symbols, and
+    # length() codepoint counting in the compression stats
+    "text_bpe_merge_rounds",
+    "text_bpe_apply_merges",
     "dedup_exact",
     "dedup_exact_keep_best",
     # hash-machinery keys: md5-derived SimHash signatures and

@@ -880,9 +880,10 @@ BPE_MERGE_ROUNDS = 3
 _BPE_SEP = chr(31)
 
 
-def _bpe_merge_oracle() -> str:
-    """Unrolled-CTE DuckDB twin of text_bpe_merge_rounds: one
-    pair-count + argmax + re-segment CTE trio per merge round.
+def _bpe_cte_chain() -> tuple[str, str, list[str]]:
+    """Shared unrolled-CTE DuckDB twin of the BPE training loop: one
+    pair-count + argmax + re-segment CTE trio per merge round. Returns
+    (cte_sql, final_vocab_cte_name, per-round merge-row SELECTs).
 
     Segmentations are encoded as strings with every symbol wrapped in
     chr(31) separators ('␟a␟␟b␟…'), so applying merge rule (l, r) is
@@ -922,7 +923,33 @@ def _bpe_merge_oracle() -> str:
             f"SELECT {r} AS round, l AS left_sym, r AS right_sym,"
             f" cnt AS pair_count FROM p{r}"
         )
+    return sql, prev, selects
+
+
+def _bpe_merge_oracle() -> str:
+    sql, _, selects = _bpe_cte_chain()
     return sql + "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY round"
+
+
+def _bpe_apply_oracle() -> str:
+    sql, final_v, _ = _bpe_cte_chain()
+    return f"""{sql}
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab_words,
+           CAST(SUM(wc) AS BIGINT) AS words_total,
+           CAST(SUM(wc * length(replace(s, chr(31), ''))) AS BIGINT)
+             AS chars_total,
+           CAST(SUM(wc * len(list_filter(string_split(s, chr(31)),
+                                         x -> x <> ''))) AS BIGINT)
+             AS tokens_total,
+           CAST(floor(1000000.0 * SUM(wc * len(list_filter(
+                  string_split(s, chr(31)), x -> x <> ''))) / SUM(wc))
+                AS BIGINT) AS tokens_per_word_ppm,
+           CAST(floor(1000000.0 * SUM(wc * length(replace(s, chr(31), '')))
+                      / SUM(wc * len(list_filter(string_split(s, chr(31)),
+                                                 x -> x <> ''))))
+                AS BIGINT) AS chars_per_token_ppm
+    FROM {final_v}
+    """
 
 
 @query("text_bpe_merge_rounds", oracle=_bpe_merge_oracle())
@@ -953,6 +980,25 @@ def text_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     in BOTH engines (['a','a','a'] → ['aa','a'], leftmost-first), and
     the doubled separator stops adjacent matches sharing characters.
     The oracle unrolls the identical loop as chained CTEs."""
+    _, per_round = _bpe_train(spark, sf_dir)
+    out = per_round[0]
+    for nxt in per_round[1:]:
+        out = out.unionAll(nxt)
+    return out.orderBy("round")
+
+
+def _bpe_sy() -> F.Column:
+    """Symbol array off the chr(31)-encoded segmentation column."""
+    return F.filter(F.split("s", _BPE_SEP), lambda x: x != F.lit(""))
+
+
+def _bpe_train(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[DataFrame]]:
+    """The BPE training loop shared by the merge-table and apply keys:
+    returns (final re-segmented vocabulary, per-round 1-row merge
+    DataFrames). Corpus scanned once (cached vocab); each round is a
+    vocab pair count → 1-row argmax → broadcast re-segmentation."""
     d = load(spark, sf_dir, "documents")
     vocab = (
         d.select(F.explode(tokens()).alias("w"))
@@ -977,12 +1023,7 @@ def text_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_round = []
     for r in range(1, BPE_MERGE_ROUNDS + 1):
         top1 = (
-            v.select(
-                "wc",
-                F.filter(
-                    F.split("s", _BPE_SEP), lambda x: x != F.lit("")
-                ).alias("sy"),
-            )
+            v.select("wc", _bpe_sy().alias("sy"))
             .select("wc", pairs.alias("p"))
             .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("wc").alias("cnt"))
@@ -1010,7 +1051,49 @@ def text_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ).alias("s"),
         )
-    out = per_round[0]
-    for nxt in per_round[1:]:
-        out = out.unionAll(nxt)
-    return out.orderBy("round")
+    return v, per_round
+
+
+@query("text_bpe_apply_merges", oracle=_bpe_apply_oracle())
+def text_bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INFERENCE side of BPE training: apply the learned merge
+    table to the vocabulary and report the corpus-weighted compression
+    it buys — vocab size, total word/char/token counts, and the two
+    ratios a tokenizer owner actually tracks (tokens-per-word,
+    chars-per-token; ppm-quantized integers so both engines agree
+    exactly).
+
+    Shares _bpe_train verbatim with text_bpe_merge_rounds, so the
+    segmentation being measured is by construction the one the learned
+    merges produce. The measurement itself is one aggregate over the
+    |vocab|-row re-segmented relation — no corpus re-scan (the corpus
+    weighting rides the wc counts), no shuffle beyond the final 1-row
+    reduce. At 100 TB this is how you'd actually evaluate a candidate
+    merge table: train on the vocabulary, score compression from the
+    vocabulary, never touch the raw text twice."""
+    v, _ = _bpe_train(spark, sf_dir)
+    stats = v.select(
+        "wc",
+        F.size(_bpe_sy()).cast("bigint").alias("nt"),
+        F.length(F.replace(F.col("s"), F.lit(_BPE_SEP), F.lit(""))).alias(
+            "nc"
+        ),
+    )
+    agg = stats.agg(
+        F.count("*").alias("n_vocab_words"),
+        F.sum("wc").alias("words_total"),
+        F.sum(F.col("wc") * F.col("nc")).alias("chars_total"),
+        F.sum(F.col("wc") * F.col("nt")).alias("tokens_total"),
+    )
+    return agg.select(
+        "n_vocab_words",
+        "words_total",
+        "chars_total",
+        "tokens_total",
+        F.floor(F.lit(1000000.0) * F.col("tokens_total") / F.col("words_total"))
+        .cast("bigint")
+        .alias("tokens_per_word_ppm"),
+        F.floor(F.lit(1000000.0) * F.col("chars_total") / F.col("tokens_total"))
+        .cast("bigint")
+        .alias("chars_per_token_ppm"),
+    )
