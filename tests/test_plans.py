@@ -378,3 +378,17 @@ def test_distributed_quantile_windows_are_chunk_bounded(spark):
 
     rn = re.search(r"row_number\(\) windowspecdefinition\((\w+#\d+), (\w+#\d+)", plan)
     assert rn, plan
+
+
+def test_weighted_median_windows_are_chunk_bounded(spark):
+    """Same contract for the weighted generalization: the big-side
+    running-weight window partitions by (chunk, group) over a RANGE
+    repartitioning — two window-spec columns before the ORDER BY."""
+    plan = plan_of(spark, "agg_weighted_median_distributed")
+    assert "rangepartitioning(l_returnflag" in plan, plan
+    import re
+
+    rn = re.search(
+        r"sum\(wt#\d+L?\) windowspecdefinition\((\w+#\d+), (\w+#\d+),", plan
+    )
+    assert rn, plan

@@ -239,6 +239,14 @@ AUDITS: dict[str, tuple[str, list[str]]] = {
         "rows per group.",
         [r"Exchange rangepartitioning", r"Window", r"BroadcastExchange"],
     ),
+    "agg_weighted_median_distributed": (
+        "Weighted quantiles (not in Spark's aggregate surface): same "
+        "two-pass selection skeleton as the exact-percentile key but "
+        "over WEIGHT sums — RANGE repartitioning on (group, value), "
+        "running-weight window bounded by (chunk, group), integer "
+        "weights keep the cumulative sums exact and order-free.",
+        [r"Exchange rangepartitioning", r"Window", r"BroadcastExchange"],
+    ),
     "text_bpe_merge_rounds": (
         "Iterated BPE merges: the corpus appears only inside the "
         "cached vocabulary's InMemoryRelation (one physical scan); "

@@ -35,10 +35,11 @@ sim_cosine_histogram measures 1.1x wall at 4x the corpus — the
 empirical proof of the round-6 rewrite (pair volume O(k·n); the old
 fixed-rate modulo panel would have run ~16x the pairs at 4x).
 agg_percentile_exact_distributed 1.2x at 4x (two range-sort passes,
-linear). text_bpe_merge_rounds 0.7x at 4x — replication grows the
-corpus but NOT the vocabulary (replicas share words), so the
-vocabulary-iteration claim shows up as a near-flat curve with only
-the one corpus scan growing.
+linear); agg_weighted_median_distributed 1.0x at 4x (same skeleton on
+weight sums — overhead-bound at this size). text_bpe_merge_rounds
+0.7x at 4x — replication grows the corpus but NOT the vocabulary
+(replicas share words), so the vocabulary-iteration claim shows up as
+a near-flat curve with only the one corpus scan growing.
 """
 
 from __future__ import annotations
@@ -76,6 +77,7 @@ KEYS = [
     # BARELY grows the vocab, so this should stay near-flat)
     "sim_cosine_histogram",
     "agg_percentile_exact_distributed",
+    "agg_weighted_median_distributed",
     "text_bpe_merge_rounds",
 ]
 
