@@ -676,33 +676,45 @@ def agg_percentile_exact_distributed(
             "l_extendedprice",
         )
     )
-    wanted = need.select(
-        "l_returnflag", F.explode(F.array("lo_rank", "hi_rank")).alias("rank")
-    ).distinct()
-    # cached: ≤ 2·|qs| rows per group, but each is the product of the
-    # rank-pick pass over srt — v_lo and v_hi both read it
-    vals = ranked.join(F.broadcast(wanted), ["l_returnflag", "rank"]).cache()
-    v_lo = vals.select(
+    # each needed rank is tagged with its role (lo / hi endpoint of
+    # the interpolation), so ONE broadcast join over the ranked
+    # relation followed by a conditional-max pivot yields both
+    # endpoint values — no second rank-pick pass, no cached vals
+    # relation (a rank that is both lo and hi appears twice in the
+    # broadcast and pivots to v_lo = v_hi)
+    roles = need.select(
         "l_returnflag",
-        F.col("rank").alias("lo_rank"),
-        F.col("l_extendedprice").alias("v_lo"),
+        "qi",
+        "pos",
+        "n",
+        F.explode(
+            F.array(
+                F.struct(F.col("lo_rank").alias("rank"), F.lit("lo").alias("role")),
+                F.struct(F.col("hi_rank").alias("rank"), F.lit("hi").alias("role")),
+            )
+        ).alias("nr"),
+    ).select(
+        "l_returnflag", "qi", "pos", "n",
+        F.col("nr.rank").alias("rank"), F.col("nr.role").alias("role"),
     )
-    v_hi = vals.select(
-        "l_returnflag",
-        F.col("rank").alias("hi_rank"),
-        F.col("l_extendedprice").alias("v_hi"),
+    picked = ranked.join(F.broadcast(roles), ["l_returnflag", "rank"])
+    per_q = picked.groupBy("l_returnflag", "qi", "pos", "n").agg(
+        F.max(
+            F.when(F.col("role") == "lo", F.col("l_extendedprice"))
+        ).alias("v_lo"),
+        F.max(
+            F.when(F.col("role") == "hi", F.col("l_extendedprice"))
+        ).alias("v_hi"),
     )
-    interp = F.when(F.col("lo_rank") == F.col("hi_rank"), F.col("v_lo")).otherwise(
+    interp = F.when(
+        F.floor("pos") == F.ceil("pos"), F.col("v_lo")
+    ).otherwise(
         F.col("v_lo") * (F.ceil("pos").cast("double") - F.col("pos"))
         + F.col("v_hi") * (F.col("pos") - F.floor("pos").cast("double"))
     )
-    picked = (
-        need.join(v_lo, ["l_returnflag", "lo_rank"])
-        .join(v_hi, ["l_returnflag", "hi_rank"])
-        .select("l_returnflag", "n", "qi", interp.alias("v"))
-    )
     return (
-        picked.groupBy("l_returnflag")
+        per_q.select("l_returnflag", "n", "qi", interp.alias("v"))
+        .groupBy("l_returnflag")
         .agg(
             F.max("n").alias("n"),
             F.array_sort(F.collect_list(F.struct("qi", "v"))).alias("sv"),
