@@ -31,7 +31,8 @@ TEST_PREFIX = "2a"  # md5-hex threshold ≈ 16.4% test fraction
       SELECT doc_id, lang, source,
              row_number() OVER (
                PARTITION BY lang
-               ORDER BY md5(concat(CAST(doc_id AS VARCHAR), ':', text)), doc_id
+               ORDER BY md5(concat(CAST(doc_id AS VARCHAR), ':',
+                                   coalesce(text, ''))), doc_id
              ) AS rn
       FROM documents
     )
@@ -41,9 +42,21 @@ TEST_PREFIX = "2a"  # md5-hex threshold ≈ 16.4% test fraction
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Balanced per-class downsample: N docs per language, chosen by
     ordering each stratum on an md5 of the row key — a uniform
-    pseudo-random draw that every engine reproduces bit-for-bit."""
+    pseudo-random draw that every engine reproduces bit-for-bit.
+
+    The text column in the salt is coalesced to '' (round 6): a NULL
+    text otherwise nulls the whole md5, and the two engines then sort
+    the NULL keys to OPPOSITE ends (Spark NULLS FIRST vs DuckDB NULLS
+    LAST ascending) — a latent draw divergence the null-text gate
+    caught. Null-free corpora draw identically to the pre-fix key."""
     d = load(spark, sf_dir, "documents")
-    r = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text")))
+    r = F.md5(
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            F.coalesce(F.col("text"), F.lit("")),
+        )
+    )
     w = Window.partitionBy("lang").orderBy(r, "doc_id")
     return (
         d.withColumn("rn", F.row_number().over(w))

@@ -308,12 +308,14 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_fingerprint",
     oracle="""
     SELECT doc_id,
-           list_reduce(
-             list_prepend(CAST(0 AS BIGINT),
-               list_transform(string_split(text, ' '),
-                 tok -> ('0x' || substring(md5(tok), 1, 15))::BIGINT % 1000003)),
-             (acc, h) -> (acc * 31 + h) % 1000000007
-           ) AS fingerprint,
+           CASE WHEN text IS NULL THEN NULL ELSE
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(text, ' '),
+                   tok -> ('0x' || substring(md5(tok), 1, 15))::BIGINT % 1000003)),
+               (acc, h) -> (acc * 31 + h) % 1000000007
+             )
+           END AS fingerprint,
            CAST(len(text) AS BIGINT) AS n
     FROM documents
     """,
