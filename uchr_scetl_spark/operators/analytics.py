@@ -525,7 +525,7 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(ts AS TIMESTAMP) AS s,
              CAST(ts AS TIMESTAMP)
                + to_seconds(1 + (CAST(floor(value) AS BIGINT) % 3600)) AS e
-      FROM events
+      FROM events WHERE value IS NOT NULL
     ), pts AS (
       SELECT event_type, s AS t, 1 AS prio, CAST(1 AS BIGINT) AS delta FROM iv
       UNION ALL
@@ -563,7 +563,13 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     opens-minus-closes of prior days (one extra groupBy; exact here
     because durations are bounded ≤ 1 h, so only the previous day can
     carry in)."""
-    e = load(spark, sf_dir, "events")
+    # value IS NOT NULL: an event without a value has no defined
+    # duration, so it cannot open a measurable interval — and a NULL
+    # interval end would otherwise sort to OPPOSITE ends of the sweep
+    # in the two engines (Spark NULLS FIRST, DuckDB NULLS LAST),
+    # corrupting the running count differently in each (null-events
+    # gate catch, round 6).
+    e = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
     # Duration is defined ONCE and the interval end is built from it —
     # a duplicate inline expression could silently drift.
     dur = 1 + (F.floor("value").cast("bigint") % 3600)
