@@ -353,17 +353,38 @@ def test_bpe_merge_rounds_scan_corpus_once(spark):
     round re-reads the |vocab|-row InMemoryRelation, never the corpus.
     Each round's argmax must be a 1-row TakeOrderedAndProject and the
     re-segmentation a broadcast join (a shuffle join of vocab against
-    the single merge row would be the scale regression)."""
-    plan = plan_of(spark, "text_bpe_merge_rounds")
-    # every documents FileScan line in the display sits inside an
-    # InMemoryRelation's cached-plan subtree (they pair 1:1) — i.e.
-    # the only physical corpus read is the one-time cache fill
-    assert plan.count("documents.parquet") == plan.count(
-        "InMemoryRelation"
-    ), plan
-    assert "InMemoryTableScan" in plan, plan
-    assert "TakeOrderedAndProject" in plan, plan
-    assert "SortMergeJoin" not in plan, plan
+    the single merge row would be the scale regression).
+
+    Runs against a PRIVATE copy of the corpus dir: with the shared
+    SF_SMOKE path, another test's cached relation over the same
+    documents scan can be cache-substituted into this plan's display
+    and skew the node counts (order-dependent flake seen in the full
+    suite)."""
+    import shutil
+    import tempfile
+
+    from uchr_scetl_spark import clear_caches
+
+    out = tempfile.mkdtemp(prefix="uchr_bpe_plan_")
+    try:
+        shutil.copyfile(
+            f"{SF_SMOKE}/documents.parquet", f"{out}/documents.parquet"
+        )
+        df = REGISTRY["text_bpe_merge_rounds"].fn(spark, out)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # every documents FileScan line in the display sits inside an
+        # InMemoryRelation's cached-plan subtree (they pair 1:1) —
+        # i.e. the only physical corpus read is the one-time cache
+        # fill
+        assert plan.count("documents.parquet") == plan.count(
+            "InMemoryRelation"
+        ), plan
+        assert "InMemoryTableScan" in plan, plan
+        assert "TakeOrderedAndProject" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+    finally:
+        clear_caches(out)
+        shutil.rmtree(out, ignore_errors=True)
 
 
 def test_distributed_quantile_windows_are_chunk_bounded(spark):
