@@ -510,3 +510,98 @@ def test_cosine_histogram_mass_and_range(spark):
     for r in rows:
         assert -HIST_BUCKETS_PER_UNIT <= r.bucket <= HIST_BUCKETS_PER_UNIT
         assert r.bucket_lo == r.bucket / HIST_BUCKETS_PER_UNIT
+
+
+def test_distributed_quantiles_are_ordered_and_bounded(spark):
+    """Exact quantiles must be monotone (p25 ≤ p50 ≤ p75) and inside
+    the group's [min, max]; the weighted variants must additionally
+    respect the defining inequality (at least half / 90% of the total
+    weight sits at or below the reported value)."""
+    from uchr_scetl_spark.registry import load_registry
+
+    reg = load_registry()
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    bounds = {
+        r.l_returnflag: (r.lo, r.hi)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+        .collect()
+    }
+    for r in reg["agg_percentile_exact_distributed"].fn(spark, SF_SMOKE).collect():
+        lo, hi = bounds[r.l_returnflag]
+        assert lo <= r.p25 <= r.p50 <= r.p75 <= hi
+
+    rows = {r.l_returnflag: r for r in reg["agg_weighted_median_distributed"].fn(spark, SF_SMOKE).collect()}
+    for flag, r in rows.items():
+        lo, hi = bounds[flag]
+        assert lo <= r.weighted_p50 <= r.weighted_p90 <= hi
+        # defining inequality, recomputed independently
+        w_at_or_below_p50, w_at_or_below_p90, total = (
+            li.where(F.col("l_returnflag") == flag)
+            .agg(
+                F.sum(
+                    F.when(
+                        F.col("l_extendedprice") <= r.weighted_p50,
+                        F.col("l_quantity").cast("bigint"),
+                    )
+                ),
+                F.sum(
+                    F.when(
+                        F.col("l_extendedprice") <= r.weighted_p90,
+                        F.col("l_quantity").cast("bigint"),
+                    )
+                ),
+                F.sum(F.col("l_quantity").cast("bigint")),
+            )
+            .first()
+        )
+        assert total == r.total_weight
+        assert w_at_or_below_p50 >= 0.5 * total
+        assert w_at_or_below_p90 >= 0.9 * total
+
+
+def test_bpe_merge_counts_never_increase(spark):
+    """Classic BPE invariant: the winning pair count is non-increasing
+    across merge rounds — a merge can only redistribute adjacency mass
+    downward (every new pair involving the merged symbol inherits a
+    count bounded by its constituents')."""
+    from uchr_scetl_spark.registry import load_registry
+
+    rows = sorted(
+        load_registry()["text_bpe_merge_rounds"].fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r.round,
+    )
+    assert [r.round for r in rows] == list(range(1, len(rows) + 1))
+    counts = [r.pair_count for r in rows]
+    assert counts == sorted(counts, reverse=True), counts
+
+
+def test_matryoshka_energy_is_a_proper_fraction(spark):
+    """Prefix energy is a fraction of total energy: retained ppm in
+    [0, 1e6] and the truncated norm never exceeds the full norm."""
+    from uchr_scetl_spark.registry import load_registry
+
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    full = {
+        r.vec_id: r.nrm
+        for r in e.where("embedding IS NOT NULL")
+        .selectExpr(
+            "vec_id",
+            "floor(sqrt(aggregate(zip_with(CAST(embedding AS array<double>),"
+            " CAST(embedding AS array<double>), (x, y) -> x * y), 0D,"
+            " (acc, x) -> acc + x)) * 1000000) AS nrm",
+        )
+        .collect()
+    }
+    rows = (
+        load_registry()["embeddings_matryoshka_truncate"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert 0 <= r.retained_energy_ppm <= 1_000_000
+        assert r.trunc_norm_micro <= full[r.vec_id]
