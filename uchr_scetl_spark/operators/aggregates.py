@@ -1151,3 +1151,91 @@ def agg_theta_set_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         bounded("i_est", "inter_exact").alias("inter_in_bounds"),
         bounded("d_est", "diff_exact").alias("diff_in_bounds"),
     )
+
+
+# Count-min parameters: eps=0.001 -> width 2000 counters (~1 count per
+# 0.1% of the stream can be over-attributed), confidence 0.99, fixed
+# seed so the sketch -- and therefore this key's output -- is fully
+# deterministic.
+_CMS_EPS = 0.001
+_CMS_CONF = 0.99
+_CMS_SEED = 42
+_CMS_TOP = 10
+
+
+@query(
+    "agg_count_min_heavy_hitters",
+    oracle=f"""
+    WITH counts AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_exact
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, n_exact,
+           TRUE AS cms_never_underestimates,
+           TRUE AS cms_within_eps_bound
+    FROM counts ORDER BY n_exact DESC, l_partkey LIMIT {_CMS_TOP}
+    """,
+)
+def agg_count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters through a COUNT-MIN sketch — the frequency member
+    of the mergeable-sketch family (HLL = distincts, KLL = quantiles,
+    theta = set algebra, CMS = per-key counts): one fixed-size sketch
+    summarises per-key frequencies of the whole stream, merges by
+    cell-wise addition (order-free, partial+final), and answers point
+    frequency queries without the key cardinality ever touching the
+    driver.
+
+    Sketch images are engine-specific, so the CHECKED output is the
+    CMS's two-sided guarantee evaluated on the exact top-{_CMS_TOP}
+    keys: estimate ≥ exact (count-min can only over-count — hash
+    collisions ADD mass) and estimate ≤ exact + eps·N with confidence
+    {_CMS_CONF} (deterministic here: fixed seed). The exact side is a
+    partial+final count plus TakeOrderedAndProject.
+
+    Driver round-trips: exactly one — the merged ~16 KB sketch blob
+    plus {_CMS_TOP} exact rows (the bounded-collect exception pattern,
+    same as the IVF centroid table); the estimate loop is {_CMS_TOP}
+    pure JVM hash probes. At 100 TB the sketch is built once per
+    partition and merged, never the raw keys.
+
+    py4j caveat encoded here: ``estimateCount`` dispatches on the
+    boxed Java type, and py4j would box a small Python int as Integer
+    — hashing DIFFERENTLY than the LongType column the sketch was
+    built over — so keys are explicitly boxed as ``java.lang.Long``."""
+    li = load(spark, sf_dir, "lineitem")
+    sk_row = li.agg(
+        F.count_min_sketch(
+            "l_partkey", F.lit(_CMS_EPS), F.lit(_CMS_CONF), F.lit(_CMS_SEED)
+        ).alias("sk"),
+        F.count("*").alias("n"),
+    ).first()
+    schema = (
+        "l_partkey bigint, n_exact bigint, "
+        "cms_never_underestimates boolean, cms_within_eps_bound boolean"
+    )
+    if sk_row["sk"] is None:  # empty corpus: no sketch, no hitters
+        return spark.createDataFrame([], schema)
+    jvm = spark.sparkContext._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(sk_row["sk"])
+    )
+    eps_slack = _CMS_EPS * sk_row["n"]
+    top = (
+        li.groupBy("l_partkey")
+        .agg(F.count("*").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), "l_partkey")
+        .limit(_CMS_TOP)
+        .collect()
+    )
+    out = []
+    for r in top:
+        est = cms.estimateCount(jvm.java.lang.Long.valueOf(str(r.l_partkey)))
+        out.append(
+            (
+                r.l_partkey,
+                r.n_exact,
+                bool(est >= r.n_exact),
+                bool(est <= r.n_exact + eps_slack),
+            )
+        )
+    return spark.createDataFrame(out, schema)
