@@ -42,6 +42,7 @@ KEYS = [
     # parallelism — exactly what this sweep exercises
     "agg_kll_merge_quantiles",
     "agg_theta_set_distinct",
+    "agg_count_min_heavy_hitters",
     # round 6: the two-pass distributed quantile (rank arithmetic must
     # not depend on how the window shuffles land) and the iterated BPE
     # loop (argmax ties and merge application must be order-free)
