@@ -544,6 +544,93 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAINMENT_T = 0.8
+# posting-length cap: shingles appearing in more than this many docs
+# (within a lang) are dropped from candidate matching — the standard
+# hot-posting guard that keeps the inverted-index join's worst case
+# bounded at scale. Inert on these corpora (max shingle df measured 25
+# at sf0.1), and mirrored EXACTLY in the oracle so the key stays
+# value-checked either way.
+CONTAINMENT_DF_CAP = 1000
+
+_ORACLE_CONTAINMENT = f"""
+    WITH {_ORACLE_SHINGLED_CTE},
+    shingle_rows AS (
+      SELECT doc_id, lang, n, unnest(toks) AS tok FROM sized
+    ),
+    capped AS (
+      SELECT * FROM shingle_rows
+      QUALIFY COUNT(*) OVER (PARTITION BY tok) <= {CONTAINMENT_DF_CAP}
+    ),
+    pair_inter AS (
+      SELECT a.doc_id AS inner_id, b.doc_id AS outer_id,
+             CAST(COUNT(*) AS BIGINT) AS inter, any_value(a.n) AS inner_n
+      FROM capped a JOIN capped b
+        ON a.tok = b.tok AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT inner_id, outer_id,
+           CAST(inter AS DOUBLE) / inner_n AS containment
+    FROM pair_inter
+    WHERE CAST(inter AS DOUBLE) / inner_n >= {CONTAINMENT_T}
+"""
+
+
+@query("dedup_containment", oracle=_ORACLE_CONTAINMENT)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC shingle containment: every ordered (inner, outer)
+    pair where ≥ {CONTAINMENT_T:.0%} of the inner doc's distinct
+    3-gram shingles also occur in the outer doc — the doc-inside-doc
+    detector Jaccard structurally misses (a short document quoted
+    whole inside a long one has Jaccard ≈ |A|/|B| → 0 but containment
+    → 1), and the form the contamination/dedup literature (e.g. Lee
+    et al.'s dedup study, benchmark-leak audits) applies alongside
+    symmetric near-dup removal.
+
+    Scale shape: the same inverted-index self-join as
+    dedup_ngram_jaccard off the shared memoized shingle relation —
+    only pairs sharing ≥1 shingle materialise; hot postings above
+    df={CONTAINMENT_DF_CAP} are dropped from matching (bounding the
+    join's worst case; capped-out shingles can only LOWER measured
+    containment, never inflate it), with the identical cap in the
+    oracle. No lang or length bounding, deliberately: duplicated text
+    crosses metadata labels on real corpora (and on THIS one — 19 of
+    the 25 true near-dup pairs at sf0.01 carry different lang labels),
+    and containment pairs have very different sizes, which is exactly
+    what the band-bounded Jaccard key cannot see. Denominator is the
+    inner doc's FULL distinct-shingle count."""
+    sh = shingled_docs(spark, sf_dir).select(
+        "doc_id", "n", F.explode("toks").alias("tok")
+    )
+    w = Window.partitionBy("tok")
+    capped = (
+        sh.withColumn("df", F.count("*").over(w))
+        .where(F.col("df") <= CONTAINMENT_DF_CAP)
+        .drop("df")
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("inner_id"),
+            F.col("b.doc_id").alias("outer_id"),
+            F.col("a.n").alias("inner_n"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    containment = F.col("inter").cast("double") / F.col("inner_n")
+    return (
+        pairs.where(containment >= CONTAINMENT_T)
+        .select("inner_id", "outer_id", containment.alias("containment"))
+        .orderBy("inner_id", "outer_id")
+    )
+
+
 def simhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, chunks[4]) 60-bit SimHash as one higher-order-function
     expression: hash each distinct token ONCE (the per-bit lambda sees
