@@ -413,3 +413,13 @@ def test_weighted_median_windows_are_chunk_bounded(spark):
         r"sum\(wt#\d+L?\) windowspecdefinition\((\w+#\d+), (\w+#\d+),", plan
     )
     assert rn, plan
+
+
+def test_containment_join_carries_int_shingles_no_cartesian(spark):
+    """dedup_containment's candidate stage must be the inverted-index
+    hash join on int64-hashed shingles (xxhash64 in the projection, no
+    Cartesian/BroadcastNestedLoop product of the document sides)."""
+    plan = plan_of(spark, "dedup_containment")
+    assert "xxhash64" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -40,6 +40,13 @@ weight sums — overhead-bound at this size). text_bpe_merge_rounds
 0.7x at 4x — replication grows the corpus but NOT the vocabulary
 (replicas share words), so the vocabulary-iteration claim shows up as
 a near-flat curve with only the one corpus scan growing.
+dedup_containment measures 11x at 4x — the simhash class, amplified:
+its output is ORDERED pairs, so k-fold twin replication grows the
+true result (and the exact intersection work) ~k²; its df cap is the
+production valve for exactly this (mass-duplicated shingles exceed
+the cap and drop out of matching) but stays inert at probe scale
+(max df 100 « 1000). Not in the default probe KEYS for that reason —
+re-measure with an adjusted cap when tuning it.
 """
 
 from __future__ import annotations

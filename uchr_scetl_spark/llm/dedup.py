@@ -598,7 +598,18 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 25 true near-dup pairs at sf0.01 carry different lang labels),
     and containment pairs have very different sizes, which is exactly
     what the band-bounded Jaccard key cannot see. Denominator is the
-    inner doc's FULL distinct-shingle count."""
+    inner doc's FULL distinct-shingle count.
+
+    Measured scaling caveat (probe, 1x/2x/4x twin replication): 11x
+    wall at 4x — NOT a plan defect but the simhash argument: k-fold
+    duplication makes the TRUE ordered-pair output itself grow k², and
+    the exact intersection counts with it. The df cap is precisely the
+    valve that clips this at real scale — mass-duplicated boilerplate
+    pushes shingle df past the cap and drops out of matching — it just
+    never triggers at probe scale (max df 100 « {CONTAINMENT_DF_CAP}).
+    A production run over a duplicate-heavy corpus tunes the cap DOWN
+    (or runs exact/near dedup first, as this registry's pipeline
+    would)."""
     sh = shingled_docs(spark, sf_dir).select(
         "doc_id", "n", F.explode("toks").alias("tok")
     )
