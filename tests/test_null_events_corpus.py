@@ -46,6 +46,7 @@ KEYS = [
     "stream_session_windows",
     "stream_dedup",
     "stream_enrich_static",
+    "stream_watermark_lag_audit",
     "win_time_range",
 ]
 

@@ -324,3 +324,64 @@ def stream_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         dec_sum("value", "total_value"),
     )
+
+
+_WATERMARK_LATE_US = 600 * 1_000_000  # 10 minutes, in microseconds
+
+
+@query(
+    "stream_watermark_lag_audit",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_type,
+             epoch_us(MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                                    ROWS UNBOUNDED PRECEDING))
+               - epoch_us(ts) AS lateness_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(count_if(lateness_us > {_WATERMARK_LATE_US}) AS BIGINT)
+             AS n_late_10m,
+           CAST(MAX(lateness_us) AS BIGINT) AS max_lateness_us
+    FROM seq GROUP BY event_type
+    """,
+)
+def stream_watermark_lag_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order-arrival audit: per event type, how many events
+    arrive more than 10 minutes behind the newest event their key has
+    already produced, and the worst observed lag — the measurement
+    that DECIDES a stream's ``withWatermark`` delay (set it below the
+    real lateness tail and the streaming mirrors of these keys drop
+    data; set it far above and state lingers). Arrival order is
+    event_id (the ingest sequence); event time is ts.
+
+    Scale shape: the running max is windowed per USER KEY (the same
+    keying the stateful streaming operators shuffle by), never a
+    global sequence — so no task sees more than one user's history,
+    exactly like applyInPandasWithState's partitioning. Lateness is
+    computed in exact integer microseconds (unix_micros / epoch_us
+    agree bit-for-bit), so counts and maxima match the oracle
+    exactly. A NULL event_type forms its own audit group in both
+    engines."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # unix_micros requires TIMESTAMP; the NTZ→TZ cast is exact under
+    # the pinned UTC session timezone
+    tsz = F.col("ts").cast("timestamp")
+    lateness = F.unix_micros(F.max(tsz).over(w)) - F.unix_micros(tsz)
+    return (
+        e.select("event_type", lateness.alias("lateness_us"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count(
+                F.when(F.col("lateness_us") > _WATERMARK_LATE_US, 1)
+            ).alias("n_late_10m"),
+            F.max("lateness_us").alias("max_lateness_us"),
+        )
+    )
