@@ -247,6 +247,19 @@ AUDITS: dict[str, tuple[str, list[str]]] = {
         "weights keep the cumulative sums exact and order-free.",
         [r"Exchange rangepartitioning", r"Window", r"BroadcastExchange"],
     ),
+    "dedup_containment": (
+        "Asymmetric containment: inverted-index self-join on "
+        "int64-hashed shingles off the shared cached shingle relation "
+        "(xxhash64 in the projection, no Cartesian product); the "
+        "hot-posting df cap is a bounded window per shingle.",
+        [r"xxhash64", r"InMemoryTableScan", r"Window"],
+    ),
+    "stream_watermark_lag_audit": (
+        "Watermark-delay audit: the running event-time max windows per "
+        "USER key (the stateful-streaming keying), never a global "
+        "sequence; the per-type rollup is partial+final.",
+        [r"Window", r"windowspecdefinition\(user_id", r"HashAggregate"],
+    ),
     "text_bpe_merge_rounds": (
         "Iterated BPE merges: the corpus appears only inside the "
         "cached vocabulary's InMemoryRelation (one physical scan); "
