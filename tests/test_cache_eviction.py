@@ -16,7 +16,8 @@ from pyspark.sql import functions as F
 
 from uchr_scetl_spark import clear_caches, load_registry
 from uchr_scetl_spark.io import load
-from uchr_scetl_spark.llm import dedup, similarity
+from uchr_scetl_spark.llm import dedup, similarity, text
+from uchr_scetl_spark.operators import graph
 
 from .conftest import SF_SMOKE
 
@@ -47,6 +48,8 @@ def _memo_entries(sf_dir: str) -> int:
         dedup._pairs_memo,
         similarity._ivf_base_memo,
         similarity._ivf_centroids_memo,
+        text._bpe_vocab_memo,
+        graph._copurchase_memo,
     )
     return sum(1 for m in memos for k in m if k[1] == sf_dir)
 
@@ -86,6 +89,11 @@ def test_rewritten_corpus_reread_after_clear(spark, mutable_corpus):
     clear_caches(mutable_corpus)
     assert REGISTRY["dedup_exact"].fn(spark, mutable_corpus).count() == 4 != n1
     assert REGISTRY["dedup_near"].fn(spark, mutable_corpus).count() == 0
+    # the memoized BPE vocabulary (round 6) must also re-read: the
+    # rewritten 4-doc corpus has a tiny vocab whose top merge differs
+    # from the original corpus's
+    stats = REGISTRY["text_bpe_apply_merges"].fn(spark, mutable_corpus).first()
+    assert stats.n_vocab_words <= 8, stats
 
 
 def test_memo_get_is_race_free_and_prunes_dead_sessions(spark):

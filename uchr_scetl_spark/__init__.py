@@ -27,8 +27,10 @@ def clear_caches(sf_dir: str | None = None) -> None:
     cheap."""
     from .llm.dedup import clear_dedup_caches
     from .llm.similarity import clear_similarity_caches
+    from .llm.text import clear_text_caches
     from .operators.graph import clear_graph_caches
 
     clear_dedup_caches(sf_dir)
     clear_similarity_caches(sf_dir)
+    clear_text_caches(sf_dir)
     clear_graph_caches(sf_dir)

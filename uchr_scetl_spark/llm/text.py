@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load
+from ..memo import memo_clear, memo_get
 from ..registry import query
 from ..session import default_parallelism
 
@@ -994,25 +995,44 @@ def _bpe_sy() -> F.Column:
     return F.filter(F.split("s", _BPE_SEP), lambda x: x != F.lit(""))
 
 
+# (appId, sf_dir) → cached chr(31)-wrapped vocabulary — shared by the
+# merge-table and apply keys; evicted via clear_text_caches/clear_caches
+_bpe_vocab_memo: dict[tuple[str, str], DataFrame] = {}
+
+
+def clear_text_caches(sf_dir: str | None = None) -> None:
+    """Unpersist and drop the BPE vocabulary memo — all entries, or one
+    corpus dir's (same contract as llm.dedup.clear_dedup_caches)."""
+    memo_clear(_bpe_vocab_memo, sf_dir)
+
+
 def _bpe_train(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, list[DataFrame]]:
     """The BPE training loop shared by the merge-table and apply keys:
     returns (final re-segmented vocabulary, per-round 1-row merge
-    DataFrames). Corpus scanned once (cached vocab); each round is a
-    vocab pair count → 1-row argmax → broadcast re-segmentation."""
-    d = load(spark, sf_dir, "documents")
-    vocab = (
-        d.select(F.explode(tokens()).alias("w"))
-        .where(F.length("w") >= BPE_MIN_WORD_LEN)
-        .groupBy("w")
-        .agg(F.count("*").alias("wc"))
-    )
-    # cached: the one corpus-derived relation; every round re-reads it
-    v = vocab.select(
-        "wc",
-        F.regexp_replace("w", "(.)", _BPE_SEP + "$1" + _BPE_SEP).alias("s"),
-    ).cache()
+    DataFrames). Corpus scanned once (memoized cached vocab — shared
+    across the two keys AND evictable, unlike a bare .cache()); each
+    round is a vocab pair count → 1-row argmax → broadcast
+    re-segmentation."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+
+    def _build() -> DataFrame:
+        d = load(spark, sf_dir, "documents")
+        vocab = (
+            d.select(F.explode(tokens()).alias("w"))
+            .where(F.length("w") >= BPE_MIN_WORD_LEN)
+            .groupBy("w")
+            .agg(F.count("*").alias("wc"))
+        )
+        return vocab.select(
+            "wc",
+            F.regexp_replace(
+                "w", "(.)", _BPE_SEP + "$1" + _BPE_SEP
+            ).alias("s"),
+        ).cache()
+
+    v = memo_get(_bpe_vocab_memo, key, _build)
     # sy[i-1]/sy[i] is 0-based element access; the filter() guard
     # yields an EMPTY index list for single-symbol words (sequence(1,0)
     # would generate a DESCENDING [1,0] — a Spark footgun)
