@@ -70,6 +70,7 @@ KEYS = [
     # text, not just ASCII
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_containment",
     "text_span_dedup",
     # sample_stratified's md5 salt includes the text column, so the
     # multibyte gate is meaningful; sample_weighted hashes only the
