@@ -185,6 +185,89 @@ def etl_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "etl_scd2_pointintime",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey, c_mktsegment AS segment,
+             TIMESTAMP '1995-01-01 00:00:00' AS valid_from,
+             CASE WHEN c_acctbal < 0
+                  THEN TIMESTAMP '1998-01-01 00:00:00' END AS valid_to
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 'DELINQUENT',
+             TIMESTAMP '1998-01-01 00:00:00', CAST(NULL AS TIMESTAMP)
+      FROM customer WHERE c_acctbal < 0
+    )
+    SELECT d.segment, CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT)
+             AS order_year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(24,6))) AS DOUBLE)
+             AS revenue
+    FROM orders o
+    JOIN dim d
+      ON o.o_custkey = d.c_custkey
+     AND o.o_orderdate >= d.valid_from
+     AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+    GROUP BY 1, 2
+    """,
+)
+def etl_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time fact-to-SCD2 join: each order is attributed to
+    the dimension version that was valid ON ITS ORDER DATE (the other
+    half of the SCD2 story — etl_scd2 builds the versioned dimension;
+    this key consumes one), then rolled up to segment × order-year
+    revenue. The versioned dimension is derived deterministically from
+    the corpus: every customer's base segment is valid from the start
+    of the order domain, and negative-balance customers are
+    re-segmented to DELINQUENT effective 1998-01-01 (mid-domain, so
+    both version legs carry facts).
+
+    Scale design: this is an EQUI-join on the business key with the
+    validity window as a residual join filter — never a range/theta
+    join — because an SCD2 dimension has a small bounded number of
+    versions per key (2 here), so the per-row filter amplification is
+    O(versions), not O(rows). The fact table shuffles (or, as here,
+    streams against a broadcast dimension) on c_custkey exactly once;
+    at cluster scale with a dimension too large to broadcast, the same
+    plan becomes a shuffle join on the key with identical semantics.
+    Revenue sums in DECIMAL(24,6) (order-insensitive exact addition)
+    and converts to double only at the end, so the result is
+    bit-reproducible at any parallelism (see exprs.py)."""
+    c = load(spark, sf_dir, "customer")
+    start = F.lit("1995-01-01").cast("timestamp_ntz")
+    eff = F.lit("1998-01-01").cast("timestamp_ntz")
+    v1 = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        start.alias("valid_from"),
+        F.when(F.col("c_acctbal") < 0, eff).alias("valid_to"),
+    )
+    v2 = c.where(F.col("c_acctbal") < 0).select(
+        "c_custkey",
+        F.lit("DELINQUENT").alias("segment"),
+        eff.alias("valid_from"),
+        F.lit(None).cast("timestamp_ntz").alias("valid_to"),
+    )
+    dim = v1.unionByName(v2)
+    o = load(spark, sf_dir, "orders")
+    j = o.join(
+        F.broadcast(dim),
+        (o["o_custkey"] == dim["c_custkey"])
+        & (o["o_orderdate"] >= dim["valid_from"])
+        & (dim["valid_to"].isNull() | (o["o_orderdate"] < dim["valid_to"])),
+    )
+    return j.groupBy(
+        "segment",
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(24,6)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@query(
     "etl_compact_small_files",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice

@@ -237,6 +237,86 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy("degree").agg(F.count("*").alias("n_parts"))
 
 
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH {_SQL_COPURCHASE},
+    nodes AS (SELECT a AS id FROM pairs UNION ALL SELECT b AS id FROM pairs),
+    deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS d FROM nodes GROUP BY id),
+    tri AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n
+      FROM pairs e1
+      JOIN pairs e2 ON e2.a = e1.b
+      JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg)              AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs)            AS n_edges,
+           (SELECT CAST(SUM((d * (d - 1)) // 2) AS BIGINT) FROM deg)
+                                                                   AS n_wedges,
+           (SELECT n FROM tri)                                     AS n_triangles
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle census of the co-purchase graph (plus node /
+    edge / wedge counts — the inputs to the global clustering
+    coefficient 3·T/W), via DEGREE-ORIENTED wedge generation.
+
+    Scale design: the naive formulation (edges ⋈ edges ⋈ edges, or
+    wedges generated from the canonical a<b orientation) explodes on
+    hubs — a node of degree d contributes C(d,2) wedges, and id-order
+    puts ALL of a hub's wedges on the hub. Orienting every edge from
+    its lower-(degree, id) endpoint to the higher bounds every node's
+    out-degree by O(√m) (a standard result: a node keeps an out-edge
+    only toward neighbors of ≥ its own degree, and there can be at
+    most 2√m nodes of degree ≥ √m), so the wedge set is O(m^1.5)
+    TOTAL and — more importantly — per-task-bounded even on a
+    power-law graph. Each triangle is then counted exactly once: its
+    minimum-(degree, id) corner generates the wedge and the closing
+    edge is oriented the same way, so the finish is one equi-join of
+    the wedge relation against the oriented edge relation. Wedges are
+    produced in-row (collect_set of (deg, id) structs per source +
+    ordered-pair explode), the same no-self-join pattern as the edge
+    build itself. At 100 TB the only super-linear relation is the
+    wedge set, whose O(m^1.5) bound is exactly the best known for
+    exact global triangle counting; everything else is linear scans
+    and hash aggregations. The oracle counts the same triangles via
+    the id-ordered 3-way self-join — the census is orientation-
+    independent, so both engines agree exactly (all-integer output)."""
+    edges = _copurchase_weighted(spark, sf_dir).select("a", "b")
+    nodes = edges.select(F.col("a").alias("id")).unionAll(
+        edges.select(F.col("b").alias("id"))
+    )
+    deg = nodes.groupBy("id").agg(F.count("*").alias("d"))
+    e2 = edges.join(
+        deg.select(F.col("id").alias("a"), F.col("d").alias("da")), "a"
+    ).join(deg.select(F.col("id").alias("b"), F.col("d").alias("db")), "b")
+    ka = F.struct(F.col("da").alias("d"), F.col("a").alias("id"))
+    kb = F.struct(F.col("db").alias("d"), F.col("b").alias("id"))
+    oriented = e2.select(
+        F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(ka < kb, kb).otherwise(ka).alias("dstk"),
+    ).localCheckpoint(eager=False)
+    adj = oriented.groupBy("src").agg(F.collect_set("dstk").alias("ns"))
+    wedge = F.expr(
+        "flatten(transform(ns, x ->"
+        " transform(filter(ns, y -> y > x),"
+        " y -> struct(x.id AS lo, y.id AS hi))))"
+    )
+    wedges = adj.select(F.explode(wedge).alias("w")).select("w.lo", "w.hi")
+    closing = oriented.select(
+        F.col("src").alias("lo"), F.col("dstk.id").alias("hi")
+    )
+    tri = wedges.join(closing, ["lo", "hi"]).agg(
+        F.count("*").alias("n_triangles")
+    )
+    n_nodes = deg.agg(F.count("*").alias("n_nodes"))
+    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    n_wedges = deg.agg(
+        F.expr("CAST(SUM((d * (d - 1)) div 2) AS BIGINT)").alias("n_wedges")
+    )
+    return n_nodes.crossJoin(n_edges).crossJoin(n_wedges).crossJoin(tri)
+
+
 COPURCHASE_PROBE_MAX = 5  # probe parts: part_id <= 5
 COPURCHASE_TOP_K = 5
 
