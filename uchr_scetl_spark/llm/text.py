@@ -1119,3 +1119,60 @@ def text_bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("chars_per_token_ppm"),
     )
+
+
+HASH_FEATURE_BUCKETS = 64
+
+
+@query(
+    "text_hashing_features",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)
+               % {HASH_FEATURE_BUCKETS} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY 1, 2
+    )
+    SELECT bucket,
+           CAST(SUM(tf) AS BIGINT) AS total_tf,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(tf) AS BIGINT) AS max_tf
+    FROM per_doc GROUP BY bucket
+    """,
+)
+def text_hashing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization (the fixed-width sparse feature
+    vector classic ML pipelines feed to linear models / GBMs without a
+    vocabulary pass): every token maps to one of
+    {HASH_FEATURE_BUCKETS} buckets by md5, and each document's feature
+    vector is its per-bucket token counts. The CHECKED output is the
+    feature matrix's per-column statistics (total mass, document
+    frequency, max per-doc count) — 64 rows that can only be right if
+    every per-(doc, bucket) cell underneath is right.
+
+    Scale design: no vocabulary is ever built or broadcast — that is
+    the entire point of the hashing trick, and why it survives any
+    corpus size where a dictionary-based featurizer needs a giant
+    dictionary join. Two hash aggregations end to end (doc×bucket,
+    then bucket), both partial+final, both on bounded-cardinality
+    keys; the token hash is md5-derived (top 8 hex chars → int, mod
+    {HASH_FEATURE_BUCKETS}) so both engines bucket identically, the
+    same cross-engine idiom the SimHash family proves. All-integer
+    output, bit-exact at any parallelism."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens()).alias("tok"))
+    bucket = F.expr(
+        f"cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint)"
+        f" % {HASH_FEATURE_BUCKETS}"
+    ).alias("bucket")
+    per_doc = toks.groupBy("doc_id", bucket).agg(F.count("*").alias("tf"))
+    return per_doc.groupBy("bucket").agg(
+        F.sum("tf").alias("total_tf"),
+        F.count("*").alias("n_docs"),
+        F.max("tf").alias("max_tf"),
+    )

@@ -1239,3 +1239,68 @@ def agg_count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return spark.createDataFrame(out, schema)
+
+
+DECAY_MAX_AGE_Q = 12  # clamp: orders older than 12 quarters share weight 1
+_DECAY_END_Q = 2001 * 4 + 2  # corpus end quarter, 2001 Q3 (max date 2001-08)
+
+
+@query(
+    "agg_time_decay_halflife",
+    oracle=f"""
+    WITH w AS (
+      SELECT o.o_custkey, o.o_totalprice,
+             (CAST(1 AS BIGINT) <<
+              ({DECAY_MAX_AGE_Q} - LEAST(
+                {_DECAY_END_Q} - (EXTRACT(year FROM o.o_orderdate) * 4
+                                  + EXTRACT(quarter FROM o.o_orderdate) - 1),
+                {DECAY_MAX_AGE_Q}))) AS wt
+      FROM orders o
+    )
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(wt) AS BIGINT) AS weight_mass,
+           CAST(SUM(CAST(w.o_totalprice AS DECIMAL(18,2)) * w.wt)
+                AS DOUBLE) AS decayed_revenue
+    FROM w JOIN customer c ON w.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def agg_time_decay_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed revenue per market segment with a one-quarter
+    half-life: an order's weight halves for every quarter of age and
+    clamps at {DECAY_MAX_AGE_Q} quarters — the recency weighting
+    feature stores and trending-score pipelines apply, but in EXACT
+    integer/decimal arithmetic. Weights are powers of two computed by
+    bit shift (never a floating-point exp()), and the weighted sum
+    multiplies DECIMAL(18,2) prices by the integer weight before an
+    order-insensitive decimal SUM, so the result is bit-identical at
+    any parallelism and across engines — a float exp-decay sum would
+    drift with shuffle order on both axes.
+
+    Scale design: one map-side expression per order row (age in
+    quarters from year/quarter extracts — no interval arithmetic, no
+    per-row UDF), one broadcast join to the customer dimension for the
+    segment, one partial+final aggregation on a 5-value key. The decay
+    window end is a constant of the corpus domain; a production run
+    would bind it to the load date."""
+    o = load(spark, sf_dir, "orders")
+    # age in quarters = corpus-end quarter − the order's absolute quarter
+    wt = F.expr(
+        f"shiftleft(1L, {DECAY_MAX_AGE_Q}"
+        f" - least({_DECAY_END_Q} - (year(o_orderdate) * 4"
+        f" + quarter(o_orderdate) - 1), {DECAY_MAX_AGE_Q}))"
+    ).alias("wt")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = o.select("o_custkey", "o_totalprice", wt)
+    return (
+        w.join(F.broadcast(c), w["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("wt").alias("weight_mass"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)") * F.col("wt"))
+            .cast("double")
+            .alias("decayed_revenue"),
+        )
+    )
