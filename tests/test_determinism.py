@@ -49,6 +49,11 @@ KEYS = [
     "agg_percentile_exact_distributed",
     "agg_weighted_median_distributed",
     "text_bpe_merge_rounds",
+    # round 6 (cont.): degree-oriented triangle census (collect_set
+    # arrival order must not leak into the count) and the two-level
+    # hash-bucket featurizer
+    "graph_triangle_count",
+    "text_hashing_features",
 ]
 
 

@@ -44,6 +44,7 @@ KEYS = [
     "text_bpe_pair_counts",
     "text_bpe_merge_rounds",
     "text_bpe_apply_merges",
+    "text_hashing_features",
     "dedup_exact",
     "dedup_containment",
     "dedup_exact_keep_best",

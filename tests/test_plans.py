@@ -423,3 +423,59 @@ def test_containment_join_carries_int_shingles_no_cartesian(spark):
     assert "xxhash64" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_triangle_count_wedges_from_collect_set(spark):
+    """Triangle counting must generate wedges from the per-source
+    adjacency arrays (collect_set + in-row ordered-pair explode), not
+    an edge×edge self-join of raw lineitem: after clearing the shared
+    edge memo the whole executed plan may scan lineitem exactly once,
+    and the wedge stage must be an explode Generate. (The closing
+    equi-join against the oriented edge relation and the deg
+    annotation joins are equi-joins over the derived — cached —
+    relations, not re-scans.)"""
+    from uchr_scetl_spark.operators.graph import clear_graph_caches
+
+    clear_graph_caches(SF_SMOKE)
+    plan = plan_of(spark, "graph_triangle_count")
+    # every join operator in the plan works on DERIVED relations (deg
+    # annotation, wedge-closing) — a raw-lineitem join key in any join
+    # line means the edge or wedge build regressed to a self-join
+    join_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "SortMergeJoin" in ln
+        or "BroadcastHashJoin" in ln
+        or "ShuffledHashJoin" in ln
+    ]
+    assert join_lines, plan
+    for ln in join_lines:
+        assert "l_orderkey" not in ln and "l_partkey" not in ln, ln
+    assert "CartesianProduct" not in plan, plan
+    assert "Generate explode" in plan, plan
+
+
+def test_scd2_pointintime_dim_is_broadcast_with_residual_validity(spark):
+    """The point-in-time fact-to-SCD2 join must plan as a BROADCAST
+    equi-join on the business key (the validity window rides along as
+    a residual filter) — never a range/theta join (no nested-loop or
+    cartesian operator over the fact table)."""
+    plan = plan_of(spark, "etl_scd2_pointintime")
+    assert "BroadcastHashJoin" in plan, plan
+    for op in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert op not in plan, plan
+
+
+def test_hashing_features_exchanges_carry_long_keys_only(spark):
+    """The hashing-trick featurizer's exchanges partition on
+    (doc_id, bucket) then (bucket) — every hashpartitioning key must
+    be LongType; raw token strings never cross a shuffle (the whole
+    point of hashing before aggregating)."""
+    import re
+
+    plan = plan_of(spark, "text_hashing_features")
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert exchanges, plan
+    for args in exchanges:
+        for attr in re.finditer(r"\w+#\d+(L?)\b", args):
+            assert attr.group(1) == "L", (args, plan)
