@@ -54,6 +54,9 @@ KEYS = [
     # hash-bucket featurizer
     "graph_triangle_count",
     "text_hashing_features",
+    # round 6 (cont.): the mapInPandas partial-Gram must sum to the
+    # same integers whatever the Arrow batch/partition layout
+    "embeddings_gram_matrix",
 ]
 
 
@@ -76,3 +79,26 @@ def test_result_invariant_under_partition_count(spark, key):
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+
+def test_kmeans_assign_invariant_with_fresh_centroids(spark):
+    """sim_kmeans_assign memoizes its centroids per (app, sf_dir), so
+    the plain sweep above would re-test only the final assignment
+    pass. Clear the memo before each run so the WHOLE pipeline —
+    seed fetch, both Lloyd updates, final stats — recomputes under
+    shuffle.partitions=7 and must still be bit-identical (exact
+    integer arithmetic is the claim)."""
+    from uchr_scetl_spark.llm.similarity import clear_similarity_caches
+
+    clear_similarity_caches(SF_SMOKE)
+    baseline = _rows(spark, "sim_kmeans_assign")
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        clear_similarity_caches(SF_SMOKE)
+        assert _rows(spark, "sim_kmeans_assign") == baseline, (
+            "sim_kmeans_assign changed results under shuffle.partitions=7"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+        clear_similarity_caches(SF_SMOKE)

@@ -45,6 +45,9 @@ KEYS = [
     "sim_label_centroids",
     "embeddings_quantize_int8",
     "embeddings_vector_qa",
+    "embeddings_matryoshka_truncate",
+    "embeddings_gram_matrix",
+    "sim_kmeans_assign",
     "multimodal_enrich",
     "multimodal_crossmodal_topk",
 ]

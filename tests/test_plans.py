@@ -479,3 +479,45 @@ def test_hashing_features_exchanges_carry_long_keys_only(spark):
     for args in exchanges:
         for attr in re.finditer(r"\w+#\d+(L?)\b", args):
             assert attr.group(1) == "L", (args, plan)
+
+
+def test_kmeans_assign_is_joinless_single_exchange(spark):
+    """The k-means assignment pass is a pure map against K literal
+    centroids (in-row zip_with fold): the final query's plan may
+    contain NO join operator of any kind, and its only exchange is the
+    K-row per-cluster stats aggregation (partial+final on `cluster`).
+    A join or a second exchange means the literal-centroid formulation
+    regressed to a centroid-relation join."""
+    from uchr_scetl_spark.llm.similarity import clear_similarity_caches
+
+    clear_similarity_caches(SF_SMOKE)
+    plan = plan_of(spark, "sim_kmeans_assign")
+    for op in (
+        "SortMergeJoin",
+        "BroadcastHashJoin",
+        "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin",
+        "CartesianProduct",
+    ):
+        assert op not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "hashpartitioning(cluster" in plan, plan
+
+
+def test_gram_matrix_shuffles_cells_not_vectors(spark):
+    """The Gram pipeline's only shuffle is the (i, j) partial-cell
+    aggregation AFTER the vectorized MapInPandas stage — the embedding
+    arrays themselves never cross an exchange, and there is no join.
+    (The exchange carrying `partial`/`i`/`j` integer cells is the whole
+    point of batch-local partial aggregation.)"""
+    plan = plan_of(spark, "embeddings_gram_matrix")
+    assert "MapInPandas" in plan, plan
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert op not in plan, plan
+    exchanges = [
+        seg.split("\n")[0]
+        for seg in plan.split("Exchange hashpartitioning(")[1:]
+    ]
+    assert exchanges, plan
+    for ex in exchanges:
+        assert "qv" not in ex and "embedding" not in ex, ex

@@ -309,6 +309,8 @@ def clear_similarity_caches(sf_dir: str | None = None) -> None:
     access."""
     memo_clear(_ivf_base_memo, sf_dir)
     memo_clear(_ivf_centroids_memo, sf_dir)
+    memo_clear(_kmeans_q_memo, sf_dir)
+    memo_clear(_kmeans_cent_memo, sf_dir)
 
 
 def _cells_udf(cents: list[list[float]], nprobe: int):
@@ -1013,4 +1015,310 @@ def sim_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "n_pairs",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sim_kmeans_assign — exact-integer distributed Lloyd iterations
+# ---------------------------------------------------------------------------
+
+KMEANS_ASSIGN_K = 8  # clusters; seeds = k-smallest by salted md5
+KMEANS_ASSIGN_SCALE = 1_000_000  # component quantization (floor at 1e-6)
+KMEANS_ASSIGN_ROUNDS = 2  # centroid updates; assignments run ROUNDS+1 times
+KMEANS_ASSIGN_DIM = 64  # embedding dimensionality (oracle mirror only)
+
+_kmeans_q_memo: dict[tuple[str, str], DataFrame] = {}
+_kmeans_cent_memo: dict[tuple[str, str], list[list[int]]] = {}
+
+
+def _kmeans_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus with components floor-quantized to bigints at 1e-6 —
+    every downstream distance/update is exact integer arithmetic, so
+    assignments and centroids are bit-identical across engines,
+    partition layouts and reduction orders (floats would make Lloyd's
+    argmin order-sensitive near ties). Cached: the relation is read by
+    ROUNDS+1 assignment passes."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+
+    def _build() -> DataFrame:
+        e = load(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
+        return e.select(
+            "vec_id",
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.floor(x * KMEANS_ASSIGN_SCALE).cast("long"),
+            ).alias("qv"),
+        ).cache()
+
+    return memo_get(_kmeans_q_memo, key, _build)
+
+
+def _q_dist2(col: str, cvals: list[int]):
+    """Squared L2 distance of bigint vector column ``col`` to the
+    LITERAL centroid ``cvals`` — a pure in-row zip_with/aggregate fold
+    (codegen, no join, no shuffle)."""
+    arr = F.array(*[F.lit(int(v)).cast("long") for v in cvals])
+    return F.aggregate(
+        F.zip_with(F.col(col), arr, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _kmeans_assign_df(q: DataFrame, cents: list[list[int]]) -> DataFrame:
+    """Assignment pass: distance to each of the K literal centroids,
+    argmin with ties to the smallest cluster id via lexicographic
+    array_min over (d2, k) structs. Embarrassingly parallel — the
+    corpus is scanned once with zero shuffle."""
+    pairs = F.array(
+        *[
+            F.struct(
+                _q_dist2("qv", c).alias("d2"), F.lit(k).cast("int").alias("k")
+            )
+            for k, c in enumerate(cents)
+        ]
+    )
+    best = F.array_min(pairs)
+    return q.select(
+        "vec_id",
+        "qv",
+        best["k"].alias("cluster"),
+        best["d2"].alias("d2"),
+    )
+
+
+def _kmeans_centroids(spark: SparkSession, sf_dir: str) -> list[list[int]]:
+    """Seed + ROUNDS Lloyd updates, memoized per (app, sf_dir).
+
+    Driver round-trips are bounded exactly like the IVF coarse
+    quantizer's (the documented collect exception): the seed fetch is
+    K×dim bigints via TakeOrderedAndProject, and each update collects
+    K×dim (sum, count) partials — the shuffle carries K×dim rows after
+    map-side combine, never the vectors. New centroid components are
+    FLOOR(sum/count) computed with python floor division, mirrored in
+    SQL as (s - pmod(s, n)) / n (DuckDB's // truncates toward zero, so
+    the remainder is subtracted first — exact for negative sums too).
+    Empty clusters keep their previous centroid."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+
+    def _build() -> list[list[int]]:
+        q = _kmeans_quantized(spark, sf_dir)
+        seeds = (
+            q.orderBy(
+                F.md5(F.concat(F.lit("kmeans:"), F.col("vec_id").cast("string"))),
+                "vec_id",
+            )
+            .limit(KMEANS_ASSIGN_K)
+            .select("qv")
+            .collect()
+        )
+        cents = [list(r.qv) for r in seeds]
+        if not cents:
+            return []
+        for _ in range(KMEANS_ASSIGN_ROUNDS):
+            rows = (
+                _kmeans_assign_df(q, cents)
+                .select("cluster", F.posexplode("qv").alias("pos", "x"))
+                .groupBy("cluster", "pos")
+                .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+                .collect()
+            )
+            by_k: dict[int, dict[int, int]] = {}
+            for r in rows:
+                by_k.setdefault(r.cluster, {})[r.pos] = int(r.s) // int(r.n)
+            cents = [
+                [by_k[k][p] for p in sorted(by_k[k])] if k in by_k else cents[k]
+                for k in range(len(cents))
+            ]
+        return cents
+
+    return memo_get(_kmeans_cent_memo, key, _build)
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled-CTE DuckDB mirror of seed → ROUNDS updates → final
+    assignment. Distances/updates expand per-dimension over a dims
+    table (1..KMEANS_ASSIGN_DIM); centroids stay in flat (k, pos, c)
+    form between rounds."""
+    k, scale, dim = KMEANS_ASSIGN_K, KMEANS_ASSIGN_SCALE, KMEANS_ASSIGN_DIM
+    parts = [
+        f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * {scale}.0) AS BIGINT)) AS qv
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    dims AS (SELECT CAST(r.range AS INT) AS pos FROM range(1, {dim + 1}) r),
+    seeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY sk, vec_id) AS INT) - 1 AS k,
+             qv AS c
+      FROM (SELECT vec_id, qv,
+                   md5('kmeans:' || CAST(vec_id AS VARCHAR)) AS sk
+            FROM q ORDER BY sk, vec_id LIMIT {k}) s
+    ),
+    c0 AS (SELECT s.k, d.pos, s.c[d.pos] AS c
+           FROM seeds s CROSS JOIN dims d)"""
+    ]
+    prev = "c0"
+    for r in range(1, KMEANS_ASSIGN_ROUNDS + 1):
+        parts.append(
+            f""",
+    a{r} AS (
+      SELECT vec_id, k FROM (
+        SELECT t.vec_id, t.k,
+               row_number() OVER (PARTITION BY t.vec_id
+                                  ORDER BY t.d2, t.k) AS rn
+        FROM (SELECT q.vec_id, c.k,
+                     SUM((q.qv[c.pos] - c.c) * (q.qv[c.pos] - c.c)) AS d2
+              FROM q CROSS JOIN {prev} c GROUP BY q.vec_id, c.k) t
+      ) WHERE rn = 1
+    ),
+    u{r} AS (
+      SELECT a.k, d.pos, SUM(q.qv[d.pos]) AS s, COUNT(*) AS n
+      FROM a{r} a JOIN q USING (vec_id) CROSS JOIN dims d
+      GROUP BY a.k, d.pos
+    ),
+    c{r} AS (
+      SELECT p.k, p.pos,
+             COALESCE(CAST((u.s - (((u.s % u.n) + u.n) % u.n)) / u.n
+                           AS BIGINT), p.c) AS c
+      FROM {prev} p LEFT JOIN u{r} u ON u.k = p.k AND u.pos = p.pos
+    )"""
+        )
+        prev = f"c{r}"
+    parts.append(
+        f""",
+    afinal AS (
+      SELECT vec_id, k, d2 FROM (
+        SELECT t.vec_id, t.k, t.d2,
+               row_number() OVER (PARTITION BY t.vec_id
+                                  ORDER BY t.d2, t.k) AS rn
+        FROM (SELECT q.vec_id, c.k,
+                     CAST(SUM((q.qv[c.pos] - c.c) * (q.qv[c.pos] - c.c))
+                          AS BIGINT) AS d2
+              FROM q CROSS JOIN {prev} c GROUP BY q.vec_id, c.k) t
+      ) WHERE rn = 1
+    )
+    SELECT k AS cluster, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(d2) AS BIGINT) AS sse,
+           CAST(SUM(vec_id) AS BIGINT) AS id_checksum
+    FROM afinal GROUP BY k"""
+    )
+    return "".join(parts)
+
+
+@query("sim_kmeans_assign", oracle=_kmeans_oracle())
+def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means, bit-exact across engines: seed with
+    the K smallest vectors by salted md5 (deterministic exact-k draw,
+    no RNG), run KMEANS_ASSIGN_ROUNDS assignment→update rounds in
+    exact quantized-integer arithmetic, then report per-cluster size,
+    integer SSE and a vec_id checksum of the final assignment.
+
+    This is the registry's oracle-CHECKED iterative-clustering key
+    (the IVF coarse quantizer runs a float k-means internally but is
+    rows-only by construction): every argmin and every centroid is
+    bit-identical in Spark and DuckDB because all arithmetic is bigint
+    (ties broken to the smallest cluster id, means floor-divided).
+
+    Scale design (MLlib KMeans' shape): assignment is a zero-shuffle
+    map pass against K literal centroids (in-row zip_with fold,
+    codegen); the update shuffle carries K×dim (sum, count) partials
+    after map-side combine — never the vectors; the two driver
+    round-trips per round are K×dim bigints (the documented bounded
+    collect exception). SSE is summed as bigint — at extreme corpus
+    sizes the final SUM would need decimal(38,0), noted here rather
+    than silently widened. Dimensionality is mirrored in the oracle
+    via KMEANS_ASSIGN_DIM (a config constant, like the histogram
+    panel's); a corpus with different dims fails the value gate
+    loudly instead of passing vacuously."""
+    q = _kmeans_quantized(spark, sf_dir)
+    cents = _kmeans_centroids(spark, sf_dir)
+    if not cents:
+        return spark.createDataFrame(
+            [], "cluster int, n long, sse long, id_checksum long"
+        )
+    return (
+        _kmeans_assign_df(q, cents)
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("d2").alias("sse"),
+            F.sum("vec_id").alias("id_checksum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# embeddings_gram_matrix — mapInPandas partial-aggregation Gram matrix
+# ---------------------------------------------------------------------------
+
+GRAM_SCALE = 1000  # component quantization for exact integer products
+
+
+@query(
+    "embeddings_gram_matrix",
+    oracle=f"""
+    WITH q AS (
+      SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * {GRAM_SCALE}.0) AS BIGINT))
+               AS qv
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    dims AS (SELECT CAST(r.range AS INT) AS pos
+             FROM range(1, {KMEANS_ASSIGN_DIM + 1}) r)
+    SELECT di.pos AS i, dj.pos AS j,
+           CAST(SUM(q.qv[di.pos] * q.qv[dj.pos]) AS BIGINT) AS gram
+    FROM q CROSS JOIN dims di CROSS JOIN dims dj
+    WHERE di.pos <= dj.pos
+    GROUP BY di.pos, dj.pos
+    """,
+)
+def embeddings_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle Gram matrix XᵀX over floor-quantized integer
+    components — the dense d×d summary under distributed PCA /
+    covariance / linear-probe fitting: compute the small summary with
+    one pass over the corpus, solve the d×d problem on the driver,
+    broadcast the projection back.
+
+    Scale design — the vectorized partial-aggregation pattern: each
+    Arrow batch computes its d×d integer Gram with one numpy matmul
+    (the ONLY Python stage, batched — never per-row), emits the d(d+1)/2
+    upper-triangle cells, and the groupBy sums partials — the shuffle
+    carries (#batches)×d(d+1)/2 cells after map-side combine, never the
+    vectors. int64 throughout: |q| ≤ {GRAM_SCALE}·max|x|, so per-batch
+    products cannot overflow and cross-engine sums are exact (at
+    extreme corpus sizes the final SUM would need decimal(38,0), noted
+    rather than silently widened)."""
+    e = load(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
+    qdf = e.select(
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * GRAM_SCALE).cast("long"),
+        ).alias("qv")
+    )
+
+    def _partial_gram(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = _np.array([_np.asarray(v) for v in pdf["qv"]], dtype=_np.int64)
+            G = X.T @ X
+            iu = _np.triu_indices(G.shape[0])
+            yield _pd.DataFrame(
+                {
+                    "i": (iu[0] + 1).astype("int32"),
+                    "j": (iu[1] + 1).astype("int32"),
+                    "partial": G[iu],
+                }
+            )
+
+    return (
+        qdf.mapInPandas(_partial_gram, schema="i int, j int, partial long")
+        .groupBy("i", "j")
+        .agg(F.sum("partial").alias("gram"))
     )
