@@ -57,14 +57,23 @@ KEYS = [
     # round 6 (cont.): the mapInPandas partial-Gram must sum to the
     # same integers whatever the Arrow batch/partition layout
     "embeddings_gram_matrix",
+    # round 6 (cont.): ppm ratios off shuffled counts, md5-ranked
+    # balanced draw, and the decimal windowed prior-spend sum
+    "orders_association_rules",
+    "sample_class_balance",
+    "etl_feature_pointintime",
 ]
 
 
 def _rows(spark, key):
     df = REGISTRY[key].fn(spark, SF_SMOKE)
     cols = sorted(df.columns)
+    rows = [tuple(r[c] for c in cols) for r in df.select(*cols).collect()]
+    # canonical order only (equality still compares raw values): the
+    # (is-None, str) key tolerates NULL cells, which plain tuple
+    # comparison cannot (etl_feature_pointintime's first-order lag)
     return sorted(
-        [tuple(r[c] for c in cols) for r in df.select(*cols).collect()]
+        rows, key=lambda t: tuple((v is None, str(v)) for v in t)
     )
 
 

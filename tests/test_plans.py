@@ -521,3 +521,38 @@ def test_gram_matrix_shuffles_cells_not_vectors(spark):
     assert exchanges, plan
     for ex in exchanges:
         assert "qv" not in ex and "embedding" not in ex, ex
+
+
+def test_association_rules_filter_before_item_joins_no_order_self_join(spark):
+    """Rule mining rides the shuffle-free co-purchase pair build: no
+    join in the plan may key on l_orderkey (an order-level self-join
+    means the pair relation regressed), and the min-support filter
+    must prune the pair side BEFORE the item-count joins (the filter
+    appears below the joins in the executed plan, not above)."""
+    from uchr_scetl_spark.operators.graph import clear_graph_caches
+
+    clear_graph_caches(SF_SMOKE)
+    plan = plan_of(spark, "orders_association_rules")
+    for ln in plan.splitlines():
+        if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln:
+            assert "l_orderkey" not in ln, ln
+    joins_at = plan.find("Join")
+    sup_at = plan.find("(w")
+    assert "(w" in plan and joins_at != -1, plan
+    # the support predicate must sit strictly below the first join
+    # operator in the tree printout (higher index = deeper)
+    assert plan.find(">= 2") > joins_at, plan
+
+
+def test_feature_pointintime_single_customer_exchange(spark):
+    """Both window specs (the strictly-prior range frame and the
+    recency lag) partition on o_custkey — the plan must contain
+    exactly ONE hash exchange, on o_custkey, serving both sorts; a
+    second exchange means the specs stopped sharing their
+    partitioning."""
+    plan = plan_of(spark, "etl_feature_pointintime")
+    import re
+
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^,)]*)", plan)
+    assert len(exchanges) == 1, plan
+    assert exchanges[0].startswith("o_custkey"), plan

@@ -315,3 +315,55 @@ def sample_reservoir_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(RESERVOIR_K)
         .select("doc_id", "lang", "source")
     )
+
+
+@query(
+    "sample_class_balance",
+    oracle="""
+    WITH e AS (SELECT vec_id, label FROM embeddings WHERE label IS NOT NULL),
+    cap AS (
+      SELECT CAST(MIN(cnt) AS BIGINT) AS cap
+      FROM (SELECT COUNT(*) AS cnt FROM e GROUP BY label)
+    ),
+    ranked AS (
+      SELECT vec_id, label,
+             row_number() OVER (
+               PARTITION BY label
+               ORDER BY md5('bal:' || CAST(vec_id AS VARCHAR)), vec_id
+             ) AS rn
+      FROM e
+    )
+    SELECT vec_id, label FROM ranked CROSS JOIN cap WHERE rn <= cap
+    """,
+)
+def sample_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic class-balanced downsample: every label keeps
+    exactly min-class-count rows — the k smallest per label by salted
+    md5 (the repo's standard exact-k no-RNG draw), so the result is
+    reproducible across engines and runs. The training staple before
+    fitting any classifier head on skewed labels.
+
+    Scale design: one partial+final count to find the cap (≤ |labels|
+    rows, broadcast back as a 1-row scalar), then a per-label
+    row_number window — the shuffle partitions by label, the rank
+    heap is bounded per stratum, and no Python touches the path. A
+    heavily-skewed label space would salt the window key; labels here
+    are near-uniform by construction."""
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .where(F.col("label").isNotNull())
+        .select("vec_id", "label")
+    )
+    cap = e.groupBy("label").agg(F.count("*").alias("cnt")).agg(
+        F.min("cnt").alias("cap")
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.concat(F.lit("bal:"), F.col("vec_id").cast("string"))),
+        "vec_id",
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(cap))
+        .where(F.col("rn") <= F.col("cap"))
+        .select("vec_id", "label")
+    )

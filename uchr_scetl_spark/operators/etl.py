@@ -768,3 +768,76 @@ def etl_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         dec_sum("o_totalprice", "total_price"),
     )
+
+
+@query(
+    "etl_feature_pointintime",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS day
+      FROM orders
+    )
+    SELECT o_orderkey, o_custkey,
+           CAST(COUNT(*) OVER prior_days AS BIGINT) AS cnt_prior,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(24,6)))
+                           OVER prior_days, 0) AS DOUBLE) AS sum_prior,
+           CAST(day - lag(day) OVER seq AS BIGINT) AS days_since_prev
+    FROM o
+    WINDOW
+      prior_days AS (PARTITION BY o_custkey ORDER BY day
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      seq AS (PARTITION BY o_custkey ORDER BY day, o_orderkey)
+    """,
+)
+def etl_feature_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature extraction — the feature-store join
+    discipline: for every order, aggregates over that customer's
+    STRICTLY EARLIER orders only (no same-day leakage: the frame is
+    RANGE ... 1 PRECEDING on the integer day key, so every order
+    placed the same day is excluded from its own features), plus the
+    recency gap to the previous order. Training a model on these
+    columns can never see the label row's own day — the exact
+    property batch backfills get wrong when they join on ≤.
+
+    Prior spend runs through the decimal detour (exprs.py) so the
+    windowed double sum is order-insensitive and engine-exact; empty
+    frames coalesce to 0. The recency lag orders by (day, orderkey) —
+    a deterministic total order even among same-day orders.
+
+    Scale design: one shuffle on o_custkey serves both window specs
+    (same partition key); the range frame is a single forward sweep
+    per partition (WindowExec keeps running sum/count, no per-row
+    rescan). Skewed customers would salt + two-level the frame; TPC-H
+    customers are near-uniform."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.to_date(F.lit("1970-01-01"))
+        ).alias("day"),
+    )
+    prior = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    seq = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count("*").over(prior).cast("long").alias("cnt_prior"),
+        F.coalesce(
+            F.sum(F.col("o_totalprice").cast("decimal(24,6)")).over(prior),
+            F.lit(0).cast("decimal(24,6)"),
+        )
+        .cast("double")
+        .alias("sum_prior"),
+        (F.col("day") - F.lag("day").over(seq)).cast("long").alias(
+            "days_since_prev"
+        ),
+    )

@@ -362,3 +362,85 @@ def graph_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= COPURCHASE_TOP_K)
         .select("part_id", "partner", "w")
     )
+
+
+MIN_RULE_SUPPORT = 2  # minimum co-occurrence (orders containing both)
+RULE_PPM = 1_000_000  # metrics reported as exact integer parts-per-million
+
+
+@query(
+    "orders_association_rules",
+    oracle=f"""
+    WITH {_SQL_COPURCHASE},
+    items AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c
+      FROM li GROUP BY l_partkey
+    ),
+    nn AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n
+           FROM lineitem)
+    SELECT p.a, p.b, p.w AS n_orders_both,
+           CAST(({RULE_PPM} * p.w) // ia.c AS BIGINT) AS conf_ab_ppm,
+           CAST(({RULE_PPM} * p.w) // ib.c AS BIGINT) AS conf_ba_ppm,
+           CAST(({RULE_PPM} * p.w) // nn.n AS BIGINT) AS support_ppm,
+           CAST(({RULE_PPM} * nn.n * p.w) // (ia.c * ib.c) AS BIGINT)
+             AS lift_ppm
+    FROM pairs p
+    JOIN items ia ON ia.l_partkey = p.a
+    JOIN items ib ON ib.l_partkey = p.b
+    CROSS JOIN nn
+    WHERE p.w >= {MIN_RULE_SUPPORT}
+    """,
+)
+def orders_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over the co-purchase pairs:
+    for every part pair supported by ≥ {MIN_RULE_SUPPORT} orders,
+    both directed confidences, support, and lift — the classic
+    recommend-/bundle-mining read off the same canonical edge
+    relation graph_copurchase_topk ranks.
+
+    All metrics are exact integer parts-per-million: floor(ppm·w/c)
+    etc. via integer division on all-positive operands, where Spark's
+    `div` and DuckDB's `//` agree — no float ratio ever crosses the
+    engine boundary, so the value gate is bit-exact. (At extreme
+    corpus sizes the ppm·N·w lift numerator would need decimal
+    widening — noted, not silently cast.)
+
+    Scale design: the support filter prunes the pair relation BEFORE
+    the two item-count joins (pairs ≫ items; both joins are equi-joins
+    on the part key, broadcast-eligible when the item vocabulary is
+    small); the order total is a 1-row broadcast. The expensive input —
+    pair counts — is the memoized shuffle-free co-purchase build, paid
+    once per session for the whole graph family."""
+    ew = _copurchase_weighted(spark, sf_dir).where(
+        F.col("w") >= MIN_RULE_SUPPORT
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    items = li.groupBy("l_partkey").agg(F.count("*").alias("c"))
+    nn = li.select("l_orderkey").distinct().agg(F.count("*").alias("n"))
+    joined = (
+        ew.join(
+            items.select(F.col("l_partkey").alias("a"), F.col("c").alias("ca")),
+            "a",
+        )
+        .join(
+            items.select(F.col("l_partkey").alias("b"), F.col("c").alias("cb")),
+            "b",
+        )
+        .crossJoin(F.broadcast(nn))
+    )
+    ppm = RULE_PPM
+    return joined.select(
+        "a",
+        "b",
+        F.col("w").alias("n_orders_both"),
+        F.expr(f"CAST(({ppm} * w) div ca AS BIGINT)").alias("conf_ab_ppm"),
+        F.expr(f"CAST(({ppm} * w) div cb AS BIGINT)").alias("conf_ba_ppm"),
+        F.expr(f"CAST(({ppm} * w) div n AS BIGINT)").alias("support_ppm"),
+        F.expr(f"CAST(({ppm} * n * w) div (ca * cb) AS BIGINT)").alias(
+            "lift_ppm"
+        ),
+    )
