@@ -268,6 +268,50 @@ AUDITS: dict[str, tuple[str, list[str]]] = {
         "no shuffle join anywhere in the merge loop.",
         [r"InMemoryTableScan", r"TakeOrderedAndProject", r"Broadcast"],
     ),
+    "graph_triangle_count": (
+        "Triangle census: wedges come from an in-row ordered-pair "
+        "explode of per-node adjacency arrays (Generate, no edge "
+        "self-join on raw lineitem); the closing check is an equi-join "
+        "against the derived oriented-edge relation.",
+        [r"Generate explode", r"SortMergeJoin|BroadcastHashJoin"],
+    ),
+    "etl_scd2_pointintime": (
+        "Fact-to-versioned-dim as-of: BROADCAST equi-join on the "
+        "business key with the validity window as a residual filter - "
+        "never a nested-loop range join over the fact table.",
+        [r"BroadcastHashJoin"],
+    ),
+    "text_hashing_features": (
+        "Hashing-trick featurizer: raw tokens never cross a shuffle - "
+        "every exchange partitions on int64 (doc_id, bucket) keys "
+        "hashed before aggregation.",
+        [r"Exchange hashpartitioning", r"xxhash64|hash"],
+    ),
+    "sim_kmeans_assign": (
+        "Exact-integer Lloyd assignment: a joinless map against K "
+        "literal centroids (in-row zip_with fold); the single exchange "
+        "is the K-row per-cluster stats aggregation.",
+        [r"Exchange hashpartitioning\(cluster", r"HashAggregate"],
+    ),
+    "embeddings_gram_matrix": (
+        "Distributed Gram: one vectorized MapInPandas computes each "
+        "Arrow batch's dxd integer partial; the only shuffle carries "
+        "(i, j, partial) cells - the vectors never cross an exchange.",
+        [r"MapInPandas", r"Exchange hashpartitioning", r"HashAggregate"],
+    ),
+    "orders_association_rules": (
+        "Market-basket rules: min-support filter prunes the memoized "
+        "pair relation BEFORE the item-count equi-joins; no join keys "
+        "on l_orderkey (the pair build is the shuffle-free in-row "
+        "explode, shared across the graph family).",
+        [r"InMemoryTableScan", r"SortMergeJoin|BroadcastHashJoin"],
+    ),
+    "etl_feature_pointintime": (
+        "Point-in-time features: both window specs (strictly-prior "
+        "range frame + recency lag) ride ONE o_custkey exchange; the "
+        "range frame is a single running sweep per partition.",
+        [r"Exchange hashpartitioning\(o_custkey", r"Window"],
+    ),
 }
 
 

@@ -40,6 +40,12 @@ weight sums — overhead-bound at this size). text_bpe_merge_rounds
 0.7x at 4x — replication grows the corpus but NOT the vocabulary
 (replicas share words), so the vocabulary-iteration claim shows up as
 a near-flat curve with only the one corpus scan growing.
+Round-6 continuation keys (same setup): sim_kmeans_assign ~1.0x at
+4x (assignment is a map; the K×dim update partials don't grow),
+embeddings_gram_matrix 1.7x at 4x (per-batch matmul linear in rows,
+shuffle fixed at d(d+1)/2 cells per batch), orders_association_rules
+0.9x at 4x (replicated baskets keep the pair key space fixed —
+pure partial-aggregate growth).
 dedup_containment measures 11x at 4x — the simhash class, amplified:
 its output is ORDERED pairs, so k-fold twin replication grows the
 true result (and the exact intersection work) ~k²; its df cap is the
@@ -86,6 +92,16 @@ KEYS = [
     "agg_percentile_exact_distributed",
     "agg_weighted_median_distributed",
     "text_bpe_merge_rounds",
+    # round 6 (cont.): k-means (embeddings axis — assignment is a
+    # zero-shuffle map, update partials are K×dim regardless of corpus
+    # size, so wall should grow ~linearly with the vector count), the
+    # mapInPandas Gram (cells per batch are d(d+1)/2 regardless of
+    # rows), and association rules (lineitem axis — replication
+    # repeats the same baskets, so the PAIR KEY SPACE stays fixed
+    # while counts grow: the pure partial-aggregate regime)
+    "sim_kmeans_assign",
+    "embeddings_gram_matrix",
+    "orders_association_rules",
 ]
 
 FACTORS = [1, 2, 4]
