@@ -62,6 +62,10 @@ KEYS = [
     "orders_association_rules",
     "sample_class_balance",
     "etl_feature_pointintime",
+    # round 6 (cont.): skip-gram pair counts + deterministic k-prefix,
+    # and OLS over exact sufficient statistics
+    "text_cooccurrence_topk",
+    "agg_group_ols_trend",
 ]
 
 

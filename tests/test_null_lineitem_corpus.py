@@ -48,6 +48,9 @@ KEYS = [
     "win_running",
     "win_time_range",
     "win_topk_per_group",
+    # round 6 (cont.): OLS trend filters null ship dates/prices on
+    # both sides — the exact corpus this gate nulls
+    "agg_group_ols_trend",
 ]
 
 REGISTRY = load_registry()

@@ -45,6 +45,7 @@ KEYS = [
     "text_bpe_merge_rounds",
     "text_bpe_apply_merges",
     "text_hashing_features",
+    "text_cooccurrence_topk",
     "dedup_exact",
     "dedup_containment",
     "dedup_exact_keep_best",

@@ -556,3 +556,28 @@ def test_feature_pointintime_single_customer_exchange(spark):
     exchanges = re.findall(r"Exchange hashpartitioning\(([^,)]*)", plan)
     assert len(exchanges) == 1, plan
     assert exchanges[0].startswith("o_custkey"), plan
+
+
+def test_cooccurrence_topk_in_row_pairs_heap_topk(spark):
+    """Skip-gram pair generation must be the in-row nested-sequence
+    explode (Generate), never a token-position self-join; the global
+    top-k must compile to TakeOrderedAndProject (bounded heap), never
+    a full sort."""
+    plan = plan_of(spark, "text_cooccurrence_topk")
+    assert "Generate" in plan, plan
+    for op in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
+        assert op not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_ols_trend_broadcast_dim_single_brand_exchange(spark):
+    """The part dimension join must broadcast (no fact shuffle on
+    l_partkey) and the only hash exchange is the p_brand stats
+    aggregation."""
+    import re
+
+    plan = plan_of(spark, "agg_group_ols_trend")
+    assert "BroadcastHashJoin" in plan, plan
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^,)]*)", plan)
+    assert len(exchanges) == 1, plan
+    assert exchanges[0].startswith("p_brand"), plan

@@ -1176,3 +1176,75 @@ def text_hashing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.max("tf").alias("max_tf"),
     )
+
+
+COOC_WINDOW = 5  # skip-gram radius: pair (i, j) counted when j - i <= 5
+COOC_TOPK = 50
+
+
+@query(
+    "text_cooccurrence_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts
+      FROM documents WHERE text IS NOT NULL
+    ),
+    pos AS (
+      SELECT doc_id, unnest(ts) AS tok,
+             CAST(generate_subscripts(ts, 1) AS INT) AS i
+      FROM toks
+    ),
+    pairs AS (
+      SELECT least(p1.tok, p2.tok) AS a, greatest(p1.tok, p2.tok) AS b
+      FROM pos p1 JOIN pos p2
+        ON p1.doc_id = p2.doc_id
+       AND p2.i > p1.i AND p2.i <= p1.i + {COOC_WINDOW}
+    ),
+    counted AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_cooc FROM pairs GROUP BY a, b
+    )
+    SELECT a, b, n_cooc,
+           CAST(row_number() OVER (ORDER BY n_cooc DESC, a, b) AS BIGINT)
+             AS rnk
+    FROM counted
+    ORDER BY n_cooc DESC, a, b LIMIT {COOC_TOPK}
+    """,
+)
+def text_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence counts (window ≤ {COOC_WINDOW} tokens,
+    unordered canonical pairs) with a global top-k — the word2vec /
+    GloVe preprocessing pass: the counted pair matrix IS the training
+    signal those embedding models factorize.
+
+    Scale design: pair generation is an IN-ROW nested-sequence
+    transform over each document's token array (codegen, bounded by
+    doc_len·window per doc) — never a position self-join, which at
+    100 TB would shuffle every token row twice and explode on long
+    documents (the oracle uses the self-join formulation precisely
+    because it is the readable quadratic-in-window mirror at test
+    scale). The count is one partial+final aggregation on the pair
+    key; the top-k compiles to TakeOrderedAndProject (bounded heap per
+    partition + single merge, never a global sort). Ties are fully
+    ordered by (count DESC, a, b), so the k-prefix is deterministic
+    across engines and layouts."""
+    d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    ts = d.select(tokens().alias("ts")).where(F.size("ts") >= 2)
+    pair = F.expr(
+        f"""
+        flatten(transform(sequence(1, size(ts) - 1), i ->
+          transform(sequence(i + 1, least(i + {COOC_WINDOW}, size(ts))), j ->
+            struct(least(ts[i-1], ts[j-1]) AS a,
+                   greatest(ts[i-1], ts[j-1]) AS b))))
+        """
+    )
+    counted = (
+        ts.select(F.explode(pair).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count("*").alias("n_cooc"))
+    )
+    w = Window.orderBy(F.col("n_cooc").desc(), "a", "b")
+    return (
+        counted.orderBy(F.col("n_cooc").desc(), "a", "b")
+        .limit(COOC_TOPK)
+        .withColumn("rnk", F.row_number().over(w))
+    )

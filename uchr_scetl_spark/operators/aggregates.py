@@ -1304,3 +1304,106 @@ def agg_time_decay_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("decayed_revenue"),
         )
     )
+
+
+@query(
+    "agg_group_ols_trend",
+    oracle="""
+    WITH pts AS (
+      SELECT p.p_brand,
+             CAST(EXTRACT(year FROM CAST(l.l_shipdate AS DATE)) * 12
+                  + EXTRACT(month FROM CAST(l.l_shipdate AS DATE))
+                  - 23904 AS BIGINT) AS x,
+             l.l_extendedprice * (1 - l.l_discount) AS y
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_shipdate IS NOT NULL
+        AND l.l_extendedprice IS NOT NULL AND l.l_discount IS NOT NULL
+    ),
+    stats AS (
+      SELECT p_brand,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(CAST(y AS DECIMAL(24,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(CAST(y AS DECIMAL(18,4)) * CAST(x AS DECIMAL(10,0))
+                           AS DECIMAL(30,4))) AS DOUBLE) AS sxy
+      FROM pts GROUP BY p_brand
+    )
+    SELECT p_brand, n, sy AS sum_revenue,
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             AS slope_per_month,
+           (sy - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                 * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept_at_1992
+    FROM stats
+    """,
+)
+def agg_group_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand revenue trend: ordinary-least-squares slope/intercept
+    of monthly revenue against a month index, fitted from exact
+    sufficient statistics — the grouped regression Spark has no
+    built-in aggregate for (regr_slope exists in SQL but sums doubles
+    in arrival order; this formulation is reproducible).
+
+    Engine-exactness discipline: the five sufficient statistics are
+    all order-insensitive exacts — integer sums for n/Σx/Σx², the
+    decimal detour (exprs.py) for Σy and Σxy. Two deliberate choices
+    keep Σxy's decimal→double cast bit-identical across engines
+    (Spark converts via correctly-rounded BigDecimal, DuckDB via
+    scaled-int / 10^s — they can differ an ulp once |sum|·10^s
+    exceeds 2^53): the month index is CENTERED at 1992 (x −= 23904 —
+    slope-invariant, shrinks |Σxy| ~200×; the intercept is therefore
+    reported AT the 1992 origin) and the product is summed at
+    DECIMAL scale 4, where y = price·(1−disc) exactly terminates
+    (2+2 decimals; x integral). The slope and intercept are then
+    computed in DOUBLE arithmetic over identical expression trees on
+    both engines — deterministic given identical inputs, the
+    REVENUE/CHARGE precedent.
+
+    Scale design: one broadcast dim join (part on l_partkey) + one
+    partial+final aggregation on p_brand — the shuffle carries 5
+    numbers per (brand, task). The null filters mirror the null-gate
+    corpora: a null ship date or price contributes to neither n nor
+    the sums on either engine."""
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
+        & F.col("l_discount").isNotNull()
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    d = F.col("l_shipdate").cast("date")
+    x = (F.year(d) * 12 + F.month(d) - 23904).cast("long")
+    y = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pts = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).select(
+        "p_brand", x.alias("x"), y.alias("y")
+    )
+    stats = pts.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(24,6)")).cast("double").alias("sy"),
+        F.sum(
+            (
+                F.col("y").cast("decimal(18,4)")
+                * F.col("x").cast("decimal(10,0)")
+            ).cast("decimal(30,4)")
+        )
+        .cast("double")
+        .alias("sxy"),
+    )
+    nD = F.col("n").cast("double")
+    sxD = F.col("sx").cast("double")
+    sxxD = F.col("sxx").cast("double")
+    slope = (nD * F.col("sxy") - sxD * F.col("sy")) / (
+        nD * sxxD - sxD * sxD
+    )
+    return stats.select(
+        "p_brand",
+        "n",
+        F.col("sy").alias("sum_revenue"),
+        slope.alias("slope_per_month"),
+        ((F.col("sy") - slope * sxD) / nD).alias("intercept_at_1992"),
+    )
