@@ -426,14 +426,14 @@ def test_containment_join_carries_int_shingles_no_cartesian(spark):
 
 
 def test_triangle_count_wedges_from_collect_set(spark):
-    """Triangle counting must generate wedges from the per-source
-    adjacency arrays (collect_set + in-row ordered-pair explode), not
-    an edge×edge self-join of raw lineitem: after clearing the shared
-    edge memo the whole executed plan may scan lineitem exactly once,
-    and the wedge stage must be an explode Generate. (The closing
-    equi-join against the oriented edge relation and the deg
-    annotation joins are equi-joins over the derived — cached —
-    relations, not re-scans.)"""
+    """Triangle counting must finish by PER-EDGE INTERSECTION of
+    broadcast out-adjacency arrays (array_intersect in-row — the
+    wedge set is never materialized as rows), never an edge×edge
+    self-join of raw lineitem: after clearing the shared edge memo
+    the only Generate in the plan is the pair build's in-row explode,
+    and no join keys on raw lineitem columns. (The deg annotation
+    joins are equi-joins over the derived — cached — relations, not
+    re-scans.)"""
     from uchr_scetl_spark.operators.graph import clear_graph_caches
 
     clear_graph_caches(SF_SMOKE)
@@ -453,6 +453,7 @@ def test_triangle_count_wedges_from_collect_set(spark):
         assert "l_orderkey" not in ln and "l_partkey" not in ln, ln
     assert "CartesianProduct" not in plan, plan
     assert "Generate explode" in plan, plan
+    assert "array_intersect" in plan, plan
 
 
 def test_scd2_pointintime_dim_is_broadcast_with_residual_validity(spark):

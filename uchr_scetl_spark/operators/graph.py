@@ -296,18 +296,35 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(ka < kb, kb).otherwise(ka).alias("dstk"),
     ).localCheckpoint(eager=False)
-    adj = oriented.groupBy("src").agg(F.collect_set("dstk").alias("ns"))
-    wedge = F.expr(
-        "flatten(transform(ns, x ->"
-        " transform(filter(ns, y -> y > x),"
-        " y -> struct(x.id AS lo, y.id AS hi))))"
-    )
-    wedges = adj.select(F.explode(wedge).alias("w")).select("w.lo", "w.hi")
-    closing = oriented.select(
-        F.col("src").alias("lo"), F.col("dstk.id").alias("hi")
-    )
-    tri = wedges.join(closing, ["lo", "hi"]).agg(
-        F.count("*").alias("n_triangles")
+    # Triangle finish by PER-EDGE INTERSECTION instead of a wedge
+    # join: for oriented edge u→v, every common out-neighbour w closes
+    # u→v, u→w, v→w — each triangle counted exactly once at its
+    # min-(deg, id) corner. The out-adjacency relation is |nodes| rows
+    # (O(√m)-bounded arrays) and BROADCASTS to both sides, so the only
+    # materialized relations are O(m): the O(m^1.5) wedge work happens
+    # in-row inside array_intersect, never as a shuffled row set.
+    # (The previous explode-the-wedges formulation materialized 41M
+    # wedge rows at sf0.1 against 1.2M edges — 28s of shuffle+join;
+    # this form is the same asymptotics with no wedge relation at
+    # all. At 100 TB, if the adjacency outgrows broadcast, both
+    # lookups degrade to co-partitioned equi-joins on src — the plan
+    # shape below is the small-dim fast path.)
+    adj = oriented.groupBy("src").agg(F.collect_set("dstk.id").alias("ns"))
+    ev = oriented.select("src", F.col("dstk.id").alias("dst"))
+    tri = (
+        ev.join(
+            F.broadcast(adj.select(F.col("src").alias("u"), F.col("ns").alias("ns_u"))),
+            F.col("src") == F.col("u"),
+        )
+        .join(
+            F.broadcast(adj.select(F.col("src").alias("v"), F.col("ns").alias("ns_v"))),
+            F.col("dst") == F.col("v"),
+        )
+        .agg(
+            F.sum(
+                F.size(F.array_intersect(F.col("ns_u"), F.col("ns_v")))
+            ).alias("n_triangles")
+        )
     )
     n_nodes = deg.agg(F.count("*").alias("n_nodes"))
     n_edges = edges.agg(F.count("*").alias("n_edges"))
