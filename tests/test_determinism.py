@@ -70,6 +70,9 @@ KEYS = [
     # Poisson resample weights — both must ignore partition layout
     "events_anomaly_mad",
     "agg_bootstrap_means",
+    # round 6 (cont.): duration-weighted decimal sums off a per-stream
+    # lead window
+    "events_time_weighted_avg",
 ]
 
 

@@ -41,6 +41,8 @@ KEYS = [
     "events_attribution_linear",
     "events_markov_transitions",
     "events_peak_concurrency",
+    "events_anomaly_mad",
+    "events_time_weighted_avg",
     "stream_tumbling_counts",
     "stream_sliding_avg",
     "stream_session_windows",

@@ -895,3 +895,78 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("dev") > 3 * F.col("mad"))
         .select("event_type", "day", "cnt", "med", "mad")
     )
+
+
+@query(
+    "events_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type, value,
+             (epoch_us(lead(ts) OVER (PARTITION BY event_type, user_id
+                                      ORDER BY ts, event_id)) // 1000000)
+               - (epoch_us(ts) // 1000000) AS dur
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(dur) AS BIGINT) AS total_seconds,
+           CAST(SUM(CAST(value AS DECIMAL(14,2)) * dur) AS DOUBLE)
+             / SUM(dur) AS twap
+    FROM seq WHERE dur IS NOT NULL AND dur > 0
+    GROUP BY event_type
+    """,
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per event type — the IoT/markets
+    aggregate a plain AVG gets wrong: each reading holds until the
+    next one in ITS OWN (type, user) stream, so its weight is that
+    interval's duration in seconds (the piecewise-constant integral ÷
+    total covered time). Final readings (no successor) and zero-gap
+    duplicates carry no time and drop out identically on both
+    engines.
+
+    Engine-exactness: durations are whole-second differences of
+    FLOORED epoch marks (integer µs // 1e6 on both engines — epoch()
+    of an interval vs per-timestamp unix seconds truncate sub-second
+    components differently, measured 26s drift over 3.3e8) off a
+    deterministic (ts, event_id) order; value terminates at 2
+    decimals, so value·dur is exact at DECIMAL scale 2 (summed at
+    (24,2) — magnitudes: |value| ≤ ~1e2, dur ≤ weeks ≈ 1e6 s, so
+    per-row products stay ≤ 1e8 and corpus sums far under the
+    decimal→double 2^53 exactness edge); one deterministic double
+    division at the end.
+
+    Scale design: one shuffle on (event_type, user_id) for the lead
+    window (per-stream ordering — the partition key every event-time
+    pipeline already clusters by), then a partial+final aggregation
+    on event_type; the shuffle after the window carries |types| rows
+    per task."""
+    e = load(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    w = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        "value",
+        (
+            F.floor(
+                F.unix_micros(F.lead("ts").over(w).cast("timestamp"))
+                / 1_000_000
+            )
+            # ntz→ltz cast is numerically a no-op under the session's
+            # pinned UTC (session.py) — unix_micros rejects ntz input
+            - F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000
+            )
+        ).alias("dur"),
+    ).where(F.col("dur").isNotNull() & (F.col("dur") > 0))
+    return seq.groupBy("event_type").agg(
+        F.count("*").alias("n_intervals"),
+        F.sum("dur").alias("total_seconds"),
+        (
+            F.sum(F.col("value").cast("decimal(14,2)") * F.col("dur"))
+            .cast("double")
+            / F.sum("dur")
+        ).alias("twap"),
+    )
