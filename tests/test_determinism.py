@@ -73,6 +73,8 @@ KEYS = [
     # round 6 (cont.): duration-weighted decimal sums off a per-stream
     # lead window
     "events_time_weighted_avg",
+    # round 6 (cont.): epoch-salted shard counts off an in-row explode
+    "sample_shard_epochs",
 ]
 
 

@@ -46,6 +46,7 @@ KEYS = [
     "text_bpe_apply_merges",
     "text_hashing_features",
     "text_cooccurrence_topk",
+    "text_filter_funnel",
     "dedup_exact",
     "dedup_containment",
     "dedup_exact_keep_best",

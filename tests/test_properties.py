@@ -726,3 +726,31 @@ def test_cooccurrence_topk_is_a_count_sorted_prefix(spark):
         assert (-x.n_cooc, x.a, x.b) <= (-y.n_cooc, y.a, y.b)
     for r in rows:
         assert r.a <= r.b
+
+
+def test_shard_epochs_balance_and_permutation_independence(spark):
+    """Each epoch's shards must partition the corpus exactly (counts
+    sum to n per epoch, checksums sum to Σdoc_id), stay within ±15%
+    of n/S in expectation (5σ binomial envelope — at the smoke
+    corpus's n=500 a 16-cell layout routinely shows 3-4σ cells), and
+    the two epochs must produce
+    DIFFERENT assignments (identical per-shard checksums across
+    epochs would mean the epoch salt is dead)."""
+    from uchr_scetl_spark.registry import load_registry
+
+    rows = load_registry()["sample_shard_epochs"].fn(spark, SF_SMOKE).collect()
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    n = d.count()
+    total_ids = d.agg(F.sum("doc_id")).collect()[0][0]
+    epochs = {}
+    for r in rows:
+        epochs.setdefault(r.epoch, {})[r.shard] = (r.n_docs, r.id_checksum)
+    assert len(epochs) == 2
+    for e, shards in epochs.items():
+        assert sum(v[0] for v in shards.values()) == n
+        assert sum(v[1] for v in shards.values()) == total_ids
+        exp = n / 8
+        sigma = (exp * (1 - 1 / 8)) ** 0.5
+        for s, (cnt, _) in shards.items():
+            assert abs(cnt - exp) <= 5 * sigma, (e, s, cnt, exp, sigma)
+    assert epochs[1] != epochs[2]

@@ -367,3 +367,79 @@ def sample_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= F.col("cap"))
         .select("vec_id", "label")
     )
+
+
+SHARD_EPOCHS = 2
+SHARD_N = 8
+
+
+@query(
+    "sample_shard_epochs",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT CAST(e.range AS INT) AS epoch, doc_id,
+             CAST(
+               (strpos('0123456789abcdef',
+                       substr(md5(CAST(e.range AS VARCHAR) || ':'
+                                  || CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+                 * 16
+               + strpos('0123456789abcdef',
+                        substr(md5(CAST(e.range AS VARCHAR) || ':'
+                                   || CAST(doc_id AS VARCHAR)), 2, 1)) - 1
+               AS INT) % {SHARD_N} AS shard
+      FROM documents CROSS JOIN range(1, {SHARD_EPOCHS} + 1) e
+    )
+    SELECT epoch, shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM assigned GROUP BY epoch, shard
+    """,
+)
+def sample_shard_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch deterministic reshuffling into dataloader shards: a
+    doc's shard is a pure function of (epoch, doc_id) via an
+    epoch-salted md5, so every epoch sees a DIFFERENT but fully
+    reproducible permutation — the pattern that replaces stateful
+    shuffle buffers in distributed training input pipelines (resume
+    mid-epoch = recompute the function; no shuffle order to persist).
+
+    The hex→shard map uses the first two md5 nibbles via an
+    instr/strpos hex-digit lookup (engine-portable without hex→int
+    casts; an ascii%16 shortcut is BIASED — 'a'-'f' collide with
+    '1'-'6', double-weighting six nibble values) modulo the shard
+    count; per-(epoch, shard) counts plus an id checksum make
+    the full assignment value-checked without materializing it.
+
+    Scale design: the epoch axis is an in-row literal explode (E× map
+    amplification, no join); the only shuffle carries E×S count rows
+    per task after map-side combine. The balance property (shards
+    within a few % of n/S) is what the md5 uniformity buys — checked
+    in the property suite."""
+    d = load(spark, sf_dir, "documents")
+    ex = d.select(
+        F.explode(
+            F.array(*[F.lit(e) for e in range(1, SHARD_EPOCHS + 1)])
+        ).alias("epoch"),
+        "doc_id",
+    )
+    h = F.md5(
+        F.concat(
+            F.col("epoch").cast("string"),
+            F.lit(":"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+    hexmap = "0123456789abcdef"
+
+    def _nib(pos: int):
+        return F.instr(F.lit(hexmap), F.substring(h, pos, 1)) - 1
+
+    shard = ((_nib(1) * 16 + _nib(2)) % SHARD_N).cast("int")
+    return (
+        ex.withColumn("shard", shard)
+        .groupBy("epoch", "shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+    )

@@ -1248,3 +1248,84 @@ def text_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(COOC_TOPK)
         .withColumn("rnk", F.row_number().over(w))
     )
+
+
+FUNNEL_MIN_CHARS = 50
+FUNNEL_MIN_ALPHA = 0.6
+FUNNEL_MIN_WORDS = 10
+FUNNEL_MIN_DISTINCT = 0.3
+
+
+@query(
+    "text_filter_funnel",
+    oracle=f"""
+    WITH flags AS (
+      SELECT
+        (text IS NOT NULL AND length(text) >= {FUNNEL_MIN_CHARS}) AS f_len,
+        (text IS NOT NULL AND length(text) > 0
+         AND CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+             / length(text) >= {FUNNEL_MIN_ALPHA}) AS f_alpha,
+        (text IS NOT NULL
+         AND len(string_split(text, ' ')) >= {FUNNEL_MIN_WORDS}) AS f_words,
+        (text IS NOT NULL AND len(string_split(text, ' ')) > 0
+         AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')) >= {FUNNEL_MIN_DISTINCT})
+          AS f_rep
+      FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(CASE WHEN f_len THEN 1 END) AS BIGINT) AS n_minlen,
+           CAST(COUNT(CASE WHEN f_len AND f_alpha THEN 1 END) AS BIGINT)
+             AS n_alpha,
+           CAST(COUNT(CASE WHEN f_len AND f_alpha AND f_words THEN 1 END)
+                AS BIGINT) AS n_minwords,
+           CAST(COUNT(CASE WHEN f_len AND f_alpha AND f_words AND f_rep
+                      THEN 1 END) AS BIGINT) AS n_lowrep
+    FROM flags
+    """,
+)
+def text_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-curation funnel telemetry: how many documents survive each
+    CUMULATIVE quality-filter stage (min length → alphabetic ratio →
+    min word count → distinct-token ratio) — the report every corpus
+    curation pipeline publishes before training, and the first thing
+    to diff when a filter change tanks downstream eval.
+
+    All four predicates are conjunctions evaluated in ONE pass as
+    conditional counts (no per-stage scans, no materialized
+    intermediate corpora); the ratio thresholds are compared in
+    identically-built double expressions off integer lengths, so the
+    booleans agree bit-exactly across engines. At 100 TB this is a
+    single scan + a 5-number aggregate — the funnel costs nothing
+    beyond the read."""
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    toks = F.split(t, " ")
+    f_len = t.isNotNull() & (F.length(t) >= FUNNEL_MIN_CHARS)
+    f_alpha = (
+        t.isNotNull()
+        & (F.length(t) > 0)
+        & (
+            F.length(F.regexp_replace(t, "[^a-z]", "")).cast("double")
+            / F.length(t)
+            >= FUNNEL_MIN_ALPHA
+        )
+    )
+    f_words = t.isNotNull() & (F.size(toks) >= FUNNEL_MIN_WORDS)
+    f_rep = (
+        t.isNotNull()
+        & (F.size(toks) > 0)
+        & (
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+            >= FUNNEL_MIN_DISTINCT
+        )
+    )
+    return d.agg(
+        F.count("*").alias("n_total"),
+        F.count(F.when(f_len, 1)).alias("n_minlen"),
+        F.count(F.when(f_len & f_alpha, 1)).alias("n_alpha"),
+        F.count(F.when(f_len & f_alpha & f_words, 1)).alias("n_minwords"),
+        F.count(F.when(f_len & f_alpha & f_words & f_rep, 1)).alias(
+            "n_lowrep"
+        ),
+    )
