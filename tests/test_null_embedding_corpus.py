@@ -48,6 +48,7 @@ KEYS = [
     "embeddings_matryoshka_truncate",
     "embeddings_gram_matrix",
     "sim_kmeans_assign",
+    "embeddings_random_projection",
     "multimodal_enrich",
     "multimodal_crossmodal_topk",
 ]

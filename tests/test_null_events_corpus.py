@@ -50,6 +50,7 @@ KEYS = [
     "stream_enrich_static",
     "stream_watermark_lag_audit",
     "win_time_range",
+    "win_ewma",
 ]
 
 REGISTRY = load_registry()

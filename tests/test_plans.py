@@ -610,3 +610,46 @@ def test_anomaly_mad_runs_on_checkpointed_daily_relation(spark):
     assert "events.parquet" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_ewma_single_exchange_no_arrays(spark):
+    """win_ewma must plan as ONE exchange (the user_id window
+    partitioning) and stay pure lag() arithmetic — no collect_list
+    frame materialisation, no Generate, no join: at 100 TB the frame
+    cost per row is O(EWMA_LAGS) registers inside codegen, nothing
+    else."""
+    plan = plan_of(spark, "win_ewma")
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" in plan, plan
+    assert "collect_list" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_random_projection_is_shuffle_free_map_pass(spark):
+    """embeddings_random_projection embeds the ±1 matrix as plan
+    literals: no join, no broadcast, no exchange — one codegen map
+    pass over the corpus plus the posexplode to long format. Any
+    Exchange here means the literal matrix regressed to a relation."""
+    plan = plan_of(spark, "embeddings_random_projection")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Generate posexplode" in plan, plan
+
+
+def test_jaccard_neighbors_broadcasts_probe_bounded_sides(spark):
+    """graph_jaccard_neighbors' corpus-sized relations (undirected
+    edges, degrees) must NEVER shuffle against each other: the probe
+    adjacency and the probe-bounded common/degree relations broadcast,
+    and no join line touches raw lineitem keys (the edge build is the
+    shared memoized no-self-join relation)."""
+    from uchr_scetl_spark.operators.graph import clear_graph_caches
+
+    clear_graph_caches(SF_SMOKE)
+    plan = plan_of(spark, "graph_jaccard_neighbors")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    for ln in plan.splitlines():
+        if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln:
+            assert "l_orderkey" not in ln and "l_partkey" not in ln, ln

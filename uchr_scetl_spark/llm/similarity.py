@@ -1322,3 +1322,105 @@ def embeddings_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("i", "j")
         .agg(F.sum("partial").alias("gram"))
     )
+
+
+# ---------------------------------------------------------------------------
+# embeddings_random_projection — Johnson-Lindenstrauss signed projection
+# ---------------------------------------------------------------------------
+
+RP_OUT_DIMS = 16  # 64-dim embeddings -> 16-dim sketch
+RP_SCALE = 1000  # component quantization for exact integer arithmetic
+
+
+def _rp_signs() -> list[list[int]]:
+    """Deterministic ±1 projection matrix (RP_OUT_DIMS × input dim),
+    derived from md5 of the (row, col) index pair at import time —
+    engine-independent by construction: BOTH sides consume the same
+    literal matrix, so no hash function needs to agree across engines
+    (the same trick as the LSH hyperplanes)."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(
+                hashlib.md5(f"rp:{i}:{j}".encode()).hexdigest()[0], 16
+            ) < 8
+            else -1
+            for j in range(KMEANS_ASSIGN_DIM)
+        ]
+        for i in range(RP_OUT_DIMS)
+    ]
+
+
+_RP_MATRIX = _rp_signs()
+
+
+def _rp_oracle() -> str:
+    rows = ", ".join(
+        f"({i}, {signs})" for i, signs in enumerate(_RP_MATRIX)
+    )
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * {RP_SCALE}.0) AS BIGINT))
+               AS qv
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    m(out_dim, signs) AS (VALUES {rows})
+    SELECT q.vec_id, CAST(m.out_dim AS INT) AS out_dim,
+           CAST(list_dot_product(CAST(m.signs AS DOUBLE[]),
+                                 CAST(q.qv AS DOUBLE[])) AS BIGINT)
+             AS proj_val
+    FROM q CROSS JOIN m
+    """
+
+
+@query("embeddings_random_projection", oracle=_rp_oracle())
+def embeddings_random_projection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Signed random projection (Johnson–Lindenstrauss / Achlioptas
+    ±1 variant): every 64-dim embedding maps to a RP_OUT_DIMS-dim
+    integer sketch through a DETERMINISTIC literal ±1 matrix — the
+    standard cheap dimensionality reduction before ANN indexing,
+    clustering, or dedup banding, preserving pairwise distances to
+    within the JL bound while cutting vector bytes 4×.
+
+    Exactness: components are floor-quantized to integers
+    (RP_SCALE), the matrix is ±1, so each projected coordinate is an
+    exact bigint — DuckDB mirrors it via list_dot_product over the
+    SAME literal matrix widened to double (|values| « 2⁵³, so the
+    double path is exact). Long-format output (vec_id, out_dim,
+    proj_val) keeps the value hash order-independent.
+
+    Scale design: the matrix is a compile-time literal embedded in
+    the plan — no broadcast, no join, no shuffle; one codegen map
+    pass over the corpus (zip_with·aggregate per output dim),
+    exactly how a 100 TB projection should run. NULL embeddings are
+    filtered symmetrically on both sides."""
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .where(F.col("embedding").isNotNull())
+        .withColumn(
+            "qv",
+            F.expr(
+                "transform(embedding, x ->"
+                f" CAST(floor(CAST(x AS DOUBLE) * {RP_SCALE}.0) AS BIGINT))"
+            ),
+        )
+    )
+    proj_terms = ", ".join(
+        "aggregate(zip_with(array({signs}), qv, (s, v) -> s * v),"
+        " 0L, (acc, x) -> acc + x)".format(
+            signs=", ".join(f"{s}L" for s in signs)
+        )
+        for signs in _RP_MATRIX
+    )
+    return e.select(
+        "vec_id",
+        F.posexplode(F.expr(f"array({proj_terms})")).alias(
+            "out_dim", "proj_val"
+        ),
+    )

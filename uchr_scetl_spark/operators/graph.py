@@ -461,3 +461,97 @@ def orders_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lift_ppm"
         ),
     )
+
+
+@query(
+    "graph_jaccard_neighbors",
+    oracle=f"""
+    WITH {_SQL_COPURCHASE},
+    und AS (
+      SELECT a AS u, b AS v FROM pairs
+      UNION ALL SELECT b, a FROM pairs
+    ),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY u),
+    common AS (
+      SELECT e1.u AS p, e2.v AS q,
+             CAST(COUNT(*) AS BIGINT) AS common_neighbors
+      FROM und e1 JOIN und e2 ON e1.v = e2.u
+      WHERE e1.u <= {COPURCHASE_PROBE_MAX} AND e2.v <> e1.u
+      GROUP BY 1, 2
+    )
+    SELECT c.p AS part_id, c.q AS neighbor_id, c.common_neighbors,
+           CAST((c.common_neighbors * 1000000)
+                // (dp.d + dq.d - c.common_neighbors) AS BIGINT)
+             AS jaccard_ppm
+    FROM common c
+    JOIN deg dp ON dp.u = c.p
+    JOIN deg dq ON dq.u = c.q
+    QUALIFY row_number() OVER (
+      PARTITION BY c.p
+      ORDER BY jaccard_ppm DESC, c.q) <= {COPURCHASE_TOP_K}
+    """,
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural node similarity — top-k most similar parts to each
+    probe part by Jaccard overlap of co-purchase neighbourhoods
+    (|N(p)∩N(q)| / |N(p)∪N(q)|) — the classic link-prediction /
+    "customers also bought" feature computed from graph structure
+    alone, no embeddings involved.
+
+    Exactness: the score is reported in exact integer ppm
+    (common·10⁶ div (dp+dq−common)); ranking ties break on
+    neighbor_id, so the top-k cut is deterministic in both engines.
+
+    Scale design: rides the session-memoized weighted-edge relation
+    (one build per corpus, shared with the other graph keys — no
+    lineitem self-join). The probe adjacency (≤ probes × max-degree
+    rows) BROADCASTS into the second hop, so the only corpus-sized
+    work is one linear pass over the undirected edge relation; the
+    (p,q) common-neighbour counts and everything after are bounded by
+    the probes' 2-hop neighbourhood, and the degree lookups broadcast
+    the probe-bounded sides into the full degree relation rather than
+    shuffling it. At 100 TB with a larger probe panel the broadcast
+    degrades to a co-partitioned equi-join on the hop key — same
+    plan shape, one extra exchange."""
+    edges = _copurchase_weighted(spark, sf_dir).select("a", "b")
+    und = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count("*").alias("d"))
+    probe_adj = und.where(F.col("u") <= COPURCHASE_PROBE_MAX).select(
+        F.col("u").alias("p"), F.col("v").alias("n")
+    )
+    common = (
+        und.join(F.broadcast(probe_adj), und.u == F.col("n"))
+        .where(F.col("v") != F.col("p"))
+        .groupBy("p", F.col("v").alias("q"))
+        .agg(F.count("*").alias("common_neighbors"))
+    )
+    scored = (
+        deg.select(F.col("u").alias("q"), F.col("d").alias("dq"))
+        .join(F.broadcast(common), "q")
+        .join(
+            F.broadcast(
+                deg.select(F.col("u").alias("p"), F.col("d").alias("dp"))
+            ),
+            "p",
+        )
+        .withColumn(
+            "jaccard_ppm",
+            F.expr(
+                "CAST((common_neighbors * 1000000)"
+                " div (dp + dq - common_neighbors) AS BIGINT)"
+            ),
+        )
+    )
+    w = Window.partitionBy("p").orderBy(F.desc("jaccard_ppm"), "q")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= COPURCHASE_TOP_K)
+        .select(
+            F.col("p").alias("part_id"),
+            F.col("q").alias("neighbor_id"),
+            "common_neighbors",
+            "jaccard_ppm",
+        )
+    )

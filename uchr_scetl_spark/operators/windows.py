@@ -426,3 +426,93 @@ def win_median_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "user_id", "event_id", "value", med.alias("med5")
     )
+
+
+EWMA_LAGS = 4  # frame width: current row + 3 preceding
+# newest-first power-of-two weights 8,4,2,1 — exact in integer
+# arithmetic, and the truncated tail (beyond 3 lags) holds < 1/15 of
+# the mass, the usual windowed-EWMA approximation
+EWMA_WEIGHTS = [8, 4, 2, 1]
+
+
+def _ewma_oracle() -> str:
+    num = " + ".join(
+        f"COALESCE(lag(qv, {i}) OVER w * {w}, 0)"
+        for i, w in enumerate(EWMA_WEIGHTS)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(qv, {i}) OVER w IS NOT NULL THEN {w} ELSE 0 END"
+        for i, w in enumerate(EWMA_WEIGHTS)
+    )
+    return f"""
+    WITH q AS (
+      SELECT user_id, event_id, ts,
+             CAST(floor(value * 1000000) AS BIGINT) AS qv
+      FROM events
+    )
+    SELECT user_id, event_id, qv AS value_micro,
+           CASE WHEN ({den}) > 0
+                THEN CAST(({num}) // ({den}) AS BIGINT)
+           END AS ewma_micro
+    FROM q
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+
+@query("win_ewma", oracle=_ewma_oracle())
+def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average over a bounded trailing
+    frame — the telemetry smoother between a rolling mean (chases
+    nothing) and the last value (chases everything).
+
+    A true recursive EWMA (s_t = a·x_t + (1−a)·s_{t−1}) is not
+    window-expressible in either engine without recursion, so the
+    engine uses the standard windowed form: the current row plus
+    EWMA_LAGS−1 preceding values weighted by descending powers of two
+    (8,4,2,1 — half-life of one row), renormalised over the weights
+    actually present. All arithmetic is bigint on micro-quantized
+    values, so the result is bit-identical across engines and at any
+    parallelism: numerator and denominator are exact integers and both
+    engines' integer division truncates toward zero (values are
+    non-negative here; a signed corpus would hit the one semantic edge
+    both engines share, so it stays consistent even then).
+
+    NULL payloads occupy their frame position but contribute neither
+    numerator nor denominator (COALESCE + presence mask); a frame with
+    no observed values yields NULL. One shuffle on user_id; the frame
+    is O(EWMA_LAGS) per row via plain lag() — no array
+    materialisation, whole-stage codegen end to end."""
+    e = load(spark, sf_dir, "events").withColumn(
+        "qv", F.floor(F.col("value") * 1000000).cast("bigint")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = sum(
+        (
+            F.coalesce(F.lag("qv", i).over(w) * F.lit(wt), F.lit(0))
+            for i, wt in enumerate(EWMA_WEIGHTS)
+        ),
+        start=F.lit(0),
+    )
+    den = sum(
+        (
+            F.when(F.lag("qv", i).over(w).isNotNull(), F.lit(wt)).otherwise(
+                F.lit(0)
+            )
+            for i, wt in enumerate(EWMA_WEIGHTS)
+        ),
+        start=F.lit(0),
+    )
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.col("qv").alias("value_micro"),
+            num.cast("bigint").alias("_num"),
+            den.cast("bigint").alias("_den"),
+        )
+        .withColumn(
+            "ewma_micro",
+            F.when(F.col("_den") > 0, F.expr("_num div _den")),
+        )
+        .drop("_num", "_den")
+    )
