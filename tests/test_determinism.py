@@ -54,6 +54,9 @@ KEYS = [
     # hash-bucket featurizer
     "graph_triangle_count",
     "text_hashing_features",
+    # round 6 (cont. 2): OHLC candles — the open/close rank picks
+    # must be partition-layout-free (ties broken on (ts, event_id))
+    "events_ohlc_resample",
     # round 6 (cont.): the mapInPandas partial-Gram must sum to the
     # same integers whatever the Arrow batch/partition layout
     "embeddings_gram_matrix",

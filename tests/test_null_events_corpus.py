@@ -51,6 +51,8 @@ KEYS = [
     "stream_watermark_lag_audit",
     "win_time_range",
     "win_ewma",
+    "events_ohlc_resample",
+    "etl_partition_skew_audit",
 ]
 
 REGISTRY = load_registry()

@@ -653,3 +653,24 @@ def test_jaccard_neighbors_broadcasts_probe_bounded_sides(spark):
     for ln in plan.splitlines():
         if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln:
             assert "l_orderkey" not in ln and "l_partkey" not in ln, ln
+
+
+def test_ohlc_windows_and_agg_share_one_exchange(spark):
+    """events_ohlc_resample's rank windows and the final aggregation
+    group on the SAME (event_type, bucket) keys, so the whole candle
+    build rides ONE exchange — a second exchange means the groupBy
+    keys drifted from the window partition keys."""
+    plan = plan_of(spark, "events_ohlc_resample")
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" in plan, plan
+
+
+def test_partition_skew_audit_is_one_pass_no_sort(spark):
+    """etl_partition_skew_audit must cost one linear pass: per-day
+    partial+final counts, single-row arithmetic, and a broadcast
+    filter for the heaviest day — never a global Sort of the per-day
+    relation."""
+    plan = plan_of(spark, "etl_partition_skew_audit")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "TakeOrderedAndProject" not in plan, plan

@@ -312,6 +312,38 @@ AUDITS: dict[str, tuple[str, list[str]]] = {
         "range frame is a single running sweep per partition.",
         [r"Exchange hashpartitioning\(o_custkey", r"Window"],
     ),
+    "win_ewma": (
+        "Bounded-frame EWMA: ONE user_id exchange feeds a pure-lag "
+        "window - no collect_list frame arrays, no Generate, no join; "
+        "per-row cost is O(EWMA_LAGS) codegen registers.",
+        [r"Exchange hashpartitioning\(user_id", r"Window"],
+    ),
+    "embeddings_random_projection": (
+        "JL signed projection: the +-1 matrix is a plan LITERAL - no "
+        "join, no broadcast, zero Exchange; one codegen map pass plus "
+        "the posexplode to long format.",
+        [r"Generate posexplode"],
+    ),
+    "events_ohlc_resample": (
+        "OHLC candles: the rank windows and the final aggregation "
+        "group on the SAME (event_type, bucket) keys, so the whole "
+        "build rides ONE exchange; output is |types|x|hours| rows.",
+        [r"Exchange hashpartitioning", r"Window"],
+    ),
+    "etl_partition_skew_audit": (
+        "Skew audit: per-day partial+final counts then single-row "
+        "arithmetic - one linear pass, broadcast heaviest-day pick, "
+        "no global sort.",
+        [r"HashAggregate", r"Broadcast"],
+    ),
+    "graph_jaccard_neighbors": (
+        "Neighbourhood-Jaccard top-k: probe adjacency and the "
+        "probe-bounded common/degree relations BROADCAST into the "
+        "corpus-sized sides - the big relations never shuffle against "
+        "each other, and the edge build is the shared memoized no-"
+        "self-join relation (InMemoryTableScan).",
+        [r"BroadcastHashJoin", r"InMemoryTableScan"],
+    ),
 }
 
 

@@ -102,6 +102,13 @@ KEYS = [
     "sim_kmeans_assign",
     "embeddings_gram_matrix",
     "orders_association_rules",
+    # round 6 (cont. 2): the JL projection (embeddings axis — pure
+    # map pass, must be the registry's most linear key) and the
+    # 2-hop Jaccard (lineitem axis — replication adds baskets over a
+    # fixed part catalogue, so probe 2-hop volume grows with edge
+    # density, sub-linearly with raw rows)
+    "embeddings_random_projection",
+    "graph_jaccard_neighbors",
 ]
 
 FACTORS = [1, 2, 4]

@@ -970,3 +970,90 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("dur")
         ).alias("twap"),
     )
+
+
+@query(
+    "events_ohlc_resample",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             ((epoch_us(ts) // 1000000) // 3600) * 3600 AS bucket_s,
+             ts, event_id,
+             CAST(floor(value * 1000000) AS BIGINT) AS qv
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+    ), r AS (
+      SELECT *,
+             row_number() OVER w AS rn,
+             COUNT(*) OVER (PARTITION BY event_type, bucket_s) AS n_part
+      FROM q
+      WINDOW w AS (PARTITION BY event_type, bucket_s
+                   ORDER BY ts, event_id)
+    )
+    SELECT event_type, bucket_s,
+           MAX(CASE WHEN rn = 1 THEN qv END) AS open_micro,
+           MAX(qv) AS high_micro,
+           MIN(qv) AS low_micro,
+           MAX(CASE WHEN rn = n_part THEN qv END) AS close_micro,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks,
+           CAST(SUM(qv) AS BIGINT) AS volume_micro
+    FROM r GROUP BY 1, 2
+    """,
+)
+def events_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling — the canonical time-series resample
+    (finance candles, metrics rollups): per (event_type, hour),
+    open/high/low/close of the value stream plus tick count and
+    volume. This is the compaction step that turns a raw 100 TB tick
+    stream into a dashboard-sized table while preserving the extremes
+    a plain AVG rollup erases.
+
+    Exactness: values are micro-quantized bigints (identical floor on
+    both engines), buckets are integer epoch-hour marks (epoch µs //
+    1e6 // 3600 — no timestamp types cross the compare boundary), and
+    open/close are rank-picked (first/last by (ts, event_id)) rather
+    than arg-min'd, so ties are deterministic.
+
+    Scale design: ONE exchange on (event_type, bucket_s) — the
+    row_number and partition-count windows and the final aggregation
+    all share it (the groupBy keys equal the window partition keys, so
+    Catalyst reuses the partitioning); the output is |types|×|hours|
+    rows, the classic 10⁶× reduction. NULL payloads and NULL types are
+    excluded symmetrically (an OHLC bar of nothing is no bar)."""
+    e = load(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    q = e.select(
+        "event_type",
+        (
+            F.floor(
+                F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+                / 3600
+            )
+            * 3600
+        ).cast("long").alias("bucket_s"),
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 1_000_000).cast("long").alias("qv"),
+    )
+    w = Window.partitionBy("event_type", "bucket_s").orderBy("ts", "event_id")
+    wp = Window.partitionBy("event_type", "bucket_s")
+    r = q.select(
+        "event_type",
+        "bucket_s",
+        "qv",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wp).alias("n_part"),
+    )
+    return r.groupBy("event_type", "bucket_s").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("qv"))).alias("open_micro"),
+        F.max("qv").alias("high_micro"),
+        F.min("qv").alias("low_micro"),
+        F.max(F.when(F.col("rn") == F.col("n_part"), F.col("qv"))).alias(
+            "close_micro"
+        ),
+        F.count("*").alias("n_ticks"),
+        F.sum("qv").alias("volume_micro"),
+    )

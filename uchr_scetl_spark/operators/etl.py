@@ -841,3 +841,86 @@ def etl_feature_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
             "days_since_prev"
         ),
     )
+
+
+@query(
+    "etl_partition_skew_audit",
+    oracle="""
+    WITH pc AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY 1
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_partitions,
+             CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+             MAX(n_rows) AS max_rows,
+             MIN(n_rows) AS min_rows
+      FROM pc
+    ), top AS (
+      SELECT MIN(day) AS heaviest_day FROM pc
+      WHERE n_rows = (SELECT max_rows FROM s)
+    )
+    SELECT s.n_partitions, s.total_rows, s.max_rows, s.min_rows,
+           s.total_rows // s.n_partitions AS avg_rows,
+           (s.max_rows * 1000000) // (s.total_rows // s.n_partitions)
+             AS skew_ppm,
+           top.heaviest_day
+    FROM s CROSS JOIN top
+    """,
+)
+def etl_partition_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-skew telemetry for a date-partitioned event store —
+    the audit run BEFORE choosing shuffle-partition counts, AQE skew
+    thresholds or a salting strategy: per-day row counts reduced to
+    partition count, total/max/min/avg rows, the max/avg skew factor
+    in exact ppm, and the heaviest day (earliest on ties). A
+    skew_ppm far above 1e6 is the signal that a date-keyed
+    join/aggregation needs salting or AQE skew splitting at scale.
+
+    Exactness: pure integer counts and truncating integer division
+    on both engines; the day key never leaves each engine's own
+    date_trunc (only counts and one timestamp cross the boundary).
+
+    Scale design: one partial+final count per day (|days| rows out of
+    the scan), then single-row arithmetic — the audit costs one
+    linear pass regardless of corpus size; the heaviest-day pick is
+    a broadcast-sized filter over the per-day relation, not a sort."""
+    e = load(spark, sf_dir, "events")
+    pc = (
+        e.groupBy(
+            F.date_trunc("day", F.col("ts"))
+            .cast("timestamp_ntz")
+            .alias("day")
+        )
+        .agg(F.count("*").alias("n_rows"))
+    )
+    s = pc.agg(
+        F.count("*").alias("n_partitions"),
+        F.sum("n_rows").alias("total_rows"),
+        F.max("n_rows").alias("max_rows"),
+        F.min("n_rows").alias("min_rows"),
+    )
+    top = (
+        pc.join(
+            F.broadcast(s.select("max_rows")),
+            pc.n_rows == F.col("max_rows"),
+        )
+        .agg(F.min("day").alias("heaviest_day"))
+    )
+    return (
+        s.crossJoin(top)
+        .withColumn("avg_rows", F.expr("total_rows div n_partitions"))
+        .withColumn(
+            "skew_ppm",
+            F.expr("(max_rows * 1000000) div (total_rows div n_partitions)"),
+        )
+        .select(
+            "n_partitions",
+            "total_rows",
+            "max_rows",
+            "min_rows",
+            "avg_rows",
+            "skew_ppm",
+            "heaviest_day",
+        )
+    )
