@@ -57,6 +57,9 @@ KEYS = [
     # round 6 (cont. 2): OHLC candles — the open/close rank picks
     # must be partition-layout-free (ties broken on (ts, event_id))
     "events_ohlc_resample",
+    # ... and the Markov removal-effect solve (collected ppm matrix
+    # iteration must be layout- and dict-order-free: integer sums)
+    "events_attribution_markov",
     # round 6 (cont.): the mapInPandas partial-Gram must sum to the
     # same integers whatever the Arrow batch/partition layout
     "embeddings_gram_matrix",

@@ -53,6 +53,7 @@ KEYS = [
     "win_ewma",
     "events_ohlc_resample",
     "etl_partition_skew_audit",
+    "events_attribution_markov",
 ]
 
 REGISTRY = load_registry()

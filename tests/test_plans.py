@@ -674,3 +674,23 @@ def test_partition_skew_audit_is_one_pass_no_sort(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "TakeOrderedAndProject" not in plan, plan
+
+
+def test_markov_journey_build_single_corpus_window_chain(spark):
+    """events_attribution_markov's distributed half (_markov_ppm_df)
+    must evaluate the corpus-sized journey window chain ONCE: pairs
+    are emitted in-row (array+filter+explode), not via a 3-way union
+    that replays the windows per branch. Exchange budget: the user_id
+    window partitioning, the pair-count hash agg, and the tiny
+    from_state ppm window — three, none carrying the corpus twice."""
+    from uchr_scetl_spark.operators.analytics import _markov_ppm_df
+
+    plan = (
+        _markov_ppm_df(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") <= 3, plan
+    assert plan.count("Generate") == 1, plan
+    assert "Union" not in plan, plan

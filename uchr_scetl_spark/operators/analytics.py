@@ -1057,3 +1057,280 @@ def events_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_ticks"),
         F.sum("qv").alias("volume_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_attribution_markov — removal-effect multi-touch attribution
+# ---------------------------------------------------------------------------
+
+MARKOV_ITERS = 16  # absorbing-chain power iterations (ppm fixed point)
+_MK_START, _MK_CONV, _MK_NOCONV = "__start__", "__conv__", "__noconv__"
+_MK_NONE = "__none__"  # the no-removal (full-chain) variant
+
+
+_MARKOV_PAIRS_SQL = f"""
+    ev0 AS (
+      SELECT user_id, event_type,
+             CASE WHEN event_type = 'purchase'
+                  THEN '{_MK_CONV}' ELSE event_type END AS state,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    ),
+    ev AS (
+      SELECT user_id, state, rn,
+             MIN(CASE WHEN event_type = 'purchase' THEN rn END)
+               OVER (PARTITION BY user_id) AS conv_rn
+      FROM ev0
+    ),
+    kept AS (
+      SELECT user_id, state,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY rn) AS krn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_kept
+      FROM ev WHERE rn <= COALESCE(conv_rn, 9223372036854775807)
+    ),
+    steps AS (
+      SELECT user_id, state, krn, n_kept,
+             LEAD(state) OVER (PARTITION BY user_id ORDER BY krn)
+               AS next_state
+      FROM kept
+    ),
+    raw_pairs AS (
+      SELECT '{_MK_START}' AS from_state, state AS to_state
+      FROM steps WHERE krn = 1
+      UNION ALL
+      SELECT state, next_state FROM steps WHERE next_state IS NOT NULL
+      UNION ALL
+      SELECT state, '{_MK_NOCONV}' FROM steps
+      WHERE krn = n_kept AND state <> '{_MK_CONV}'
+    ),
+    pairs AS (
+      SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n
+      FROM raw_pairs GROUP BY 1, 2
+    ),
+    ppm AS (
+      SELECT from_state, to_state,
+             (n * 1000000) // SUM(n) OVER (PARTITION BY from_state)
+               AS p_ppm
+      FROM pairs
+    )
+"""
+
+
+def _markov_oracle() -> str:
+    its = []
+    prev = "v0"
+    for t in range(1, MARKOV_ITERS + 1):
+        its.append(f"""
+    v{t} AS (
+      SELECT vr.removed, p.from_state AS state,
+             CAST(SUM(p.p_ppm *
+               CASE WHEN p.to_state = '{_MK_CONV}' THEN 1000000
+                    WHEN p.to_state = '{_MK_NOCONV}' THEN 0
+                    ELSE COALESCE(pv.v, 0) END) // 1000000 AS BIGINT) AS v
+      FROM variants vr
+      JOIN ppm p
+        ON p.from_state <> vr.removed AND p.to_state <> vr.removed
+      LEFT JOIN {prev} pv
+        ON pv.removed = vr.removed AND pv.state = p.to_state
+      GROUP BY 1, 2
+    )""")
+        prev = f"v{t}"
+    iters_sql = ",".join(its)
+    return f"""
+    WITH {_MARKOV_PAIRS_SQL},
+    channels AS (
+      SELECT DISTINCT from_state AS ch FROM pairs
+      WHERE from_state NOT IN ('{_MK_START}', '{_MK_CONV}')
+    ),
+    variants AS (
+      SELECT ch AS removed FROM channels
+      UNION ALL SELECT '{_MK_NONE}'
+    ),
+    v0 AS (
+      SELECT vr.removed, p.from_state AS state, CAST(0 AS BIGINT) AS v
+      FROM variants vr JOIN ppm p
+        ON p.from_state <> vr.removed AND p.to_state <> vr.removed
+      GROUP BY 1, 2
+    ),{iters_sql},
+    conv AS (
+      SELECT vr.removed, COALESCE(pv.v, 0) AS p_conv_ppm
+      FROM variants vr
+      LEFT JOIN {prev} pv
+        ON pv.removed = vr.removed AND pv.state = '{_MK_START}'
+    )
+    SELECT c.ch AS channel,
+           pa.p_conv_ppm AS p_conv_all_ppm,
+           pw.p_conv_ppm AS p_conv_without_ppm,
+           CASE WHEN pa.p_conv_ppm > 0 THEN
+             1000000 - (pw.p_conv_ppm * 1000000) // pa.p_conv_ppm
+           END AS removal_effect_ppm
+    FROM channels c
+    JOIN conv pw ON pw.removed = c.ch
+    CROSS JOIN (SELECT p_conv_ppm FROM conv
+                WHERE removed = '{_MK_NONE}') pa
+    """
+
+
+def _markov_ppm_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTED half of events_attribution_markov: journey
+    build (one user_id exchange shared by row_number / per-user cut /
+    lead / last-touch detection) reduced to the transition-ppm
+    relation — ≤ (|channels|+3)² rows. The attribution key collects
+    this tiny relation for the driver-side chain solve; the plan
+    tests assert THIS relation's shape (the key's own return value is
+    a local relation by design)."""
+    e = load(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wu = Window.partitionBy("user_id")
+    ev = e.select(
+        "user_id",
+        F.when(F.col("event_type") == "purchase", F.lit(_MK_CONV))
+        .otherwise(F.col("event_type"))
+        .alias("state"),
+        F.row_number().over(w).alias("rn"),
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase", F.row_number().over(w)
+            )
+        )
+        .over(wu)
+        .alias("conv_rn"),
+    )
+    kept = ev.where(
+        F.col("rn") <= F.coalesce(F.col("conv_rn"), F.lit(2**63 - 1))
+    )
+    wk = Window.partitionBy("user_id").orderBy("rn")
+    steps = kept.select(
+        "state",
+        F.row_number().over(wk).alias("krn"),
+        F.count("*").over(wu.rowsBetween(Window.unboundedPreceding,
+                                         Window.unboundedFollowing)).alias("n_kept"),
+        F.lead("state").over(wk).alias("next_state"),
+    )
+    # every row emits its 0-3 pairs IN-ROW (first-touch, step,
+    # last-touch) via one array+filter+explode — the window chain over
+    # the corpus is evaluated once, not once per union branch
+    raw = steps.select(
+        F.explode(
+            F.filter(
+                F.array(
+                    F.when(
+                        F.col("krn") == 1,
+                        F.struct(
+                            F.lit(_MK_START).alias("from_state"),
+                            F.col("state").alias("to_state"),
+                        ),
+                    ),
+                    F.when(
+                        F.col("next_state").isNotNull(),
+                        F.struct(
+                            F.col("state").alias("from_state"),
+                            F.col("next_state").alias("to_state"),
+                        ),
+                    ),
+                    F.when(
+                        (F.col("krn") == F.col("n_kept"))
+                        & (F.col("state") != _MK_CONV),
+                        F.struct(
+                            F.col("state").alias("from_state"),
+                            F.lit(_MK_NOCONV).alias("to_state"),
+                        ),
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("e")
+    ).select(
+        F.col("e.from_state").alias("from_state"),
+        F.col("e.to_state").alias("to_state"),
+    )
+    pairs = raw.groupBy("from_state", "to_state").agg(F.count("*").alias("n"))
+    return pairs.select(
+        "from_state",
+        "to_state",
+        F.expr("(n * 1000000) div sum(n) OVER (PARTITION BY from_state)").alias(
+            "p_ppm"
+        ),
+    )
+
+
+@query("events_attribution_markov", oracle=_markov_oracle())
+def events_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect multi-touch attribution — the
+    data-driven alternative to the linear/last-touch heuristics
+    (events_attribution_linear): model each user's pre-conversion
+    journey as a first-order absorbing Markov chain (START → channels
+    → CONV/NOCONV), then score channel c by how much the chain's
+    conversion probability drops when c is removed (transitions into
+    a removed channel become non-converting).
+
+    Engine-exactness: journeys truncate at the FIRST purchase per
+    user (row-number cut over a deterministic (ts, event_id) order),
+    transition probabilities are floored integer ppm, and the
+    absorbing-chain solve runs MARKOV_ITERS fixed-point iterations in
+    pure bigint ppm arithmetic (sum before floor-divide each round) —
+    the oracle unrolls the IDENTICAL iterations as chained CTEs, the
+    same fixed-point-integer pattern graph_pagerank proves. NULL
+    event types are excluded symmetrically.
+
+    Scale design: everything corpus-sized is distributed — the
+    journey build is ONE user_id exchange (row_number + lead + the
+    per-user cut share it) and the pair counts are a partial+final
+    aggregation whose output is ≤ (|channels|+3)² rows. The chain
+    solve itself runs on the DRIVER over that collected ppm matrix
+    (a documented bounded collect, same class as the k-means
+    centroid round-trips: |channels| is a property of the event
+    vocabulary, not the corpus — distributing a ≤dozens-row
+    matrix-vector loop would be pure overhead). Results re-enter
+    Spark as a |channels|-row local relation."""
+    ppm_rows = _markov_ppm_df(spark, sf_dir).collect()
+    # bounded: <= (|channels|+3)^2 rows (see docstring)
+
+    ppm = {(r.from_state, r.to_state): r.p_ppm for r in ppm_rows}
+    channels = sorted(
+        {s for s, _ in ppm} - {_MK_START, _MK_CONV}
+    )
+
+    def solve(removed: str) -> int:
+        trans = {
+            (s, t): p
+            for (s, t), p in ppm.items()
+            if s != removed and t != removed
+        }
+        states = {s for s, _ in trans}
+        v = {s: 0 for s in states}
+        for _ in range(MARKOV_ITERS):
+            nxt = {}
+            for s in states:
+                acc = 0
+                for (fs, ts_), p in trans.items():
+                    if fs != s:
+                        continue
+                    if ts_ == _MK_CONV:
+                        acc += p * 1_000_000
+                    elif ts_ == _MK_NOCONV:
+                        acc += 0
+                    else:
+                        acc += p * v.get(ts_, 0)
+                nxt[s] = acc // 1_000_000
+            v = nxt
+        return v.get(_MK_START, 0)
+
+    p_all = solve(_MK_NONE)
+    rows = []
+    for c in channels:
+        p_wo = solve(c)
+        removal = (
+            1_000_000 - (p_wo * 1_000_000) // p_all if p_all > 0 else None
+        )
+        rows.append((c, p_all, p_wo, removal))
+    return spark.createDataFrame(
+        rows,
+        "channel string, p_conv_all_ppm long, p_conv_without_ppm long,"
+        " removal_effect_ppm long",
+    )
