@@ -60,6 +60,10 @@ KEYS = [
     # ... and the Markov removal-effect solve (collected ppm matrix
     # iteration must be layout- and dict-order-free: integer sums)
     "events_attribution_markov",
+    # round 6 (cont. 2): decimal-window cumulative LTV and the
+    # rank-formula Gini (both must not see partition layout)
+    "orders_cohort_ltv",
+    "agg_gini_segment",
     # round 6 (cont.): the mapInPandas partial-Gram must sum to the
     # same integers whatever the Arrow batch/partition layout
     "embeddings_gram_matrix",

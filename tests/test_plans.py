@@ -694,3 +694,24 @@ def test_markov_journey_build_single_corpus_window_chain(spark):
     assert plan.count("Exchange") <= 3, plan
     assert plan.count("Generate") == 1, plan
     assert "Union" not in plan, plan
+
+
+def test_cohort_ltv_exchange_budget(spark):
+    """orders_cohort_ltv: cohort window (o_custkey), the
+    (cohort, offset) aggregation, and the tiny cumulative window —
+    three exchanges, none replaying the fact table."""
+    plan = plan_of(spark, "orders_cohort_ltv")
+    assert plan.count("Exchange") <= 3, plan
+    assert plan.count("Window") == 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_gini_segment_single_rank_window(spark):
+    """agg_gini_segment: per-customer revenue reduces BEFORE the
+    segment rank window (the window sorts customers, never raw
+    orders), and the Gini arithmetic is one hash aggregation —
+    no Cartesian, one Window."""
+    plan = plan_of(spark, "agg_gini_segment")
+    assert plan.count("Window") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Exchange") <= 3, plan

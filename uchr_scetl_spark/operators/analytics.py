@@ -1334,3 +1334,163 @@ def events_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         "channel string, p_conv_all_ppm long, p_conv_without_ppm long,"
         " removal_effect_ppm long",
     )
+
+
+@query(
+    "orders_cohort_ltv",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate, o_totalprice,
+             CAST(date_trunc('month',
+               MIN(o_orderdate) OVER (PARTITION BY o_custkey))
+               AS TIMESTAMP) AS cohort_month,
+             CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+               AS order_month
+      FROM orders
+    ), agg AS (
+      SELECT cohort_month,
+             CAST(date_diff('month', cohort_month, order_month) AS BIGINT)
+               AS month_offset,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_active,
+             SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS rev_dec
+      FROM o GROUP BY 1, 2
+    )
+    SELECT cohort_month, month_offset, n_active,
+           CAST(rev_dec AS DOUBLE) AS revenue,
+           CAST(SUM(rev_dec) OVER (
+             PARTITION BY cohort_month ORDER BY month_offset) AS DOUBLE)
+             AS ltv_to_date
+    FROM agg
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime value — the revenue companion to
+    events_retention's activity matrix: customers grouped by
+    first-order month, per month-offset active count, period revenue
+    and RUNNING LTV (cumulative revenue to date per cohort) — the
+    table every growth/payback analysis starts from.
+
+    Engine-exactness: period revenue sums ride the DECIMAL detour
+    (exprs.py); the running LTV accumulates the DECIMAL column inside
+    the window (order-insensitive exact addition) and casts to double
+    only at the output boundary, so the cumulative row is as
+    bit-stable as the period row. Month offsets are calendar
+    month-diffs of month-truncated dates — identical integers on both
+    engines.
+
+    Scale design: one o_custkey exchange for the cohort window, one
+    (cohort, offset) aggregation (partial+final; distinct-actives
+    shuffles near-unique keys and partial-aggregates away), then the
+    cumulative window runs over the ≤ |months|² aggregate — tiny by
+    construction."""
+    o = load(spark, sf_dir, "orders")
+    wc = Window.partitionBy("o_custkey")
+    base = o.select(
+        "o_custkey",
+        "o_totalprice",
+        F.date_trunc("month", F.min("o_orderdate").over(wc))
+        .cast("timestamp_ntz")
+        .alias("cohort_month"),
+        F.date_trunc("month", F.col("o_orderdate"))
+        .cast("timestamp_ntz")
+        .alias("order_month"),
+    )
+    agg = base.groupBy(
+        "cohort_month",
+        F.months_between("order_month", "cohort_month")
+        .cast("bigint")
+        .alias("month_offset"),
+    ).agg(
+        F.countDistinct("o_custkey").alias("n_active"),
+        F.sum(F.col("o_totalprice").cast("decimal(24,6)")).alias("rev_dec"),
+    )
+    wl = (
+        Window.partitionBy("cohort_month")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return agg.select(
+        "cohort_month",
+        "month_offset",
+        "n_active",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        F.sum("rev_dec").over(wl).cast("double").alias("ltv_to_date"),
+    )
+
+
+@query(
+    "agg_gini_segment",
+    oracle="""
+    WITH cust_rev AS (
+      SELECT c.c_mktsegment, c.c_custkey,
+             CAST(SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS cents
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT c_mktsegment, cents,
+             CAST(row_number() OVER (PARTITION BY c_mktsegment
+               ORDER BY cents, c_custkey) AS BIGINT) AS i
+      FROM cust_rev
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST((2 * SUM(i * cents) - (COUNT(*) + 1) * SUM(cents)) * 1000000
+             // (COUNT(*) * SUM(cents)) AS BIGINT) AS gini_ppm
+    FROM ranked GROUP BY c_mktsegment
+    """,
+)
+def agg_gini_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration per market segment as an exact-integer
+    Gini coefficient — the inequality metric behind "does 20% of the
+    base drive 80% of revenue", computed from the rank formula
+    G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) over ascending-sorted customer
+    revenue (ties ranked by custkey, so the statistic is
+    deterministic despite the rank-based formulation).
+
+    Exactness: revenues quantize to bigint cents (identical floor on
+    both engines), every sum is a bigint, and the coefficient is one
+    truncating integer division to ppm — no float crosses the
+    boundary. Magnitudes: Σi·x ≤ n·max_cents·n ≈ 3e16 at sf0.1's
+    largest segment, well inside bigint.
+
+    Scale design: per-customer revenue is a partial+final aggregation
+    on o_custkey; ranking partitions by SEGMENT — a fixed small key
+    set, so each window task sorts |customers|/|segments| rows (the
+    documented whole-partition-sort caveat every per-group rank
+    shares; at 100 TB swap in the two-pass chunk-offset rank of
+    agg_percentile_exact_distributed, same formula) — and the final
+    aggregation reduces to |segments| rows."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    cust_rev = (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("cents", "c_custkey")
+    ranked = cust_rev.select(
+        "c_mktsegment",
+        "cents",
+        F.row_number().over(w).cast("long").alias("i"),
+    )
+    return ranked.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("cents").alias("total_cents"),
+        F.expr(
+            # DECIMAL(38,0) intermediates: Σi·x overflows bigint past
+            # ~sf10 (i and x both grow with the segment), and DuckDB's
+            # SUM(BIGINT) is 128-bit HUGEINT — the decimal detour keeps
+            # the two sides exact over the same range
+            "CAST((2 * sum(CAST(i AS DECIMAL(38,0)) * cents)"
+            " - (count(*) + 1) * sum(CAST(cents AS DECIMAL(38,0))))"
+            " * 1000000"
+            " div (count(*) * sum(CAST(cents AS DECIMAL(38,0))))"
+            " AS BIGINT)"
+        ).alias("gini_ppm"),
+    )
