@@ -54,6 +54,7 @@ KEYS = [
     "events_ohlc_resample",
     "etl_partition_skew_audit",
     "events_attribution_markov",
+    "events_funnel_windowed",
 ]
 
 REGISTRY = load_registry()

@@ -1494,3 +1494,105 @@ def agg_gini_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("gini_ppm"),
     )
+
+
+FUNNEL_WINDOW_DAYS = 7  # max allowed gap between consecutive stages
+
+
+@query(
+    "events_funnel_windowed",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup
+      FROM events GROUP BY user_id
+    ), v AS (
+      SELECT p.user_id, p.t_signup,
+             min(CASE WHEN e.event_type = 'view'
+                       AND e.ts > p.t_signup
+                       AND e.ts <= p.t_signup + INTERVAL {FUNNEL_WINDOW_DAYS} DAY
+                      THEN e.ts END) AS t_view
+      FROM per_user p JOIN events e ON e.user_id = p.user_id
+      WHERE p.t_signup IS NOT NULL
+      GROUP BY 1, 2
+    ), pu AS (
+      SELECT v.user_id, v.t_signup, v.t_view,
+             min(CASE WHEN e.event_type = 'purchase'
+                       AND e.ts > v.t_view
+                       AND e.ts <= v.t_view + INTERVAL {FUNNEL_WINDOW_DAYS} DAY
+                      THEN e.ts END) AS t_purchase
+      FROM v JOIN events e ON e.user_id = v.user_id
+      GROUP BY 1, 2, 3
+    )
+    SELECT CAST(COUNT(t_signup) AS BIGINT) AS n_signup,
+           CAST(COUNT(t_view) AS BIGINT) AS n_view_in_window,
+           CAST(COUNT(t_purchase) AS BIGINT) AS n_purchase_in_window
+    FROM pu
+    """,
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel — the production variant of
+    events_funnel: each stage must happen within
+    FUNNEL_WINDOW_DAYS of the PREVIOUS stage's completion (signup →
+    first view within 7 days → first purchase within 7 days of that
+    view), not just "ever after". Unbounded funnels overcount
+    conversions at scale because every user eventually does
+    everything; the window is what makes the metric meaningful.
+
+    The sequential dependency (each stage's deadline derives from the
+    previous stage's achieved time) makes this a 3-stage conditional
+    aggregation: per-user first signup, then first qualifying view
+    against that time, then first qualifying purchase against THAT
+    time. Timestamps compare exactly (µs integers under the hood);
+    counts are exact.
+
+    Scale design: three user_id-keyed passes, each a partial+final
+    conditional-min aggregation joined back per user — the joins are
+    all on user_id, so at 100 TB they co-partition with the event
+    shuffle and the per-user relation shrinks at every stage (only
+    signup users survive stage 2). No windows, no per-user sort —
+    conditional mins only."""
+    e = load(spark, sf_dir, "events")
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "signup", F.col("ts"))
+            ).alias("t_signup")
+        )
+        .where(F.col("t_signup").isNotNull())
+    )
+    window = F.expr(f"INTERVAL {FUNNEL_WINDOW_DAYS} DAY")
+    v = (
+        per_user.join(e, "user_id")
+        .groupBy("user_id", "t_signup")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "view")
+                    & (F.col("ts") > F.col("t_signup"))
+                    & (F.col("ts") <= F.col("t_signup") + window),
+                    F.col("ts"),
+                )
+            ).alias("t_view")
+        )
+    )
+    pu = (
+        v.join(e, "user_id")
+        .groupBy("user_id", "t_signup", "t_view")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_view"))
+                    & (F.col("ts") <= F.col("t_view") + window),
+                    F.col("ts"),
+                )
+            ).alias("t_purchase")
+        )
+    )
+    return pu.agg(
+        F.count("t_signup").alias("n_signup"),
+        F.count("t_view").alias("n_view_in_window"),
+        F.count("t_purchase").alias("n_purchase_in_window"),
+    )
