@@ -64,6 +64,8 @@ KEYS = [
     # rank-formula Gini (both must not see partition layout)
     "orders_cohort_ltv",
     "agg_gini_segment",
+    # round 6 (cont. 2): rank-picked cadence percentiles
+    "orders_reorder_interval_stats",
     # round 6 (cont.): the mapInPandas partial-Gram must sum to the
     # same integers whatever the Arrow batch/partition layout
     "embeddings_gram_matrix",

@@ -55,6 +55,7 @@ KEYS = [
     "etl_partition_skew_audit",
     "events_attribution_markov",
     "events_funnel_windowed",
+    "events_bot_burst_audit",
 ]
 
 REGISTRY = load_registry()

@@ -715,3 +715,21 @@ def test_gini_segment_single_rank_window(spark):
     assert plan.count("Window") == 1, plan
     assert "CartesianProduct" not in plan, plan
     assert plan.count("Exchange") <= 3, plan
+
+
+def test_bot_burst_audit_single_exchange(spark):
+    """events_bot_burst_audit: burst RANGE window and the per-user
+    aggregation share the user_id partitioning — ONE exchange for the
+    whole audit."""
+    plan = plan_of(spark, "events_bot_burst_audit")
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" in plan, plan
+
+
+def test_reorder_interval_rank_pick_no_cartesian(spark):
+    """orders_reorder_interval_stats: lag gaps on the o_custkey
+    exchange, segment rank window over the reduced gap relation,
+    |segments|-row output — no Cartesian, bounded exchange budget."""
+    plan = plan_of(spark, "orders_reorder_interval_stats")
+    assert plan.count("Exchange") <= 3, plan
+    assert "CartesianProduct" not in plan, plan

@@ -1596,3 +1596,190 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t_view").alias("n_view_in_window"),
         F.count("t_purchase").alias("n_purchase_in_window"),
     )
+
+
+@query(
+    "orders_reorder_interval_stats",
+    oracle="""
+    WITH gaps AS (
+      SELECT c.c_mktsegment,
+             CAST(date_diff('day',
+               lag(o.o_orderdate) OVER (PARTITION BY o.o_custkey
+                 ORDER BY o.o_orderdate, o.o_orderkey),
+               o.o_orderdate) AS BIGINT) AS gap_days,
+             o.o_custkey, o.o_orderkey
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), ranked AS (
+      SELECT c_mktsegment, gap_days,
+             CAST(row_number() OVER (PARTITION BY c_mktsegment
+               ORDER BY gap_days, o_custkey, o_orderkey) AS BIGINT) AS i,
+             CAST(COUNT(*) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS n
+      FROM gaps WHERE gap_days IS NOT NULL
+    )
+    SELECT c_mktsegment,
+           MAX(n) AS n_gaps,
+           CAST(SUM(gap_days) // MAX(n) AS BIGINT) AS mean_gap_days,
+           MAX(CASE WHEN i = (n + 1) // 2
+                    THEN gap_days END) AS p50_gap_days,
+           MAX(CASE WHEN i = GREATEST(1, (9 * n + 9) // 10)
+                    THEN gap_days END) AS p90_gap_days
+    FROM ranked GROUP BY c_mktsegment
+    """,
+)
+def orders_reorder_interval_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Purchase-cadence profile per market segment: the distribution
+    of days between a customer's consecutive orders — mean, median
+    and p90 gap — the input to replenishment forecasting and
+    churn-risk cutoffs ("no order for > p90 days").
+
+    Exactness: gaps are integer day diffs off a deterministic
+    (o_orderdate, o_orderkey) order; median/p90 are RANK-PICKED
+    (k-th smallest at k=(n+1)//2 and k=ceil(0.9n), ties broken by
+    (custkey, orderkey)) rather than interpolated, so every output is
+    a bigint — the same selection-not-summation trick as
+    events_anomaly_mad.
+
+    Scale design: the lag window shuffles once on o_custkey (the
+    natural order-history clustering); the rank window partitions by
+    SEGMENT — the fixed-small-key whole-partition-sort caveat shared
+    with agg_gini_segment (swap in the two-pass chunk-offset rank at
+    100 TB, formula unchanged); the final aggregation reduces to
+    |segments| rows."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    wc = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_mktsegment",
+            "o_custkey",
+            "o_orderkey",
+            F.datediff(
+                "o_orderdate", F.lag("o_orderdate").over(wc)
+            )
+            .cast("bigint")
+            .alias("gap_days"),
+        )
+        .where(F.col("gap_days").isNotNull())
+    )
+    ws = Window.partitionBy("c_mktsegment").orderBy(
+        "gap_days", "o_custkey", "o_orderkey"
+    )
+    wn = Window.partitionBy("c_mktsegment")
+    ranked = gaps.select(
+        "c_mktsegment",
+        "gap_days",
+        F.row_number().over(ws).cast("bigint").alias("i"),
+        F.count("*").over(wn).cast("bigint").alias("n"),
+    )
+    return ranked.groupBy("c_mktsegment").agg(
+        F.max("n").alias("n_gaps"),
+        F.expr("sum(gap_days) div max(n)").alias("mean_gap_days"),
+        F.max(
+            F.when(F.col("i") == F.expr("(n + 1) div 2"), F.col("gap_days"))
+        ).alias("p50_gap_days"),
+        F.max(
+            F.when(
+                F.col("i")
+                == F.greatest(
+                    F.lit(1), F.expr("(9 * n + 9) div 10")
+                ),
+                F.col("gap_days"),
+            )
+        ).alias("p90_gap_days"),
+    )
+
+
+BOT_BURST_WINDOW_S = 60  # trailing burst window
+BOT_BURST_MIN = 2  # >= this many events in one window -> burst flag
+BOT_RATE_PPM = 28  # >= this many events-per-second ppm -> rate flag
+# thresholds are corpus-calibrated DEMO values (the synthetic stream is
+# sparse — max observed burst 2, max rate 33 ppm); the point is that
+# both arms of the flag actually fire and are value-checked, not that
+# these numbers transfer to a real stream
+
+
+@query(
+    "events_bot_burst_audit",
+    oracle=f"""
+    WITH q AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) // 1000000 AS sec
+      FROM events WHERE ts IS NOT NULL
+    ), burst AS (
+      SELECT user_id, event_id, sec,
+             CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY sec
+               RANGE BETWEEN {BOT_BURST_WINDOW_S} PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS n_burst
+      FROM q
+    ), per_user AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             MAX(sec) - MIN(sec) AS active_seconds,
+             MAX(n_burst) AS max_burst
+      FROM burst GROUP BY user_id
+    )
+    SELECT user_id, n_events, active_seconds, max_burst,
+           (n_events * 1000000) // GREATEST(active_seconds, 1) AS rate_ppm,
+           (max_burst >= {BOT_BURST_MIN}
+            OR (n_events * 1000000) // GREATEST(active_seconds, 1)
+               >= {BOT_RATE_PPM}) AS is_bot
+    FROM per_user
+    """,
+)
+def events_bot_burst_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/abuse screening — the traffic-hygiene filter run before
+    any behavioural table feeds training or analytics: per user, the
+    maximum event count inside any trailing BOT_BURST_WINDOW_S-second
+    window (burst detection via a RANGE frame over whole-second event
+    time) and the lifetime events-per-second rate in ppm; either
+    threshold trips the is_bot flag. Downstream keys anti-join the
+    flagged users out.
+
+    Exactness: the RANGE frame is over integer epoch seconds
+    (identical truncation both engines — co-timestamped rows share a
+    frame, so row order inside a second cannot matter), rates are
+    truncating integer division, and the flag is pure boolean algebra
+    over those integers.
+
+    Scale design: ONE user_id exchange shared by the burst window and
+    the per-user aggregation (same partition key); the range frame is
+    a single running sweep per partition with O(window-span) state.
+    Output is one row per user — the relation the anti-join
+    broadcasts or co-partitions at 100 TB."""
+    e = load(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    sec = (
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+    ).alias("sec")
+    q = e.select("user_id", "event_id", sec)
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-BOT_BURST_WINDOW_S, 0)
+    )
+    burst = q.select(
+        "user_id",
+        "sec",
+        F.count("*").over(wb).cast("bigint").alias("n_burst"),
+    )
+    per_user = burst.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        (F.max("sec") - F.min("sec")).alias("active_seconds"),
+        F.max("n_burst").alias("max_burst"),
+    )
+    rate = F.expr(
+        "(n_events * 1000000) div GREATEST(active_seconds, 1)"
+    )
+    return per_user.select(
+        "user_id",
+        "n_events",
+        "active_seconds",
+        "max_burst",
+        rate.alias("rate_ppm"),
+        (
+            (F.col("max_burst") >= BOT_BURST_MIN)
+            | (rate >= BOT_RATE_PPM)
+        ).alias("is_bot"),
+    )
