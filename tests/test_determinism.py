@@ -66,6 +66,8 @@ KEYS = [
     "agg_gini_segment",
     # round 6 (cont. 2): rank-picked cadence percentiles
     "orders_reorder_interval_stats",
+    # round 6 (cont. 2): MIN-attributed first-occurrence novelty
+    "text_ngram_novelty",
     # round 6 (cont.): the mapInPandas partial-Gram must sum to the
     # same integers whatever the Arrow batch/partition layout
     "embeddings_gram_matrix",

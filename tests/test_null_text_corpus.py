@@ -47,6 +47,8 @@ KEYS = [
     "text_hashing_features",
     "text_cooccurrence_topk",
     "text_filter_funnel",
+    "text_ngram_novelty",
+    "text_affix_overlap",
     "dedup_exact",
     "dedup_containment",
     "dedup_exact_keep_best",

@@ -733,3 +733,27 @@ def test_reorder_interval_rank_pick_no_cartesian(spark):
     plan = plan_of(spark, "orders_reorder_interval_stats")
     assert plan.count("Exchange") <= 3, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_ngram_novelty_int64_gram_keys(spark):
+    """text_ngram_novelty's first-occurrence groupBy and the join-back
+    must shuffle xxhash64'd int64 gram keys, never gram strings; the
+    gram generation is one in-row Generate."""
+    plan = plan_of(spark, "text_ngram_novelty")
+    assert "xxhash64" in plan, plan
+    # static plan prints the explode once per consumer (groupBy +
+    # join-back), the span_dedup-accepted shape; AQE stage reuse
+    # dedupes at runtime
+    assert plan.count("Generate") <= 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_affix_overlap_single_hash_join_no_explode(spark):
+    """text_affix_overlap: one prefix key + one suffix key per doc
+    (in-row slice+hash — NO token explode anywhere) meeting in a
+    single hash equi-join."""
+    plan = plan_of(spark, "text_affix_overlap")
+    assert "Generate" not in plan, plan
+    assert "xxhash64" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -1329,3 +1329,144 @@ def text_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_lowrep"
         ),
     )
+
+
+@query(
+    "text_ngram_novelty",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(toks) - 1),
+               i -> array_to_string(toks[i:i+2], ' ')))) AS g
+      FROM t
+    ),
+    firsts AS (SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g)
+    SELECT gr.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+             * 1000000 // COUNT(*) AS BIGINT) AS novelty_ppm
+    FROM grams gr JOIN firsts f ON f.g = gr.g
+    GROUP BY gr.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document content novelty — what fraction of a document's
+    distinct 3-grams appear HERE FIRST (attributed by lowest doc_id),
+    the marginal-value curve of a growing corpus: a crawl shard whose
+    novelty ppm collapses is re-collecting text the dataset already
+    has, the aggregate signal behind dataset-growth deduplication
+    decisions (complements text_span_dedup's "how much is copied" with
+    "who contributed it first").
+
+    Scale shape: one in-row distinct-3-gram transform per doc (token
+    array bound once via the single-element-array lambda — the
+    contamination-check trick), grams xxhash64'd to int64 at
+    formation so the first-occurrence groupBy and the join-back both
+    shuffle 8-byte keys; per-doc output. The oracle runs the same
+    attribution over raw gram strings — only per-doc counts are
+    compared, so the ~1e-9 hash-collision odds never surface. MIN as
+    the attribution rule makes the result order- and layout-free."""
+    d = load(spark, sf_dir, "documents").where(
+        F.size(F.split(F.col("text"), " ")) >= 3
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(array(split(text, ' ')),"
+                " t -> array_distinct(transform(sequence(1, size(t) - 2),"
+                "   i -> xxhash64(array_join(slice(t, i, 3), ' ')))))[0]"
+            )
+        ).alias("h"),
+    ).repartition(default_parallelism(), "h")
+    # explicit h-partitioning: both consumers (first-occurrence
+    # groupBy, join-back) are shuffle-free on their key downstream,
+    # and the two identical explode→exchange subtrees are candidates
+    # for AQE's runtime stage reuse (the STATIC plan prints both —
+    # same accepted shape as text_span_dedup's span relation)
+    firsts = grams.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        grams.join(firsts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            novel.alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_ppm",
+            F.expr("CAST(n_novel * 1000000 div n_grams AS BIGINT)"),
+        )
+    )
+
+
+AFFIX_K = 3  # affix width in tokens (corpus-calibrated: the synthetic
+# docs are short near-dup families, so longer affixes match nothing
+# and the key would be vacuously green; a real crawl would use 32-64)
+
+
+@query(
+    "text_affix_overlap",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE len(string_split(text, ' ')) >= {AFFIX_K}
+    ),
+    pre AS (
+      SELECT doc_id, array_to_string(toks[1:{AFFIX_K}], ' ') AS affix
+      FROM t
+    ),
+    suf AS (
+      SELECT doc_id, array_to_string(toks[-{AFFIX_K}:], ' ') AS affix
+      FROM t
+    )
+    SELECT s.doc_id AS suffix_doc, p.doc_id AS prefix_doc
+    FROM suf s JOIN pre p
+      ON s.affix = p.affix AND s.doc_id <> p.doc_id
+    """,
+)
+def text_affix_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-stitching detector: pairs (a, b) where a's LAST
+    AFFIX_K tokens equal b's FIRST AFFIX_K tokens — the signature of
+    chunked re-assembly artifacts (a crawl that split one page into
+    overlapping records, or concatenated shards duplicating their
+    seam), which Jaccard/MinHash dedup misses because the documents
+    as wholes are dissimilar.
+
+    Scale shape: each doc contributes ONE prefix key and ONE suffix
+    key (in-row slice + hash — no per-token explode), and the
+    detector is a single equi-join on the affix hash: nothing is
+    pairwise in the corpus, candidates are exactly the hash-equal
+    seams. Affixes are xxhash64'd so the join shuffles 8-byte keys;
+    the oracle joins raw affix strings (collision odds ~1e-9). Output
+    is the seam pair list downstream chunk-merging consumes."""
+    d = load(spark, sf_dir, "documents").where(
+        F.size(F.split(F.col("text"), " ")) >= AFFIX_K
+    )
+    toks = F.split(F.col("text"), " ")
+    pre = d.select(
+        F.col("doc_id").alias("prefix_doc"),
+        F.xxhash64(
+            F.array_join(F.slice(toks, 1, AFFIX_K), " ")
+        ).alias("h"),
+    )
+    suf = d.select(
+        F.col("doc_id").alias("suffix_doc"),
+        F.xxhash64(
+            F.array_join(F.slice(toks, -AFFIX_K, AFFIX_K), " ")
+        ).alias("h"),
+    )
+    return (
+        suf.join(pre, "h")
+        .where(F.col("suffix_doc") != F.col("prefix_doc"))
+        .select("suffix_doc", "prefix_doc")
+    )
