@@ -53,6 +53,8 @@ KEYS = [
     "text_bigram_lm_score",
     "text_contamination_check",
     "text_repetition_score",
+    "text_ngram_novelty",
+    "text_affix_overlap",
     # per-CHARACTER substring pairing over multibyte words: Spark and
     # DuckDB substring() must both count codepoints (not bytes or
     # UTF-16 units — astral-plane chars in the suffix would split)
