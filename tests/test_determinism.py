@@ -68,6 +68,9 @@ KEYS = [
     "orders_reorder_interval_stats",
     # round 6 (cont. 2): MIN-attributed first-occurrence novelty
     "text_ngram_novelty",
+    # round 6 (cont. 2): the 4-term IVM union must aggregate to the
+    # same decimals whatever the partition layout
+    "etl_incremental_join_maintenance",
     # round 6 (cont.): the mapInPandas partial-Gram must sum to the
     # same integers whatever the Arrow batch/partition layout
     "embeddings_gram_matrix",

@@ -56,6 +56,7 @@ KEYS = [
     "events_attribution_markov",
     "events_funnel_windowed",
     "events_bot_burst_audit",
+    "events_next_event_accuracy",
 ]
 
 REGISTRY = load_registry()

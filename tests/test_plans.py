@@ -757,3 +757,24 @@ def test_affix_overlap_single_hash_join_no_explode(spark):
     assert "xxhash64" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ivm_join_terms_broadcast_deltas_no_base_self_join(spark):
+    """etl_incremental_join_maintenance: the delta terms must join
+    SMALL against big (broadcast of the delta-orders sides); no term
+    may produce a Cartesian, and the whole 4-term union reduces in
+    one final aggregation."""
+    plan = plan_of(spark, "etl_incremental_join_maintenance")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Union" in plan, plan
+
+
+def test_next_event_accuracy_prefix_matches_markov(spark):
+    """events_next_event_accuracy: after the pair counts (user_id
+    window exchange + one hash agg) everything is broadcast-sized —
+    the predictor join must be a BroadcastHashJoin, never a shuffle
+    of the tiny transition relation."""
+    plan = plan_of(spark, "events_next_event_accuracy")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan

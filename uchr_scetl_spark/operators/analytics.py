@@ -1783,3 +1783,95 @@ def events_bot_burst_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (rate >= BOT_RATE_PPM)
         ).alias("is_bot"),
     )
+
+
+@query(
+    "events_next_event_accuracy",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS from_state,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_state
+      FROM events
+      WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    ),
+    pairs AS (
+      SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE to_state IS NOT NULL GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT from_state, to_state AS predicted
+      FROM pairs
+      QUALIFY row_number() OVER (PARTITION BY from_state
+                                 ORDER BY n DESC, to_state) = 1
+    )
+    SELECT p.from_state,
+           CAST(SUM(p.n) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN p.to_state = pr.predicted THEN p.n
+                         ELSE 0 END) AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN p.to_state = pr.predicted THEN p.n
+                         ELSE 0 END) * 1000000 // SUM(p.n) AS BIGINT)
+             AS accuracy_ppm,
+           MAX(pr.predicted) AS predicted
+    FROM pairs p JOIN pred pr ON pr.from_state = p.from_state
+    GROUP BY p.from_state
+    """,
+)
+def events_next_event_accuracy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Next-event prediction eval — closes the loop on
+    events_markov_transitions: the argmax-transition predictor
+    (most frequent successor per state, ties to the lexicographically
+    smallest) is scored IN-SAMPLE against the observed pairs,
+    per-state accuracy in exact ppm. This is the one-line baseline
+    every sequence model must beat, and the per-state breakdown shows
+    WHERE behaviour is predictable (a state at chance level carries
+    no signal for the fancier model either).
+
+    Exactness: the eval needs no second corpus pass — accuracy is
+    Σn over matching (from,to) cells against Σn over all cells, so
+    everything after the pair counts is arithmetic on the tiny
+    transition relation; counts are exact bigints, accuracy one
+    truncating division.
+
+    Scale design: one user_id exchange for the lead window, one
+    partial+final pair count (≤ |types|² rows out), then
+    broadcast-sized work; identical plan prefix to
+    events_markov_transitions, which a shared-relation optimizer (or
+    a pipeline step) would compute once for both."""
+    e = load(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("from_state"),
+        F.lead("event_type").over(w).alias("to_state"),
+    ).where(F.col("to_state").isNotNull())
+    pairs = seq.groupBy("from_state", "to_state").agg(
+        F.count("*").alias("n")
+    )
+    wp = Window.partitionBy("from_state").orderBy(F.desc("n"), "to_state")
+    pred = (
+        pairs.withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") == 1)
+        .select("from_state", F.col("to_state").alias("predicted"))
+    )
+    correct = F.sum(
+        F.when(F.col("to_state") == F.col("predicted"), F.col("n")).otherwise(
+            0
+        )
+    ).cast("bigint")
+    return (
+        pairs.join(F.broadcast(pred), "from_state")
+        .groupBy("from_state")
+        .agg(
+            F.sum("n").alias("n_pairs"),
+            correct.alias("n_correct"),
+            F.expr(
+                "CAST(SUM(CASE WHEN to_state = predicted THEN n ELSE 0 END)"
+                " * 1000000 div SUM(n) AS BIGINT)"
+            ).alias("accuracy_ppm"),
+            F.max("predicted").alias("predicted"),
+        )
+    )

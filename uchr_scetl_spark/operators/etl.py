@@ -924,3 +924,78 @@ def etl_partition_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "heaviest_day",
         )
     )
+
+
+IVM_CUTOFF = "2000-01-01 00:00:00"  # base/delta split for the IVM demo
+
+
+@query(
+    "etl_incremental_join_maintenance",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+             AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def etl_incremental_join_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental JOIN-view maintenance — the delta algebra behind
+    keeping a materialized join fresh without re-joining 100 TB:
+    with both inputs split into base ∪ delta (here at a date cutoff,
+    modelling "yesterday's view + today's arrivals"), the insert-only
+    identity
+
+        O⋈L = Oᵦ⋈Lᵦ  +  ΔO⋈Lᵦ  +  Oᵦ⋈ΔL  +  ΔO⋈ΔL
+
+    is computed term by term and must aggregate to EXACTLY the full
+    recompute — which is what the oracle does, so the check verifies
+    the maintenance algebra itself (a missing or double-counted term
+    cannot hash-match). Counts are exact; revenue rides the decimal
+    detour, whose order-insensitivity is what makes the 4-way union
+    aggregate bit-equal to the monolithic join.
+
+    Scale design: each delta term joins a SMALL relation against a
+    big one (ΔO broadcasts against Lᵦ, Oᵦ co-partitions with ΔL on
+    the join key, ΔO⋈ΔL is delta-sized) — the point of IVM is that
+    no term re-joins base against base except the one you already
+    have materialized; here Oᵦ⋈Lᵦ stands in for "read the stored
+    view", and at 100 TB it would BE the stored view. The final
+    aggregation merges partials from all four terms in one shuffle
+    of group-key rows."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    cut = F.lit(IVM_CUTOFF).cast("timestamp_ntz")
+    o_base, o_delta = o.where(F.col("o_orderdate") < cut), o.where(
+        F.col("o_orderdate") >= cut
+    )
+    l_base, l_delta = li.where(F.col("l_shipdate") < cut), li.where(
+        F.col("l_shipdate") >= cut
+    )
+
+    def term(os, ls, broadcast_orders=False):
+        os_j = F.broadcast(os) if broadcast_orders else os
+        return ls.join(os_j, ls.l_orderkey == os.o_orderkey).select(
+            "o_orderpriority",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "rev"
+            ),
+        )
+
+    combined = (
+        term(o_base, l_base)
+        .unionAll(term(o_delta, l_base, broadcast_orders=True))
+        .unionAll(term(o_base, l_delta))
+        .unionAll(term(o_delta, l_delta, broadcast_orders=True))
+    )
+    return combined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_rows"),
+        dec_sum(F.col("rev"), "revenue"),
+    )
