@@ -336,6 +336,60 @@ AUDITS: dict[str, tuple[str, list[str]]] = {
         "no global sort.",
         [r"HashAggregate", r"Broadcast"],
     ),
+    "orders_cohort_ltv": (
+        "Cohort LTV: o_custkey cohort window, (cohort, offset) "
+        "aggregation, then the cumulative window over the tiny "
+        "aggregate - the running column accumulates DECIMAL inside "
+        "the window.",
+        [r"Window", r"HashAggregate"],
+    ),
+    "agg_gini_segment": (
+        "Exact-integer Gini: per-customer revenue reduces BEFORE the "
+        "segment rank window; one Window, |segments|-row output, "
+        "DECIMAL(38,0) intermediates.",
+        [r"Window", r"HashAggregate"],
+    ),
+    "events_funnel_windowed": (
+        "Conversion-window funnel: three user_id-keyed conditional-min "
+        "passes - the joins co-partition with the aggregation key, no "
+        "windows, no per-user sort.",
+        [r"HashAggregate", r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin"],
+    ),
+    "orders_reorder_interval_stats": (
+        "Purchase cadence: lag gaps on the o_custkey exchange, "
+        "rank-picked median/p90 over the segment window, "
+        "|segments|-row output.",
+        [r"Window", r"HashAggregate"],
+    ),
+    "events_bot_burst_audit": (
+        "Bot audit: burst RANGE frame and per-user aggregation share "
+        "ONE user_id exchange; output one row per user.",
+        [r"Exchange hashpartitioning\(user_id", r"Window"],
+    ),
+    "events_next_event_accuracy": (
+        "Next-event eval: pair counts (partial+final) then "
+        "broadcast-sized predictor join - the tiny transition "
+        "relation never shuffles.",
+        [r"BroadcastHashJoin", r"HashAggregate"],
+    ),
+    "text_ngram_novelty": (
+        "First-occurrence novelty: int64 gram keys, h-partitioned "
+        "gram relation feeding both the MIN-attribution groupBy and "
+        "the join-back shuffle-free.",
+        [r"xxhash64", r"HashAggregate"],
+    ),
+    "text_affix_overlap": (
+        "Stitching seams: ONE prefix + ONE suffix hash per doc "
+        "(in-row slice, no token explode) meeting in a single hash "
+        "equi-join.",
+        [r"xxhash64", r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin"],
+    ),
+    "etl_incremental_join_maintenance": (
+        "IVM delta algebra: the delta-orders terms BROADCAST against "
+        "the base lineitem; the 4-term union reduces in one final "
+        "aggregation bit-equal to the monolithic join.",
+        [r"BroadcastHashJoin", r"Union", r"HashAggregate"],
+    ),
     "graph_jaccard_neighbors": (
         "Neighbourhood-Jaccard top-k: probe adjacency and the "
         "probe-bounded common/degree relations BROADCAST into the "
