@@ -57,6 +57,7 @@ KEYS = [
     "events_funnel_windowed",
     "events_bot_burst_audit",
     "events_next_event_accuracy",
+    "events_hazard_curve",
 ]
 
 REGISTRY = load_registry()

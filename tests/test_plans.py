@@ -778,3 +778,16 @@ def test_next_event_accuracy_prefix_matches_markov(spark):
     plan = plan_of(spark, "events_next_event_accuracy")
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_hazard_curve_global_window_sees_only_the_histogram(spark):
+    """events_hazard_curve's single unpartitioned window (reverse
+    cumsum) must run AFTER two hash aggregations — its input is the
+    ≤|days|-row duration histogram, never per-user or raw-event
+    rows."""
+    plan = plan_of(spark, "events_hazard_curve")
+    assert "Window" in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan  # 2 aggs x partial+final
+    # the window must be above the last aggregate in the plan tree
+    # (appears before it in the printed top-down order)
+    assert plan.index("Window") < plan.index("HashAggregate"), plan

@@ -956,3 +956,30 @@ def test_knn_ann_shares_vote_stage_with_exact(spark):
     assert set(ann) == set(exact)
     agree = sum(1 for p in exact if ann[p] == exact[p])
     assert agree >= 3, (agree, len(exact))
+
+
+def test_hazard_curve_conserves_users_and_is_monotone(spark):
+    """events_hazard_curve: the risk set is the reverse cumsum of
+    exits, so (a) the earliest row's risk set equals the total user
+    count, (b) n_at_risk strictly decreases row to row (histogram
+    rows exist only at durations with ≥1 exit), (c) every hazard is
+    in [0, 1e6] and equals its own d/n recomputed, and (d)
+    Σ(events+censored) = n_users (every user exits exactly once)."""
+    from uchr_scetl_spark.registry import load_registry
+
+    rows = sorted(
+        load_registry()["events_hazard_curve"].fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r.duration_day,
+    )
+    assert rows
+    d = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    n_users = d.select("user_id").distinct().count()
+    assert sum(r.n_events + r.n_censored for r in rows) == n_users
+    assert rows[0].n_at_risk == n_users
+    prev = None
+    for r in rows:
+        if prev is not None:
+            assert r.n_at_risk < prev, (r, prev)
+        prev = r.n_at_risk
+        assert 0 <= r.hazard_ppm <= 1_000_000
+        assert r.hazard_ppm == r.n_events * 1_000_000 // r.n_at_risk, r

@@ -1875,3 +1875,100 @@ def events_next_event_accuracy(
             F.max("predicted").alias("predicted"),
         )
     )
+
+
+@query(
+    "events_hazard_curve",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(ts) AS t0,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_evt,
+             MAX(ts) AS t_last
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY user_id
+    ), durations AS (
+      SELECT CAST(date_diff('day', t0, COALESCE(t_evt, t_last)) AS BIGINT)
+               AS d,
+             CASE WHEN t_evt IS NOT NULL THEN 1 ELSE 0 END AS is_event
+      FROM per_user
+    ), hist AS (
+      SELECT d,
+             CAST(SUM(is_event) AS BIGINT) AS n_events,
+             CAST(SUM(1 - is_event) AS BIGINT) AS n_censored
+      FROM durations GROUP BY d
+    )
+    SELECT d AS duration_day,
+           CAST(SUM(n_events + n_censored) OVER (
+             ORDER BY d DESC ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW) AS BIGINT) AS n_at_risk,
+           n_events, n_censored,
+           CAST(n_events * 1000000 // SUM(n_events + n_censored) OVER (
+             ORDER BY d DESC ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW) AS BIGINT) AS hazard_ppm
+    FROM hist
+    """,
+)
+def events_hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time survival analysis — time-to-first-purchase with
+    right censoring: per duration day, the risk set (users still
+    unconverted and still observed), conversion events, censored
+    exits, and the discrete hazard d/n in exact ppm. This is the
+    Kaplan-Meier risk table; the survival curve is the running
+    product of (1 − hazard), a ≤|days|-row driver/BI step downstream
+    — the engine keeps everything corpus-sized exact and distributed
+    and leaves the one float product to the consumer.
+
+    Censoring is what distinguishes this from a naive
+    time-to-convert histogram: a user who never purchases
+    contributes to every risk set up to their last observed day and
+    then exits WITHOUT an event — dropping them (or counting them as
+    events) biases the hazard, the textbook survival-analysis error.
+
+    Exactness: durations are integer day diffs, the risk set is a
+    reverse cumulative sum over the duration histogram (a ≤|days|-row
+    window — no per-user-per-day explode), hazards are truncating
+    integer division.
+
+    Scale design: one user_id aggregation collapses the corpus to a
+    row per user, a second to a row per duration day; the
+    reverse-cumsum window runs over that tiny relation. The single
+    unpartitioned window is bounded by the observation span (days),
+    not the corpus — the documented exception class (same as the
+    date spine)."""
+    e = load(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    per_user = e.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("t_evt"),
+        F.max("ts").alias("t_last"),
+    )
+    durations = per_user.select(
+        F.datediff(
+            F.coalesce(F.col("t_evt"), F.col("t_last")), F.col("t0")
+        )
+        .cast("bigint")
+        .alias("d"),
+        F.when(F.col("t_evt").isNotNull(), 1).otherwise(0).alias("is_event"),
+    )
+    hist = durations.groupBy("d").agg(
+        F.sum("is_event").cast("bigint").alias("n_events"),
+        F.sum(1 - F.col("is_event")).cast("bigint").alias("n_censored"),
+    )
+    w = (
+        Window.orderBy(F.desc("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    at_risk = F.sum(F.col("n_events") + F.col("n_censored")).over(w)
+    return hist.select(
+        F.col("d").alias("duration_day"),
+        at_risk.cast("bigint").alias("n_at_risk"),
+        "n_events",
+        "n_censored",
+        F.expr(
+            "CAST(n_events * 1000000 div (SUM(n_events + n_censored)"
+            " OVER (ORDER BY d DESC ROWS BETWEEN UNBOUNDED PRECEDING"
+            " AND CURRENT ROW)) AS BIGINT)"
+        ).alias("hazard_ppm"),
+    )
