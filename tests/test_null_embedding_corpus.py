@@ -49,6 +49,7 @@ KEYS = [
     "embeddings_gram_matrix",
     "sim_kmeans_assign",
     "embeddings_random_projection",
+    "sim_label_recall_topk",
     "multimodal_enrich",
     "multimodal_crossmodal_topk",
 ]

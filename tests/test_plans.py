@@ -791,3 +791,14 @@ def test_hazard_curve_global_window_sees_only_the_histogram(spark):
     # the window must be above the last aggregate in the plan tree
     # (appears before it in the printed top-down order)
     assert plan.index("Window") < plan.index("HashAggregate"), plan
+
+
+def test_gdpr_audit_broadcasts_deletion_list(spark):
+    """etl_gdpr_delete_audit: the subjects list must reach every
+    table as a BROADCAST semi/anti join — the corpus-sized tables
+    never shuffle for the deletion check."""
+    plan = plan_of(spark, "etl_gdpr_delete_audit")
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -1424,3 +1424,69 @@ def embeddings_random_projection(
             "out_dim", "proj_val"
         ),
     )
+
+
+@query(
+    "sim_label_recall_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), probes AS (
+      SELECT vec_id AS probe_id, label AS true_label, v AS pv, nrm AS pnrm
+      FROM e WHERE vec_id < {N_PROBES}
+    ), top_k AS (
+      SELECT p.probe_id, p.true_label, e.label,
+             (list_dot_product(p.pv, e.v) / (p.pnrm * e.nrm)) AS cosine,
+             e.vec_id AS neighbor_id
+      FROM probes p JOIN e ON e.vec_id <> p.probe_id
+      QUALIFY row_number() OVER (PARTITION BY p.probe_id
+                                 ORDER BY cosine DESC, neighbor_id)
+        <= {TOP_K}
+    )
+    SELECT probe_id, true_label,
+           CAST(SUM(CASE WHEN label = true_label THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_same_label,
+           CAST(SUM(CASE WHEN label = true_label THEN 1 ELSE 0 END)
+             * 1000000 // {TOP_K} AS BIGINT) AS label_recall_ppm
+    FROM top_k GROUP BY probe_id, true_label
+    """,
+)
+def sim_label_recall_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality eval — label agreement at k: for each probe,
+    what fraction of its exact top-k cosine neighbours share its
+    label, in exact ppm. This is the embedding-quality metric behind
+    "are these vectors any good for retrieval": near-chance agreement
+    means the embedding space carries no label signal and every
+    ANN/kNN key downstream inherits that ceiling.
+
+    Composes sim_topk's plan verbatim (broadcast probe panel, one
+    corpus scan, bounded per-probe window); the scoring stage is
+    |probes|·k rows. Counts are exact; ppm is one truncating
+    division. NULL embeddings excluded symmetrically."""
+    nbrs = sim_topk(spark, sf_dir)  # probe_id, neighbor_id, label, cosine
+    truth = (
+        load(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < N_PROBES)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("label").alias("true_label"),
+        )
+    )
+    return (
+        nbrs.join(F.broadcast(truth), "probe_id")
+        .groupBy("probe_id", "true_label")
+        .agg(
+            F.sum(
+                F.when(F.col("label") == F.col("true_label"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_same_label"),
+            F.expr(
+                "CAST(SUM(CASE WHEN label = true_label THEN 1 ELSE 0 END)"
+                f" * 1000000 div {TOP_K} AS BIGINT)"
+            ).alias("label_recall_ppm"),
+        )
+    )

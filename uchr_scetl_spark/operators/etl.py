@@ -999,3 +999,132 @@ def etl_incremental_join_maintenance(
         F.count("*").alias("n_rows"),
         dec_sum(F.col("rev"), "revenue"),
     )
+
+
+GDPR_MOD = 97  # deterministic "deletion request" list: user_id % 97 == 0
+
+
+@query(
+    "etl_gdpr_delete_audit",
+    oracle=f"""
+    WITH del_users AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id % {GDPR_MOD} = 0
+    ),
+    del_custs AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % {GDPR_MOD} = 0
+    ),
+    ev AS (
+      SELECT 'events' AS table_name,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS n_before,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+              WHERE user_id IN (SELECT user_id FROM del_users)) AS n_deleted,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+              WHERE user_id NOT IN (SELECT user_id FROM del_users))
+               AS n_after
+    ),
+    cu AS (
+      SELECT 'customer' AS table_name,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_before,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+              WHERE c_custkey IN (SELECT c_custkey FROM del_custs))
+               AS n_deleted,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+              WHERE c_custkey NOT IN (SELECT c_custkey FROM del_custs))
+               AS n_after
+    ),
+    oo AS (
+      SELECT 'orders' AS table_name,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_before,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+              WHERE o_custkey IN (SELECT c_custkey FROM del_custs))
+               AS n_deleted,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+              WHERE o_custkey NOT IN (SELECT c_custkey FROM del_custs))
+               AS n_after
+    )
+    SELECT table_name, n_before, n_deleted, n_after,
+           CAST(n_before - n_deleted - n_after AS BIGINT) AS residual
+    FROM ev UNION ALL SELECT * , CAST(n_before - n_deleted - n_after
+      AS BIGINT) FROM cu
+    UNION ALL SELECT *, CAST(n_before - n_deleted - n_after AS BIGINT)
+      FROM oo
+    """,
+)
+def etl_gdpr_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten audit — the deletion sweep every
+    regulated data platform runs: given a deterministic deletion-
+    request list (user_id / custkey ≡ 0 mod GDPR_MOD), anti-join the
+    subjects out of every table that carries their data (events by
+    user_id; customer AND their orders by custkey — the cascade), and
+    emit per-table before/deleted/after counts plus a RESIDUAL column
+    that must be zero (deleted + after = before) — the verification
+    step that turns a delete job into an auditable one.
+
+    Scale design: each table is one scan with the deletion list
+    applied as a broadcast semi/anti join (the list is subjects-sized,
+    not corpus-sized); counts partial-aggregate. The cascade is
+    modelled explicitly (orders deleted through their customer's key)
+    because subject data rarely lives in one table."""
+    ev = load(spark, sf_dir, "events")
+    cu = load(spark, sf_dir, "customer")
+    oo = load(spark, sf_dir, "orders")
+    del_users = ev.where(F.col("user_id") % GDPR_MOD == 0).select(
+        "user_id"
+    ).distinct()
+    del_custs = cu.where(F.col("c_custkey") % GDPR_MOD == 0).select(
+        "c_custkey"
+    )
+
+    def audit(df, key_col, del_df, del_key, name):
+        deleted = df.join(
+            F.broadcast(del_df),
+            F.col(key_col) == F.col(del_key),
+            "left_semi",
+        )
+        kept = df.join(
+            F.broadcast(del_df),
+            F.col(key_col) == F.col(del_key),
+            "left_anti",
+        )
+        return (
+            df.agg(F.count("*").alias("n_before"))
+            .crossJoin(deleted.agg(F.count("*").alias("n_deleted")))
+            .crossJoin(kept.agg(F.count("*").alias("n_after")))
+            .select(
+                F.lit(name).alias("table_name"),
+                "n_before",
+                "n_deleted",
+                "n_after",
+                (
+                    F.col("n_before") - F.col("n_deleted") - F.col("n_after")
+                ).alias("residual"),
+            )
+        )
+
+    return (
+        audit(
+            ev,
+            "user_id",
+            del_users.select(F.col("user_id").alias("dk")),
+            "dk",
+            "events",
+        )
+        .unionAll(
+            audit(
+                cu,
+                "c_custkey",
+                del_custs.select(F.col("c_custkey").alias("dk")),
+                "dk",
+                "customer",
+            )
+        )
+        .unionAll(
+            audit(
+                oo,
+                "o_custkey",
+                del_custs.select(F.col("c_custkey").alias("dk")),
+                "dk",
+                "orders",
+            )
+        )
+    )
