@@ -71,6 +71,8 @@ KEYS = [
     # round 6 (cont. 2): the 4-term IVM union must aggregate to the
     # same decimals whatever the partition layout
     "etl_incremental_join_maintenance",
+    # round 6 (cont. 2): exact ratio-of-averages seasonal decomposition
+    "orders_seasonal_index",
     # round 6 (cont.): the mapInPandas partial-Gram must sum to the
     # same integers whatever the Arrow batch/partition layout
     "embeddings_gram_matrix",

@@ -49,6 +49,7 @@ KEYS = [
     "text_filter_funnel",
     "text_ngram_novelty",
     "text_affix_overlap",
+    "text_langid_confusion",
     "dedup_exact",
     "dedup_containment",
     "dedup_exact_keep_best",

@@ -55,6 +55,7 @@ KEYS = [
     "text_repetition_score",
     "text_ngram_novelty",
     "text_affix_overlap",
+    "text_langid_confusion",
     # per-CHARACTER substring pairing over multibyte words: Spark and
     # DuckDB substring() must both count codepoints (not bytes or
     # UTF-16 units — astral-plane chars in the suffix would split)

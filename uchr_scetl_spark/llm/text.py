@@ -1470,3 +1470,31 @@ def text_affix_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("suffix_doc") != F.col("prefix_doc"))
         .select("suffix_doc", "prefix_doc")
     )
+
+
+def _langid_confusion_oracle() -> str:
+    from ..registry import REGISTRY
+
+    base = REGISTRY["text_langid"].oracle
+    return f"""
+    SELECT lang, predicted, CAST(COUNT(*) AS BIGINT) AS n
+    FROM ({base})
+    GROUP BY lang, predicted
+    """
+
+
+@query("text_langid_confusion", oracle=_langid_confusion_oracle())
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix — the eval that belongs next to
+    any classifier: observed label × predicted label × count over the
+    whole corpus, the table precision/recall/'which languages bleed
+    into which' all read off from. Reuses text_langid's scoring
+    relation verbatim (and its ORACLE verbatim — the confusion oracle
+    is literally a GROUP BY wrapped around the langid oracle, so the
+    two keys cannot drift apart); the matrix aggregation adds one
+    ≤|langs|²-row partial+final count on top of the scan."""
+    return (
+        text_langid(spark, sf_dir)
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n"))
+    )

@@ -1972,3 +1972,61 @@ def events_hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AND CURRENT ROW)) AS BIGINT)"
         ).alias("hazard_ppm"),
     )
+
+
+@query(
+    "orders_seasonal_index",
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(month(o_orderdate) AS BIGINT) AS m,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders
+    ), per_m AS (
+      SELECT m, CAST(COUNT(*) AS BIGINT) AS cnt_m,
+             CAST(SUM(c) AS BIGINT) AS sum_m
+      FROM cents GROUP BY m
+    ), tot AS (
+      SELECT CAST(SUM(cnt_m) AS BIGINT) AS cnt_all,
+             CAST(SUM(sum_m) AS BIGINT) AS sum_all
+      FROM per_m
+    )
+    SELECT p.m AS month_of_year, p.cnt_m AS n_orders,
+           CAST(CAST(p.sum_m AS HUGEINT) * t.cnt_all * 1000000
+             // (p.cnt_m * t.sum_all) AS BIGINT) AS seasonal_index_ppm
+    FROM per_m p CROSS JOIN tot t
+    """,
+)
+def orders_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplicative seasonal index per calendar month — mean order
+    value in month m relative to the overall mean, in exact ppm
+    (1e6 = no seasonal effect): the decomposition step demand
+    forecasting starts from, reduced to pure integer algebra
+    (sum_m·cnt_all)/(cnt_m·sum_all) so the ratio-of-averages is one
+    truncating division with no float averages in between.
+
+    DECIMAL(38,0) intermediates on the Spark side (the product
+    sum_m·cnt_all·1e6 overflows bigint past ~sf0.1; DuckDB's
+    SUM(BIGINT) is HUGEINT natively — same pairing as
+    agg_gini_segment).
+
+    Scale design: one partial+final aggregation to 12 rows, a one-row
+    total broadcast back — the scan is the whole cost."""
+    o = load(spark, sf_dir, "orders")
+    cents = o.select(
+        F.month("o_orderdate").cast("bigint").alias("m"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    )
+    per_m = cents.groupBy("m").agg(
+        F.count("*").alias("cnt_m"), F.sum("c").alias("sum_m")
+    )
+    tot = per_m.agg(
+        F.sum("cnt_m").alias("cnt_all"), F.sum("sum_m").alias("sum_all")
+    )
+    return per_m.crossJoin(F.broadcast(tot)).select(
+        F.col("m").alias("month_of_year"),
+        F.col("cnt_m").alias("n_orders"),
+        F.expr(
+            "CAST(CAST(sum_m AS DECIMAL(38,0)) * cnt_all * 1000000"
+            " div (cnt_m * sum_all) AS BIGINT)"
+        ).alias("seasonal_index_ppm"),
+    )
