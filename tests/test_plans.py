@@ -802,3 +802,11 @@ def test_gdpr_audit_broadcasts_deletion_list(spark):
     assert "LeftAnti" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_recursive_cte_plans_union_loop(spark):
+    """sql_recursive_cte must compile to Spark 4's UnionLoop physical
+    operator (the native recursive-CTE executor) — not a hand-unrolled
+    union tree."""
+    plan = plan_of(spark, "sql_recursive_cte")
+    assert "UnionLoop" in plan, plan

@@ -112,3 +112,50 @@ def pipeline_declarative(spark: SparkSession, sf_dir: str) -> DataFrame:
         sink=Sink("noop", ""),
     )
     return p.plan(spark)
+
+
+_RECURSIVE_SQL = """
+WITH RECURSIVE ancestors(part_id, ancestor_id, depth) AS (
+  SELECT p.p_partkey, p.p_partkey - 200, 1
+  FROM {part} p WHERE p.p_partkey - 200 >= 1
+  UNION ALL
+  SELECT a.part_id, a.ancestor_id - 200, a.depth + 1
+  FROM ancestors a
+  WHERE a.ancestor_id - 200 >= 1 AND a.depth < 8
+)
+SELECT part_id,
+       CAST(COUNT(*) AS BIGINT) AS n_ancestors,
+       CAST(MIN(ancestor_id) AS BIGINT) AS root_id,
+       CAST(MAX(depth) AS BIGINT) AS max_depth
+FROM ancestors
+GROUP BY part_id
+"""
+
+
+@query(
+    "sql_recursive_cte",
+    oracle=_RECURSIVE_SQL.format(part="part"),
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE through ``spark.sql`` — the Spark 4 recursive-
+    CTE surface driven end-to-end (hierarchy walks, BOM rollups,
+    transitive closures — the query class that previously forced a
+    driver-side loop like graph_pagerank's). The demo hierarchy is a
+    synthetic parts chain (parent = part_id − 200): deterministic,
+    cycle-free, and bounded — each part has ≤ depth-8 ancestors, so
+    the recursion's working set is O(|part|) rows per step, never
+    multiplicative.
+
+    The IDENTICAL SQL text (modulo view name) is the oracle — the key
+    checks recursive-CTE dialect parity between the engines, the same
+    contract as sql_cte_pipeline.
+
+    Scale notes: each recursive step is one self-append over the
+    previous frontier (Spark executes it as an iterative union with
+    the step plan re-optimized per iteration — the depth bound in the
+    WHERE clause is what caps the loop); the final aggregation is a
+    plain partial+final count on part_id. Unbounded recursion over a
+    multiplicative join would NOT scale — the bounded-frontier shape
+    here is the one to copy."""
+    load(spark, sf_dir, "part").createOrReplaceTempView("sql_part")
+    return spark.sql(_RECURSIVE_SQL.format(part="sql_part"))
