@@ -50,6 +50,7 @@ KEYS = [
     "text_ngram_novelty",
     "text_affix_overlap",
     "text_langid_confusion",
+    "multimodal_dedup_binary",
     "dedup_exact",
     "dedup_containment",
     "dedup_exact_keep_best",
