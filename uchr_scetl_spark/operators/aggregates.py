@@ -1478,29 +1478,43 @@ def agg_bootstrap_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer draws per row, not B copies of the data."""
     o = load(spark, sf_dir, "orders").where(F.col("o_totalprice").isNotNull())
 
-    # one explode, then each exploded row slices its 4-hex draw out of
-    # its chunk-of-8's salted hash at offset ((r-1)%8)*4+1 — mirroring
-    # _BOOT_SLICE_SQL exactly. The key's sf0.1 cost (~6s) is the
-    # inherent B× amplified row pipeline (3M md5+CASE evaluations), not
-    # a plan defect: a build-the-weights-array-before-explode variant
-    # was A/B-measured and did NOT reduce hash evaluations — Catalyst's
-    # project collapse re-inlines the hash into every array element.
-    drawn = o.select(
+    # Compute the ⌈B/8⌉ chunk hashes ONCE PER ROW and materialize them
+    # behind a localCheckpoint BEFORE the explode: without the barrier,
+    # Catalyst's projection collapse re-inlines the md5 into every
+    # exploded row (B evaluations per row instead of ⌈B/8⌉ — the
+    # round-5 shape, A/B-measured at 5.4s steady; the barrier drops it
+    # to 2.3s, bit-identical). The checkpointed relation is
+    # pre-amplification — one row per order — so the materialization
+    # cost is negligible against the B× pipeline it feeds.
+    n_chunks = (BOOT_B + 7) // 8
+    hashes = F.array(
+        *[
+            F.md5(
+                F.concat(
+                    F.col("o_orderkey").cast("string"),
+                    F.lit(":"),
+                    F.lit(str(c)),
+                )
+            )
+            for c in range(n_chunks)
+        ]
+    )
+    base = o.select(
+        F.col("o_totalprice").alias("y"),
+        "o_orderkey",
+        hashes.alias("hs"),
+    ).localCheckpoint(eager=False)
+    drawn = base.select(
+        "y",
+        "o_orderkey",
         F.explode(
             F.array(*[F.lit(r) for r in range(1, BOOT_B + 1)])
         ).alias("resample"),
-        F.col("o_totalprice").alias("y"),
-        F.col("o_orderkey"),
+        F.col("hs"),
     )
     h4 = F.substring(
-        F.md5(
-            F.concat(
-                F.col("o_orderkey").cast("string"),
-                F.lit(":"),
-                F.floor((F.col("resample") - 1) / 8)
-                .cast("int")
-                .cast("string"),
-            )
+        F.element_at(
+            F.col("hs"), ((F.col("resample") - 1) / 8).cast("int") + 1
         ),
         ((F.col("resample") - 1) % 8) * 4 + 1,
         F.lit(4),
