@@ -58,6 +58,7 @@ KEYS = [
     "events_bot_burst_audit",
     "events_next_event_accuracy",
     "events_hazard_curve",
+    "events_active_users_rolling",
 ]
 
 REGISTRY = load_registry()

@@ -810,3 +810,14 @@ def test_recursive_cte_plans_union_loop(spark):
     union tree."""
     plan = plan_of(spark, "sql_recursive_cte")
     assert "UnionLoop" in plan, plan
+
+
+def test_active_users_rolling_explodes_not_range_joins(spark):
+    """events_active_users_rolling: contribution days are emitted
+    in-row (sequence+explode) — never a range join, so no
+    BroadcastNestedLoopJoin anywhere; the only join is the broadcast
+    semi filter against the tiny observed-days relation."""
+    plan = plan_of(spark, "events_active_users_rolling")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Generate explode" in plan, plan
+    assert "LeftSemi" in plan, plan
