@@ -73,6 +73,8 @@ KEYS = [
     "etl_incremental_join_maintenance",
     # round 6 (cont. 2): exact ratio-of-averages seasonal decomposition
     "orders_seasonal_index",
+    # round 6 (cont. 2): running-peak drawdown off the user window
+    "win_drawdown",
     # round 6 (cont.): the mapInPandas partial-Gram must sum to the
     # same integers whatever the Arrow batch/partition layout
     "embeddings_gram_matrix",

@@ -59,6 +59,7 @@ KEYS = [
     "events_next_event_accuracy",
     "events_hazard_curve",
     "events_active_users_rolling",
+    "win_drawdown",
 ]
 
 REGISTRY = load_registry()

@@ -1531,3 +1531,83 @@ def agg_bootstrap_means(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("w")
         ).alias("mean_boot"),
     )
+
+
+# Benford first-digit expectations, ppm — log10(1+1/d) computed at
+# AUTHORING time and frozen as literals so no engine evaluates a log
+_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def _benford_oracle() -> str:
+    cases = " ".join(
+        f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items()
+    )
+    return f"""
+    WITH digits AS (
+      SELECT CAST(substring(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+               AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ), hist AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM digits
+      GROUP BY digit
+    )
+    SELECT digit, n_obs,
+           CAST(n_obs * 1000000 // SUM(n_obs) OVER () AS BIGINT)
+             AS obs_ppm,
+           CAST(CASE digit {cases} END AS BIGINT) AS benford_ppm,
+           CAST(abs(n_obs * 1000000 // SUM(n_obs) OVER ()
+             - CASE digit {cases} END) AS BIGINT) AS abs_dev_ppm
+    FROM hist
+    """
+
+
+@query("agg_benford_deviation", oracle=_benford_oracle())
+def agg_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit profile of order totals — the
+    data-forensics screen for fabricated or truncated numeric
+    columns: observed first-digit shares vs the log10(1+1/d)
+    expectation, per digit, with the absolute deviation in ppm. A
+    synthetic-uniform price column (like this corpus's) deviates
+    hugely — which is exactly what the audit should say; real
+    transaction data tracks the curve.
+
+    Exactness: the first digit is read off the CENTS integer's
+    decimal rendering (bigint→string is identical across engines —
+    no float log10, whose ulp flip at power-of-ten boundaries would
+    misbin); the expected shares are authoring-time literals; shares
+    and deviations are truncating integer ppm.
+
+    Scale shape: one partial+final 9-bucket count; the share window
+    runs over 9 rows."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    digits = o.select(
+        F.substring(
+            F.floor(F.col("o_totalprice") * 100).cast("long").cast("string"),
+            1,
+            1,
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    hist = digits.groupBy("digit").agg(F.count("*").alias("n_obs"))
+    expected = F.create_map(
+        *[F.lit(x) for kv in _BENFORD_PPM.items() for x in kv]
+    )
+    w = Window.partitionBy()
+    return hist.select(
+        "digit",
+        "n_obs",
+        F.expr(
+            "CAST(n_obs * 1000000 div SUM(n_obs) OVER () AS BIGINT)"
+        ).alias("obs_ppm"),
+        expected[F.col("digit")].cast("bigint").alias("benford_ppm"),
+        F.abs(
+            F.expr("n_obs * 1000000 div SUM(n_obs) OVER ()")
+            - expected[F.col("digit")]
+        )
+        .cast("bigint")
+        .alias("abs_dev_ppm"),
+    )

@@ -516,3 +516,68 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("_num", "_den")
     )
+
+
+@query(
+    "win_drawdown",
+    oracle="""
+    WITH q AS (
+      SELECT user_id, event_id, ts,
+             CAST(floor(value * 1000000) AS BIGINT) AS qv
+      FROM events WHERE value IS NOT NULL
+    ), r AS (
+      SELECT user_id, event_id, qv,
+             MAX(qv) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS peak,
+             MAX(qv) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - qv
+               AS drawdown
+      FROM q
+    )
+    SELECT user_id,
+           MAX(peak) AS peak_micro,
+           MAX(drawdown) AS max_drawdown_micro,
+           CAST(MAX(drawdown) * 1000000 // GREATEST(MAX(peak), 1)
+             AS BIGINT) AS max_drawdown_ppm
+    FROM r GROUP BY user_id
+    """,
+)
+def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per stream — the risk metric of any
+    cumulative series (finance P&L, capacity headroom, model-metric
+    regressions): the largest drop from a running peak to the current
+    value, per user, with the peak and the drop-as-fraction-of-peak
+    in exact ppm.
+
+    The running peak is a rows-frame MAX (a streaming O(1) window
+    state — unlike a trailing-frame max it never re-scans), the
+    drawdown its difference from the current row, the per-user
+    answer one aggregation on the SAME user_id partitioning — the
+    window exchange serves both. All micro-quantized bigints; one
+    truncating division."""
+    e = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    q = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 1_000_000).cast("long").alias("qv"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = q.select(
+        "user_id",
+        F.max("qv").over(w).alias("peak"),
+        (F.max("qv").over(w) - F.col("qv")).alias("drawdown"),
+    )
+    return r.groupBy("user_id").agg(
+        F.max("peak").alias("peak_micro"),
+        F.max("drawdown").alias("max_drawdown_micro"),
+        F.expr(
+            "CAST(MAX(drawdown) * 1000000 div GREATEST(MAX(peak), 1)"
+            " AS BIGINT)"
+        ).alias("max_drawdown_ppm"),
+    )
