@@ -532,3 +532,101 @@ def test_windowed_state_bounded_by_watermark_eviction(spark, tmp_path):
     # end-state is a fraction of the windows the stream produced: state
     # holds only windows the watermark hasn't closed yet
     assert final_rows < n_windows
+
+
+def test_outer_interval_join_emits_null_completed_rows(spark, tmp_path):
+    """LEFT OUTER stream-stream join: unmatched views must emit with
+    NULL purchase columns — but only after the watermark PROVES no
+    match can arrive (watermark > view_ts + 1h window + 10m delay).
+    The test drives that proof explicitly: first pass processes the
+    real events (tail views stay withheld in state), then a flush
+    batch with a far-future timestamp advances both watermarks and
+    the withheld null-completed rows drain. The emitted sets must
+    equal the batch twins exactly: matches = batch inner join,
+    null-completed = batch left-anti."""
+    import datetime as dt
+
+    from uchr_scetl_spark.streaming.streams import (
+        interval_join_stream_outer,
+    )
+
+    src_dir = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    base = load(spark, SF_SMOKE, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    base.repartition(2).write.mode("overwrite").parquet(src_dir)
+
+    ev = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src_dir)
+    )
+    stream = interval_join_stream_outer(
+        ev.where(F.col("event_type") == "view"),
+        ev.where(F.col("event_type") == "purchase"),
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_outer_ivjoin")
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.processAllAvailable()
+    withheld_at_tail = spark.table("t_outer_ivjoin").where(
+        F.col("purchase_id").isNull()
+    ).count()
+
+    # flush: one view + one purchase far past every real event, so
+    # BOTH sides' watermarks jump and every withheld view completes
+    max_ts = base.agg(F.max("ts")).collect()[0][0]
+    flush_ts = max_ts + dt.timedelta(hours=3)
+    spark.createDataFrame(
+        [
+            (10_000_001, flush_ts, -1, "view", 0.0, "{}"),
+            (10_000_002, flush_ts, -1, "purchase", 0.0, "{}"),
+        ],
+        EVENTS_STREAM_SCHEMA,
+    ).write.mode("append").parquet(src_dir)
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.table("t_outer_ivjoin").where(F.col("view_user_id") >= 0)
+    got_matched = {
+        (r.view_user_id, r.view_id, r.purchase_id)
+        for r in got.where(F.col("purchase_id").isNotNull()).collect()
+    }
+    got_null = {
+        (r.view_user_id, r.view_id)
+        for r in got.where(F.col("purchase_id").isNull()).collect()
+    }
+
+    src = spark.read.parquet(src_dir).where(F.col("user_id") >= 0)
+    v = src.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = src.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    pred = (
+        (F.col("v_user_id") == F.col("user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") < F.col("view_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    want_matched = {
+        (r.v_user_id, r.view_id, r.purchase_id)
+        for r in v.join(p, pred).collect()
+    }
+    want_null = {
+        (r.v_user_id, r.view_id)
+        for r in v.join(p, pred, "left_anti").collect()
+    }
+    assert got_matched == want_matched
+    assert got_null == want_null
+    # the withheld set really was withheld before the flush proved it
+    assert withheld_at_tail < len(want_null)

@@ -284,3 +284,43 @@ def committed_batches(spark: SparkSession, target_dir: str) -> list[int]:
     # numeric sort: a lexicographic directory-name sort would return
     # batch 10 between 1 and 2
     return sorted(out)
+
+
+def interval_join_stream_outer(
+    views: DataFrame, purchases: DataFrame
+) -> DataFrame:
+    """LEFT OUTER watermarked stream-stream interval join — the
+    semantics inner joins cannot give: a view with NO purchase inside
+    its attribution window must still emit (with NULL purchase
+    columns), and in streaming that row can only be produced once the
+    watermark proves no matching purchase can still arrive — i.e.
+    watermark > view_ts + window + delay. Until then the view sits in
+    state; after, it emits null-completed exactly once. Same bounded
+    state as the inner variant (the predicate's interval bounds both
+    sides' eviction); the OUTER completion is the part that needs the
+    engine's watermark bookkeeping, which is why the test drives a
+    watermark-advancing flush batch and checks the null-completed set
+    against the batch left-anti twin."""
+    v = views.withWatermark("ts", "10 minutes").select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = purchases.withWatermark("ts", "10 minutes").select(
+        F.col("user_id").alias("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return v.join(
+        p,
+        (F.col("v_user_id") == F.col("user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") < F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select(
+        F.col("v_user_id").alias("view_user_id"),
+        "view_id",
+        "view_ts",
+        "purchase_id",
+        "purchase_ts",
+    )
