@@ -390,6 +390,59 @@ AUDITS: dict[str, tuple[str, list[str]]] = {
         "aggregation bit-equal to the monolithic join.",
         [r"BroadcastHashJoin", r"Union", r"HashAggregate"],
     ),
+    "events_hazard_curve": (
+        "Survival risk table: two hash aggregations collapse the "
+        "corpus to the duration histogram BEFORE the single "
+        "reverse-cumsum window (bounded by the observation span).",
+        [r"HashAggregate", r"Window"],
+    ),
+    "etl_gdpr_delete_audit": (
+        "Deletion sweep: the subjects list reaches every table as a "
+        "BROADCAST semi/anti join - corpus tables never shuffle for "
+        "the check.",
+        [r"LeftSemi", r"LeftAnti", r"BroadcastHashJoin"],
+    ),
+    "sim_label_recall_topk": (
+        "Label agreement at k: sim_topk's broadcast-probe plan plus "
+        "a probe-bounded scoring aggregation.",
+        [r"BroadcastExchange", r"HashAggregate"],
+    ),
+    "text_langid_confusion": (
+        "Confusion matrix: langid's scoring scan plus one "
+        "|langs|^2-row partial+final count.",
+        [r"HashAggregate"],
+    ),
+    "orders_seasonal_index": (
+        "Seasonal index: 12-row aggregation, one-row total broadcast "
+        "back - the scan is the whole cost.",
+        [r"HashAggregate", r"Broadcast"],
+    ),
+    "sql_recursive_cte": (
+        "Spark 4 recursive CTE: the UnionLoop physical operator "
+        "executes the bounded-frontier recursion natively.",
+        [r"UnionLoop"],
+    ),
+    "multimodal_dedup_binary": (
+        "Binary-modality dedup: one codegen projection over the "
+        "payload, one partial+final count on the digest key.",
+        [r"HashAggregate"],
+    ),
+    "events_active_users_rolling": (
+        "DAU/WAU/MAU: in-row contribution-day explode (no range "
+        "join - no BroadcastNestedLoopJoin in the plan), broadcast "
+        "semi filter on observed days, one distinct aggregation.",
+        [r"Generate", r"LeftSemi"],
+    ),
+    "win_drawdown": (
+        "Drawdown: running-peak rows-frame MAX and the per-user "
+        "aggregation share one user_id exchange.",
+        [r"Exchange hashpartitioning\(user_id", r"Window"],
+    ),
+    "agg_benford_deviation": (
+        "Benford audit: 9-bucket partial+final count; the share "
+        "window runs over 9 rows.",
+        [r"HashAggregate", r"Window"],
+    ),
     "graph_jaccard_neighbors": (
         "Neighbourhood-Jaccard top-k: probe adjacency and the "
         "probe-bounded common/degree relations BROADCAST into the "
