@@ -75,6 +75,10 @@ KEYS = [
     "orders_seasonal_index",
     # round 6 (cont. 2): running-peak drawdown off the user window
     "win_drawdown",
+    # round 6 (cont. 2): rank statistics whose tie handling claims
+    # layout-invariance (doubled midranks; cross-multiplied CDFs)
+    "events_mannwhitney_u",
+    "events_ks_statistic",
     # round 6 (cont.): the mapInPandas partial-Gram must sum to the
     # same integers whatever the Arrow batch/partition layout
     "embeddings_gram_matrix",

@@ -60,6 +60,8 @@ KEYS = [
     "events_hazard_curve",
     "events_active_users_rolling",
     "win_drawdown",
+    "events_mannwhitney_u",
+    "events_ks_statistic",
 ]
 
 REGISTRY = load_registry()

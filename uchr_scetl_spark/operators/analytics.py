@@ -2125,3 +2125,184 @@ def events_active_users_rolling(
             "stickiness_ppm"
         ),
     )
+
+
+@query(
+    "events_mannwhitney_u",
+    oracle="""
+    WITH s AS (
+      SELECT CASE WHEN event_type = 'view' THEN 1 ELSE 2 END AS grp,
+             CAST(floor(value * 1000000) AS BIGINT) AS qv
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('view', 'click')
+    ), pos AS (
+      SELECT grp, qv,
+             CAST(row_number() OVER (ORDER BY qv) AS BIGINT) AS p
+      FROM s
+    ), ranked AS (
+      SELECT grp, qv,
+             MIN(p) OVER (PARTITION BY qv) + MAX(p) OVER (PARTITION BY qv)
+               AS midrank2x
+      FROM pos
+    )
+    SELECT
+      CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      CAST(SUM(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      CAST(SUM(CASE WHEN grp = 1 THEN midrank2x ELSE 0 END) AS BIGINT)
+        AS rank_sum_2x,
+      CAST(SUM(CASE WHEN grp = 1 THEN midrank2x ELSE 0 END)
+        - SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END)
+          * (SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) + 1) AS BIGINT)
+        AS u_stat_2x
+    FROM ranked
+    """,
+)
+def events_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) between two event types'
+    value distributions — the NONPARAMETRIC two-sample test, the one
+    an A/B readout falls back to when means are meaningless (heavy
+    tails, outliers): U depends only on ranks, and the engine keeps
+    it EXACT by carrying DOUBLED midranks (for a tied value,
+    2·midrank = first position + last position — an integer, no .5
+    halves), so U·2 = ΣR₁·2 − n₁(n₁+1) is pure bigint algebra. The
+    consumer divides by 2 and normalizes at the end.
+
+    Determinism under ties is the whole trick: positions come from a
+    deterministic total order, but midranks depend only on the tied
+    VALUE's position span — so the statistic is identical however the
+    engines break position ties internally.
+
+    Scale design: one micro-quantized projection, a global sort for
+    positions (rank statistics are sort-based by nature — at 100 TB
+    this is the two-pass range-partitioned rank of
+    agg_percentile_exact_distributed; here the single window is the
+    small-corpus fast path), per-value span windows, one final
+    aggregation to a single row."""
+    s = (
+        load(spark, sf_dir, "events")
+        .where(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin("view", "click")
+        )
+        .select(
+            F.when(F.col("event_type") == "view", 1).otherwise(2).alias(
+                "grp"
+            ),
+            F.floor(F.col("value") * 1_000_000).cast("long").alias("qv"),
+        )
+    )
+    wp = Window.orderBy("qv")
+    pos = s.select(
+        "grp", "qv", F.row_number().over(wp).cast("bigint").alias("p")
+    )
+    wv = Window.partitionBy("qv")
+    ranked = pos.select(
+        "grp",
+        (F.min("p").over(wv) + F.max("p").over(wv)).alias("midrank2x"),
+    )
+    n1 = F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("bigint")
+    r2x = F.sum(
+        F.when(F.col("grp") == 1, F.col("midrank2x")).otherwise(0)
+    ).cast("bigint")
+    return ranked.agg(
+        n1.alias("n1"),
+        F.sum(F.when(F.col("grp") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n2"),
+        r2x.alias("rank_sum_2x"),
+        (r2x - n1 * (n1 + 1)).cast("bigint").alias("u_stat_2x"),
+    )
+
+
+@query(
+    "events_ks_statistic",
+    oracle="""
+    WITH s AS (
+      SELECT CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS g1,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g2,
+             CAST(floor(value * 1000000) AS BIGINT) AS qv
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('view', 'click')
+    ), tot AS (
+      SELECT CAST(SUM(g1) AS BIGINT) AS n1, CAST(SUM(g2) AS BIGINT) AS n2
+      FROM s
+    ), cum AS (
+      SELECT qv,
+             CAST(SUM(SUM(g1)) OVER (ORDER BY qv) AS BIGINT) AS c1,
+             CAST(SUM(SUM(g2)) OVER (ORDER BY qv) AS BIGINT) AS c2
+      FROM s GROUP BY qv
+    )
+    SELECT t.n1, t.n2,
+           CAST(MAX(abs(c.c1 * t.n2 - c.c2 * t.n1)) AS BIGINT)
+             AS ks_numerator,
+           CAST(MAX(abs(c.c1 * t.n2 - c.c2 * t.n1)) * 1000000
+             // (t.n1 * t.n2) AS BIGINT) AS ks_d_ppm
+    FROM cum c CROSS JOIN tot t
+    GROUP BY t.n1, t.n2
+    """,
+)
+def events_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov D between two event types' value
+    distributions — the distribution-shape test (drift detection,
+    "did the metric's whole distribution move?") that mean-based
+    tests can't see: D = max |F₁(x) − F₂(x)| over the pooled support,
+    kept EXACT as max |c₁·n₂ − c₂·n₁| / (n₁·n₂) — cumulative counts
+    cross-multiplied so no float CDF ever exists; ppm by one
+    truncating division at the end.
+
+    Evaluating at the distinct pooled values (per-value grouped
+    cumulative sums) is sufficient: the CDF difference is constant
+    between support points.
+
+    Scale design: collapse to per-value counts first (partial+final —
+    the only corpus-sized shuffle), then the cumulative window runs
+    over the DISTINCT-value relation; the max reduces to one row. The
+    unpartitioned window is bounded by the value cardinality (micro
+    quantization caps it), the same exception class as the hazard
+    curve — and at 100 TB the same two-pass chunk-offset rank
+    replaces it, formula unchanged."""
+    s = (
+        load(spark, sf_dir, "events")
+        .where(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin("view", "click")
+        )
+        .select(
+            F.when(F.col("event_type") == "view", 1).otherwise(0).alias(
+                "g1"
+            ),
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias(
+                "g2"
+            ),
+            F.floor(F.col("value") * 1_000_000).cast("long").alias("qv"),
+        )
+    )
+    per_v = s.groupBy("qv").agg(
+        F.sum("g1").alias("d1"), F.sum("g2").alias("d2")
+    )
+    wc = Window.orderBy("qv").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_v.select(
+        F.sum("d1").over(wc).cast("bigint").alias("c1"),
+        F.sum("d2").over(wc).cast("bigint").alias("c2"),
+    )
+    tot = s.agg(
+        F.sum("g1").cast("bigint").alias("n1"),
+        F.sum("g2").cast("bigint").alias("n2"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(
+            F.max(
+                F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+            )
+            .cast("bigint")
+            .alias("ks_numerator"),
+            F.expr(
+                "CAST(MAX(abs(c1 * n2 - c2 * n1)) * 1000000"
+                " div (n1 * n2) AS BIGINT)"
+            ).alias("ks_d_ppm"),
+        )
+    )
