@@ -983,3 +983,164 @@ def test_hazard_curve_conserves_users_and_is_monotone(spark):
         prev = r.n_at_risk
         assert 0 <= r.hazard_ppm <= 1_000_000
         assert r.hazard_ppm == r.n_events * 1_000_000 // r.n_at_risk, r
+
+
+def test_mannwhitney_identities(spark):
+    """events_mannwhitney_u: with midranks, R₁+R₂ = N(N+1)/2 exactly
+    (doubled: rank_sum_2x over BOTH groups sums to N(N+1)), so
+    0 ≤ U ≤ n₁·n₂ and U₁+U₂ = n₁·n₂ — the algebra that makes the
+    doubled-midrank trick exact, asserted from the output row."""
+    from uchr_scetl_spark.registry import load_registry
+
+    r = (
+        load_registry()["events_mannwhitney_u"].fn(spark, SF_SMOKE).collect()
+    )[0]
+    n = r.n1 + r.n2
+    # R2·2 by complement, then U2 and the partition identity
+    r2_2x = n * (n + 1) - r.rank_sum_2x
+    u2_2x = r2_2x - r.n2 * (r.n2 + 1)
+    assert 0 <= r.u_stat_2x <= 2 * r.n1 * r.n2, r
+    assert r.u_stat_2x + u2_2x == 2 * r.n1 * r.n2, (r, u2_2x)
+
+
+def test_ks_statistic_bounds(spark):
+    """events_ks_statistic: 0 ≤ D ≤ 1 (ppm ≤ 1e6), the numerator is
+    bounded by n₁·n₂, and ppm equals its own numerator recomputed."""
+    from uchr_scetl_spark.registry import load_registry
+
+    r = (
+        load_registry()["events_ks_statistic"].fn(spark, SF_SMOKE).collect()
+    )[0]
+    assert 0 < r.ks_numerator <= r.n1 * r.n2, r
+    assert 0 < r.ks_d_ppm <= 1_000_000, r
+    assert r.ks_d_ppm == r.ks_numerator * 1_000_000 // (r.n1 * r.n2), r
+
+
+def test_drawdown_dominated_by_peak(spark):
+    """win_drawdown: a drop can never exceed its peak (values are
+    non-negative), so 0 ≤ max_drawdown ≤ peak and ppm ≤ 1e6; ppm
+    equals its own recomputation."""
+    from uchr_scetl_spark.registry import load_registry
+
+    rows = load_registry()["win_drawdown"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.max_drawdown_micro <= r.peak_micro, r
+        assert 0 <= r.max_drawdown_ppm <= 1_000_000, r
+        assert r.max_drawdown_ppm == r.max_drawdown_micro * 1_000_000 // max(
+            r.peak_micro, 1
+        ), r
+
+
+def test_seasonal_index_mass_balance(spark):
+    """orders_seasonal_index: the order-weighted mean of the indexes
+    is 1e6 by construction (Σ cntₘ·idxₘ ≈ cnt_all·1e6, within one
+    floor-truncation per month)."""
+    from uchr_scetl_spark.registry import load_registry
+
+    rows = (
+        load_registry()["orders_seasonal_index"].fn(spark, SF_SMOKE).collect()
+    )
+    assert len(rows) == 12
+    cnt_all = sum(r.n_orders for r in rows)
+    weighted = sum(r.n_orders * r.seasonal_index_ppm for r in rows)
+    assert 0 <= cnt_all * 1_000_000 - weighted < cnt_all * len(rows), (
+        weighted,
+        cnt_all,
+    )
+
+
+def test_gdpr_audit_residual_zero_and_cascade_consistent(spark):
+    """etl_gdpr_delete_audit: residual must be 0 on every table
+    (deleted + after = before), and the customer/orders cascade must
+    agree — orders deleted only for deleted customers."""
+    from uchr_scetl_spark.registry import load_registry
+
+    rows = {
+        r.table_name: r
+        for r in load_registry()["etl_gdpr_delete_audit"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    assert set(rows) == {"events", "customer", "orders"}
+    for r in rows.values():
+        assert r.residual == 0, r
+        assert r.n_deleted + r.n_after == r.n_before, r
+    if rows["customer"].n_deleted == 0:
+        assert rows["orders"].n_deleted == 0
+
+
+def test_active_users_horizons_are_nested(spark):
+    """events_active_users_rolling: DAU ⊆ WAU ⊆ MAU per day, all
+    bounded by the total user count; stickiness ≤ 1e6 and equals its
+    own recomputation."""
+    from uchr_scetl_spark.registry import load_registry
+
+    rows = (
+        load_registry()["events_active_users_rolling"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    )
+    assert rows
+    n_users = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    for r in rows:
+        assert 1 <= r.dau <= r.wau <= r.mau <= n_users, r
+        assert r.stickiness_ppm == r.dau * 1_000_000 // r.mau, r
+
+
+def test_benford_shares_sum_to_unity(spark):
+    """agg_benford_deviation: observed shares sum to 1e6 within one
+    floor-truncation per digit, every digit 1-9 appears, and
+    abs_dev_ppm equals |obs - expected| recomputed."""
+    from uchr_scetl_spark.registry import load_registry
+
+    rows = (
+        load_registry()["agg_benford_deviation"].fn(spark, SF_SMOKE).collect()
+    )
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    total_ppm = sum(r.obs_ppm for r in rows)
+    assert 1_000_000 - len(rows) <= total_ppm <= 1_000_000
+    for r in rows:
+        assert r.abs_dev_ppm == abs(r.obs_ppm - r.benford_ppm), r
+
+
+def test_cohort_ltv_is_cumulative_and_totals(spark):
+    """orders_cohort_ltv: within each cohort, ltv_to_date is
+    non-decreasing in month_offset and the final row equals the sum
+    of the period revenues (the decimal-window accumulation is
+    self-consistent)."""
+    from uchr_scetl_spark.registry import load_registry
+
+    rows = load_registry()["orders_cohort_ltv"].fn(spark, SF_SMOKE).collect()
+    by_cohort: dict = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_month, []).append(r)
+    assert by_cohort
+    for series in by_cohort.values():
+        series.sort(key=lambda r: r.month_offset)
+        prev = 0.0
+        for r in series:
+            assert r.ltv_to_date >= prev - 1e-9
+            prev = r.ltv_to_date
+        assert abs(series[-1].ltv_to_date - sum(r.revenue for r in series)) < 1e-6
+
+
+def test_recursive_cte_depths_match_closed_form(spark):
+    """sql_recursive_cte: for the synthetic chain (parent = id − 40,
+    depth ≤ 8) every row must satisfy n_ancestors =
+    min(8, (part_id−1)//200), max_depth = n_ancestors and root_id =
+    part_id − 200·n_ancestors — the recursion's closed form."""
+    from uchr_scetl_spark.registry import load_registry
+
+    rows = load_registry()["sql_recursive_cte"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        expect = min(8, (r.part_id - 1) // 40)
+        assert r.n_ancestors == expect, r
+        assert r.max_depth == expect, r
+        assert r.root_id == r.part_id - 40 * expect, r

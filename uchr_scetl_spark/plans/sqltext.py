@@ -116,12 +116,12 @@ def pipeline_declarative(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RECURSIVE_SQL = """
 WITH RECURSIVE ancestors(part_id, ancestor_id, depth) AS (
-  SELECT p.p_partkey, p.p_partkey - 200, 1
-  FROM {part} p WHERE p.p_partkey - 200 >= 1
+  SELECT p.p_partkey, p.p_partkey - 40, 1
+  FROM {part} p WHERE p.p_partkey - 40 >= 1
   UNION ALL
-  SELECT a.part_id, a.ancestor_id - 200, a.depth + 1
+  SELECT a.part_id, a.ancestor_id - 40, a.depth + 1
   FROM ancestors a
-  WHERE a.ancestor_id - 200 >= 1 AND a.depth < 8
+  WHERE a.ancestor_id - 40 >= 1 AND a.depth < 8
 )
 SELECT part_id,
        CAST(COUNT(*) AS BIGINT) AS n_ancestors,
@@ -141,7 +141,7 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE surface driven end-to-end (hierarchy walks, BOM rollups,
     transitive closures — the query class that previously forced a
     driver-side loop like graph_pagerank's). The demo hierarchy is a
-    synthetic parts chain (parent = part_id − 200): deterministic,
+    synthetic parts chain (parent = part_id − 40; the step is sized so the recursion is non-vacuous even at the 200-part smoke corpus): deterministic,
     cycle-free, and bounded — each part has ≤ depth-8 ancestors, so
     the recursion's working set is O(|part|) rows per step, never
     multiplicative.
