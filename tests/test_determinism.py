@@ -79,6 +79,10 @@ KEYS = [
     # layout-invariance (doubled midranks; cross-multiplied CDFs)
     "events_mannwhitney_u",
     "events_ks_statistic",
+    # round 6 (cont. 2): contingency margins and grouped-fold
+    # checksums off shuffled counts
+    "agg_chi_square_independence",
+    "sample_group_kfold",
     # round 6 (cont.): the mapInPandas partial-Gram must sum to the
     # same integers whatever the Arrow batch/partition layout
     "embeddings_gram_matrix",

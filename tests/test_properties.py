@@ -1144,3 +1144,46 @@ def test_recursive_cte_depths_match_closed_form(spark):
         assert r.n_ancestors == expect, r
         assert r.max_depth == expect, r
         assert r.root_id == r.part_id - 40 * expect, r
+
+
+def test_group_kfold_groups_are_disjoint_and_complete(spark):
+    """sample_group_kfold: every source lands in exactly ONE fold
+    (the no-leakage guarantee), folds cover all docs (Σn_docs = |D|,
+    Σchecksum = Σdoc_id), and the per-fold group counts sum to the
+    distinct source count."""
+    from uchr_scetl_spark.registry import load_registry
+
+    rows = load_registry()["sample_group_kfold"].fn(spark, SF_SMOKE).collect()
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    n_docs = d.count()
+    n_sources = d.select("source").distinct().count()
+    id_total = d.agg(F.sum("doc_id")).collect()[0][0]
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert sum(r.id_checksum for r in rows) == id_total
+    assert sum(r.n_groups for r in rows) == n_sources  # disjoint ⇔ sums
+
+
+def test_chi_square_cells_match_margins(spark):
+    """agg_chi_square_independence: expected floors recompute from
+    the observed margins; every cell contribution is non-negative;
+    Σn_obs equals the joined row count."""
+    from uchr_scetl_spark.registry import load_registry
+
+    rows = (
+        load_registry()["agg_chi_square_independence"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    )
+    assert rows
+    t_n = sum(r.n_obs for r in rows)
+    r_n: dict = {}
+    c_n: dict = {}
+    for r in rows:
+        r_n[r.c_mktsegment] = r_n.get(r.c_mktsegment, 0) + r.n_obs
+        c_n[r.o_orderpriority] = c_n.get(r.o_orderpriority, 0) + r.n_obs
+    for r in rows:
+        assert r.chi2_cell_micro >= 0, r
+        assert (
+            r.n_expected_floor
+            == r_n[r.c_mktsegment] * c_n[r.o_orderpriority] // t_n
+        ), r

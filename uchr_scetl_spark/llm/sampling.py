@@ -443,3 +443,57 @@ def sample_shard_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").alias("id_checksum"),
         )
     )
+
+
+GROUP_KFOLD_K = 4  # folds; the grouping key is `source`
+
+
+@query(
+    "sample_group_kfold",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substr(md5('gkf:' || source), 1, 8))::BIGINT
+               % {GROUP_KFOLD_K} AS BIGINT) AS fold
+      FROM documents
+    )
+    SELECT fold,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_groups,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM assigned GROUP BY fold
+    """,
+)
+def sample_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED k-fold assignment — the leakage-aware cross-validation
+    split: the fold is a pure function of the GROUP key (`source`),
+    so every document of one source lands in the same fold and a
+    model can never see its validation group's siblings at train time
+    (per-row splitting leaks near-duplicates and shared provenance
+    across the fold boundary — the classic CV overestimate on crawl
+    data). Deterministic md5 of the salted group key, no RNG state,
+    identical across engines, re-runs and backfills.
+
+    Output is the per-fold summary (docs, distinct groups, doc_id
+    checksum) — the checksum makes the assignment itself
+    value-checked, not just the counts; per-group disjointness across
+    folds is pinned by the property test.
+
+    Scale shape: one codegen projection (md5 of the group key — no
+    join against a fold table, no shuffle of anything but the
+    4-row aggregation keys after map-side combine)."""
+    d = load(spark, sf_dir, "documents")
+    assigned = d.select(
+        "doc_id",
+        "source",
+        (
+            F.conv(F.substring(F.md5(F.concat(F.lit("gkf:"), F.col("source"))), 1, 8), 16, 10)
+            .cast("bigint")
+            % GROUP_KFOLD_K
+        ).alias("fold"),
+    )
+    return assigned.groupBy("fold").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("source").alias("n_groups"),
+        F.sum("doc_id").alias("id_checksum"),
+    )

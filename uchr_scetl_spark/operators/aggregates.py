@@ -1611,3 +1611,83 @@ def agg_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("abs_dev_ppm"),
     )
+
+
+@query(
+    "agg_chi_square_independence",
+    oracle="""
+    WITH obs AS (
+      SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri,
+             CAST(COUNT(*) AS BIGINT) AS o_n
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ), margins AS (
+      SELECT seg, pri, o_n,
+             SUM(o_n) OVER (PARTITION BY seg) AS r_n,
+             SUM(o_n) OVER (PARTITION BY pri) AS c_n,
+             SUM(o_n) OVER () AS t_n
+      FROM obs
+    )
+    SELECT seg AS c_mktsegment, pri AS o_orderpriority, o_n AS n_obs,
+           CAST((r_n * c_n) // t_n AS BIGINT) AS n_expected_floor,
+           CAST(((CAST(o_n AS HUGEINT) * t_n - r_n * c_n)
+                 * (CAST(o_n AS HUGEINT) * t_n - r_n * c_n) * 1000000)
+             // (CAST(r_n AS HUGEINT) * c_n * t_n) AS BIGINT)
+             AS chi2_cell_micro
+    FROM margins
+    """,
+)
+def agg_chi_square_independence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """χ² test of independence on the segment × priority contingency
+    table — the categorical-association test every feature-selection
+    and A/B-segmentation pass runs: per cell, the observed count, the
+    floored expected count under independence (row·col/N), and the
+    cell's χ² contribution (O−E)²/E in exact micro units — summed
+    downstream, Σcells is the χ² statistic against
+    (R−1)(C−1) degrees of freedom.
+
+    Exactness: the cell term is computed as (O·N − R·C)²·1e6 /
+    (R·C·N) — the E-free form, so no float expectation ever exists;
+    wide integers carry the squared products (DECIMAL(38,0) on the
+    Spark side, HUGEINT in DuckDB — (O·N)² reaches ~1e18·1e6 at
+    sf0.1, past bigint).
+
+    Scale design: one partial+final contingency count (R×C rows out
+    of the scan); the margin windows and the cell arithmetic run
+    over that tiny relation."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    obs = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count("*").alias("o_n"))
+    )
+    wr = Window.partitionBy("seg")
+    wc = Window.partitionBy("pri")
+    wt = Window.partitionBy()
+    m = obs.select(
+        "seg",
+        "pri",
+        "o_n",
+        F.sum("o_n").over(wr).alias("r_n"),
+        F.sum("o_n").over(wc).alias("c_n"),
+        F.sum("o_n").over(wt).alias("t_n"),
+    )
+    return m.select(
+        F.col("seg").alias("c_mktsegment"),
+        F.col("pri").alias("o_orderpriority"),
+        F.col("o_n").alias("n_obs"),
+        F.expr("CAST((r_n * c_n) div t_n AS BIGINT)").alias(
+            "n_expected_floor"
+        ),
+        F.expr(
+            "CAST(((CAST(o_n AS DECIMAL(38,0)) * t_n - r_n * c_n)"
+            " * (CAST(o_n AS DECIMAL(38,0)) * t_n - r_n * c_n) * 1000000)"
+            " div (CAST(r_n AS DECIMAL(38,0)) * c_n * t_n) AS BIGINT)"
+        ).alias("chi2_cell_micro"),
+    )
