@@ -62,6 +62,7 @@ KEYS = [
     "win_drawdown",
     "events_mannwhitney_u",
     "events_ks_statistic",
+    "join_theta_range",
 ]
 
 REGISTRY = load_registry()

@@ -199,18 +199,25 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT e.event_id, e.value, o.o_orderkey, o.o_totalprice
     FROM (SELECT * FROM events
-          WHERE event_type = 'purchase' AND value > 450) e
-    JOIN (SELECT * FROM orders WHERE o_totalprice > 480000) o
+          WHERE event_type = 'purchase' AND value > 250) e
+    JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
       ON o.o_totalprice / 1000.0 BETWEEN e.value - 30 AND e.value + 30
     """,
 )
 def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-equi band join: bound both sides first, then let Catalyst use
-    a broadcast nested-loop on the provably-small side."""
+    a broadcast nested-loop on the provably-small side.
+
+    Constants are tuned so the band actually fires at EVERY test scale
+    (the round-6 verdict caught the old ``value > 450`` arm matching 0
+    events at sf0.01 — max purchase value there is 370.71 — making the
+    driver's hash match vacuous): ``value > 250`` / ``o_totalprice >
+    400000`` yields 23 joined rows at sf0.01 and ~105k at sf0.1, so both
+    the smoke gate and the sweep exercise real band matches."""
     e = load(spark, sf_dir, "events").where(
-        (F.col("event_type") == "purchase") & (F.col("value") > 450)
+        (F.col("event_type") == "purchase") & (F.col("value") > 250)
     )
-    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 480000)
+    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
     cond = (F.col("o_totalprice") / 1000.0).between(
         F.col("value") - 30, F.col("value") + 30
     )
