@@ -1,0 +1,125 @@
+"""Corrupted-corpus gate: make every violation counter in the DQ audit
+actually FIRE, and still demand Spark == oracle.
+
+The vacuity audit (tools/vacuity_audit.py) flags ``etl_dq_audit``'s
+``o_totalprice <= 0`` arm as zero-fire on the clean corpus — correctly:
+a data-quality audit on clean data reports zeros, which means the
+counting arms themselves are never exercised by the standard oracle
+sweep. This gate builds a deterministically corrupted orders table
+(NULL prices, non-positive prices, bad status codes, orphan custkeys,
+duplicated orderkeys) and asserts
+
+  1. Spark and DuckDB still value-match bit-exactly, and
+  2. every single violation counter is strictly positive —
+
+so the green is evidence, not vacuum. This is the same pattern as the
+null-events / null-text / null-embedding gates: corrupt one table the
+way real ingest does, keep the rest of the corpus intact.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from uchr_scetl_spark import clear_caches, load_registry
+
+from .conftest import SF_SMOKE
+from .oracle import compare, oracle_connection
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+REGISTRY = load_registry()
+
+
+@pytest.fixture(scope="module")
+def corrupted_dir():
+    import duckdb
+
+    out = tempfile.mkdtemp(prefix="uchr_corrupted_corpus_")
+    con = duckdb.connect()
+    for t in TABLES:
+        src = f"{SF_SMOKE}/{t}.parquet"
+        dst = f"{out}/{t}.parquet"
+        if t == "orders":
+            # Deterministic, key-based corruption of ~1-in-N rows per
+            # violation class (disjoint moduli so classes don't shadow
+            # each other), plus a duplicated-orderkey block appended.
+            con.execute(
+                f"""
+                COPY (
+                  SELECT * REPLACE (
+                    CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                         ELSE o_totalprice END AS o_totalprice)
+                  FROM (
+                    SELECT * REPLACE (
+                      CASE WHEN o_orderkey % 89 = 1 THEN -o_totalprice
+                           WHEN o_orderkey % 89 = 2 THEN 0
+                           ELSE o_totalprice END AS o_totalprice,
+                      CASE WHEN o_orderkey % 83 = 3 THEN 'X'
+                           ELSE o_orderstatus END AS o_orderstatus,
+                      CASE WHEN o_orderkey % 79 = 4 THEN -o_custkey
+                           ELSE o_custkey END AS o_custkey)
+                    FROM read_parquet('{src}')
+                  )
+                  UNION ALL
+                  SELECT * FROM read_parquet('{src}')
+                  WHERE o_orderkey % 101 = 5
+                ) TO '{dst}' (FORMAT PARQUET)
+                """
+            )
+        else:
+            shutil.copyfile(src, dst)
+    con.close()
+    yield out
+    clear_caches(out)
+    shutil.rmtree(out, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def corrupted_oracle(corrupted_dir):
+    con = oracle_connection(corrupted_dir)
+    yield con
+    con.close()
+
+
+def test_dq_audit_counters_all_fire_and_match(spark, corrupted_dir, corrupted_oracle):
+    spec = REGISTRY["etl_dq_audit"]
+    sdf = spec.fn(spark, corrupted_dir).toPandas()
+    odf = corrupted_oracle.sql(spec.oracle).df()
+    problems = compare(sdf, odf)
+    assert not problems, f"etl_dq_audit: {'; '.join(problems)}"
+    row = sdf.iloc[0]
+    for counter in (
+        "null_price", "nonpositive_price", "bad_status",
+        "orphan_custkey", "dup_orderkey",
+    ):
+        assert int(row[counter]) > 0, (
+            f"etl_dq_audit counter {counter} did not fire on the corrupted "
+            f"corpus — the arm is still vacuous"
+        )
+
+
+@pytest.mark.parametrize(
+    "key",
+    [
+        # orders-reading keys that must stay oracle-exact when the fact
+        # table carries real violations (NULLs, negatives, duplicates)
+        "etl_upsert_snapshot",
+        "etl_snapshot_diff",
+        "agg_groupby",
+        "join_left_outer",
+        "join_theta_range",
+    ],
+)
+def test_orders_keys_survive_corruption(key, spark, corrupted_dir, corrupted_oracle):
+    spec = REGISTRY[key]
+    sdf = spec.fn(spark, corrupted_dir).toPandas()
+    odf = corrupted_oracle.sql(spec.oracle).df()
+    problems = compare(sdf, odf)
+    assert not problems, f"{key}: {'; '.join(problems)}"
