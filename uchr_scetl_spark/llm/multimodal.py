@@ -464,15 +464,19 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_dedup_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-addressable dedup on the BINARY modality — the storage
-    dedup every multimodal pipeline runs before decode: hash the raw
-    payload bytes (sha256 over the binary column itself, not any
-    text field), group identical blobs, keep the lowest doc_id. At
-    100 TB of images this is what collapses re-crawled/re-hosted
-    copies to one stored object + N references.
+    dedup every multimodal pipeline runs before decode: group rows by
+    a digest of a BINARY payload column and keep the lowest doc_id per
+    group. At 100 TB of images this is what collapses re-crawled/
+    re-hosted copies to one stored object + N references. (In a real
+    media corpus the group key would be sha256 of the blob itself;
+    the documents table carries no binary payload column, so here the
+    BINARY value being grouped is a synthesized stand-in — see next
+    paragraph — while the plan is exactly the production one.)
 
     The stand-in payload is a THUMBNAIL digest — md5 bytes of the
-    document's 5-token prefix — modelling the perceptual-hash
-    property that matters for media dedup: near-identical media
+    document's 5-token prefix, cast to BinaryType — modelling the
+    perceptual-hash property that matters for media dedup:
+    near-identical media
     (here: docs from one near-dup family, sharing their opening)
     collapse to IDENTICAL bytes, so byte-equality grouping finds
     them (23 multi-copy groups on the check corpus — non-vacuous).

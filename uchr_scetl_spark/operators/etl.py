@@ -1018,8 +1018,9 @@ GDPR_MOD = 97  # deterministic "deletion request" list: user_id % 97 == 0
              (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS n_before,
              (SELECT CAST(COUNT(*) AS BIGINT) FROM events
               WHERE user_id IN (SELECT user_id FROM del_users)) AS n_deleted,
-             (SELECT CAST(COUNT(*) AS BIGINT) FROM events
-              WHERE user_id NOT IN (SELECT user_id FROM del_users))
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM events e
+              WHERE NOT EXISTS (SELECT 1 FROM del_users d
+                                WHERE d.user_id = e.user_id))
                AS n_after
     ),
     cu AS (
@@ -1028,8 +1029,9 @@ GDPR_MOD = 97  # deterministic "deletion request" list: user_id % 97 == 0
              (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
               WHERE c_custkey IN (SELECT c_custkey FROM del_custs))
                AS n_deleted,
-             (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
-              WHERE c_custkey NOT IN (SELECT c_custkey FROM del_custs))
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c
+              WHERE NOT EXISTS (SELECT 1 FROM del_custs d
+                                WHERE d.c_custkey = c.c_custkey))
                AS n_after
     ),
     oo AS (
@@ -1038,8 +1040,9 @@ GDPR_MOD = 97  # deterministic "deletion request" list: user_id % 97 == 0
              (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
               WHERE o_custkey IN (SELECT c_custkey FROM del_custs))
                AS n_deleted,
-             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
-              WHERE o_custkey NOT IN (SELECT c_custkey FROM del_custs))
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM del_custs d
+                                WHERE d.c_custkey = o.o_custkey))
                AS n_after
     )
     SELECT table_name, n_before, n_deleted, n_after,
