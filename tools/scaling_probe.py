@@ -53,6 +53,12 @@ production valve for exactly this (mass-duplicated shingles exceed
 the cap and drop out of matching) but stays inert at probe scale
 (max df 100 « 1000). Not in the default probe KEYS for that reason —
 re-measure with an adjusted cap when tuning it.
+
+Round-7 addition: events_attribution_markov 1.0x at both 2x and 4x the
+events volume (1.36→1.37 s) — the transition matrix is
+(|channels|+3)² regardless of corpus size, so the per-user path
+assembly and the matrix partial-aggregation are both fully
+input-partitioned and the probe sees pure overhead at this scale.
 """
 
 from __future__ import annotations
@@ -109,6 +115,12 @@ KEYS = [
     # density, sub-linearly with raw rows)
     "embeddings_random_projection",
     "graph_jaccard_neighbors",
+    # round 7: the Markov attribution chain (events axis — k× row
+    # replication multiplies per-user path length; transition counting
+    # partial-aggregates into a (|channels|+3)² matrix whose SIZE is
+    # corpus-independent, so only the one events scan + per-user sort
+    # should grow)
+    "events_attribution_markov",
 ]
 
 FACTORS = [1, 2, 4]
