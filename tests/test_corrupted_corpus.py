@@ -115,6 +115,7 @@ def test_dq_audit_counters_all_fire_and_match(spark, corrupted_dir, corrupted_or
         "agg_groupby",
         "join_left_outer",
         "join_theta_range",
+        "pipeline_orders_daily",
     ],
 )
 def test_orders_keys_survive_corruption(key, spark, corrupted_dir, corrupted_oracle):

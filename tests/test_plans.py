@@ -821,3 +821,20 @@ def test_active_users_rolling_explodes_not_range_joins(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "Generate explode" in plan, plan
     assert "LeftSemi" in plan, plan
+
+
+def test_pipeline_composes_to_single_scan_with_pushdown(spark):
+    """The declarative Pipeline (Source → Transform → SqlTransform)
+    must compile to ONE Catalyst plan over ONE source scan, with the
+    filter declared in a LATER step pushed down into that scan —
+    the 'steps are plan rewrites, not staged tables' contract."""
+    from uchr_scetl_spark.plans.pipelines import orders_daily_pipeline
+
+    p = orders_daily_pipeline(spark, SF_SMOKE, "/tmp/unused-pipeline-sink")
+    df = p.plan(spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    pushed = plan.split("PushedFilters: ")[1:]
+    assert pushed and any("o_orderdate" in s[:300] for s in pushed), plan
+    # the SQL aggregate step runs inside the same plan: partial+final
+    assert plan.count("HashAggregate") >= 2, plan

@@ -1,3 +1,3 @@
 """Composed analytical plans: TPC-H-shaped multi-operator pipelines."""
 
-from . import sqltext, tpch  # noqa: F401
+from . import pipelines, sqltext, tpch  # noqa: F401
