@@ -838,3 +838,34 @@ def test_pipeline_composes_to_single_scan_with_pushdown(spark):
     assert pushed and any("o_orderdate" in s[:300] for s in pushed), plan
     # the SQL aggregate step runs inside the same plan: partial+final
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_bfs_hops_checkpoints_and_frontier_join_shape(spark):
+    """graph_bfs_hops: (a) the final plan must be checkpoint-truncated
+    (a union of checkpointed-RDD scans — NOT the unrolled per-level
+    join tree, same contract as graph_pagerank); (b) one frontier
+    expansion, built standalone from the same relations, must compile
+    to an equi hash join + broadcast anti-join — never a nested loop
+    or cartesian."""
+    from pyspark.sql import functions as F
+
+    from uchr_scetl_spark.operators.graph import _copurchase_weighted
+
+    plan = plan_of(spark, "graph_bfs_hops")
+    assert "Scan ExistingRDD" in plan, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
+
+    ew = _copurchase_weighted(spark, SF_SMOKE)
+    edges = ew.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    frontier = ew.agg(F.min("a").alias("part_id"))
+    step = (
+        edges.join(F.broadcast(frontier.select(F.col("part_id").alias("src"))), "src")
+        .select(F.col("dst").alias("part_id"))
+        .distinct()
+        .join(F.broadcast(frontier), "part_id", "left_anti")
+    )
+    step_plan = step._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in step_plan, step_plan
+    assert "LeftAnti" in step_plan, step_plan
+    assert "BroadcastNestedLoopJoin" not in step_plan, step_plan
+    assert "CartesianProduct" not in step_plan, step_plan

@@ -555,3 +555,85 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard_ppm",
         )
     )
+
+
+_BFS_HOPS = 2  # every level 0..2 is non-empty at BOTH sf0.01 and sf0.1
+# (measured: 1/123/1876 nodes per level at sf0.01, 1/134/10766 at
+# sf0.1; hop 3 is EMPTY at sf0.01 — the co-purchase graph closes by
+# hop 2 there — so a deeper constant would make the last iteration
+# vacuous at smoke scale, the pattern tools/vacuity_audit.py exists
+# to catch)
+
+
+@query(
+    "graph_bfs_hops",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_COPURCHASE},
+    edges AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION ALL SELECT b, a FROM pairs
+    ),
+    bfs AS (
+      SELECT (SELECT MIN(a) FROM pairs) AS part_id, 0 AS hop
+      UNION
+      SELECT e.dst, bfs.hop + 1
+      FROM bfs JOIN edges e ON e.src = bfs.part_id
+      WHERE bfs.hop < {_BFS_HOPS}
+    )
+    SELECT part_id, CAST(MIN(hop) AS INT) AS hop
+    FROM bfs GROUP BY part_id
+    """,
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source-ready breadth-first search: minimum hop distance
+    from a deterministic source (the lowest part id with an edge) over
+    the co-purchase graph, levels 0..{_BFS_HOPS}.
+
+    The frontier-expansion loop is the OTHER fundamental iterative
+    graph pattern next to PageRank's message aggregation: per level,
+    join the current frontier against the edge relation, de-dupe, and
+    anti-join out everything already labelled. Each iteration is one
+    equi-join plus one anti-join; ``localCheckpoint`` truncates the
+    lineage so the plan stays O(1) in depth (the Pregel loop shape
+    shared with graph_pagerank and dedup_clusters).
+
+    Scale design: the edge relation is the shared memoized co-purchase
+    build (never a lineitem self-join); the frontier and the visited
+    set are node-sized, so at this scale they ride broadcast joins —
+    on a graph whose node table outgrows broadcast, both degrade to
+    co-partitioned hash joins on part_id with the same algebra.
+    All-integer output, so the unrolled loop is bit-comparable against
+    DuckDB's native recursive CTE — two genuinely different executors
+    (a driver-side loop of distributed joins vs a single recursive
+    operator) agreeing on every (node, hop) pair.
+    """
+    ew = _copurchase_weighted(spark, sf_dir)
+    edges = (
+        ew.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(ew.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint(eager=False)
+    )
+    dist = (
+        ew.agg(F.min("a").alias("part_id"))
+        .select("part_id", F.lit(0).alias("hop"))
+        .localCheckpoint(eager=False)
+    )
+    frontier = dist
+    for k in range(1, _BFS_HOPS + 1):
+        neighbors = (
+            edges.join(
+                F.broadcast(frontier.select(F.col("part_id").alias("src"))),
+                "src",
+            )
+            .select(F.col("dst").alias("part_id"))
+            .distinct()
+        )
+        frontier = (
+            neighbors.join(
+                F.broadcast(dist.select("part_id")), "part_id", "left_anti"
+            )
+            .select("part_id", F.lit(k).alias("hop"))
+            .localCheckpoint(eager=False)
+        )
+        dist = dist.unionAll(frontier)
+    return dist.select("part_id", F.col("hop").cast("int").alias("hop"))
