@@ -63,6 +63,7 @@ KEYS = [
     "events_mannwhitney_u",
     "events_ks_statistic",
     "join_theta_range",
+    "events_did_lift",
 ]
 
 REGISTRY = load_registry()

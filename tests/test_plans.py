@@ -869,3 +869,13 @@ def test_bfs_hops_checkpoints_and_frontier_join_shape(spark):
     assert "LeftAnti" in step_plan, step_plan
     assert "BroadcastNestedLoopJoin" not in step_plan, step_plan
     assert "CartesianProduct" not in step_plan, step_plan
+
+
+def test_did_lift_is_one_scan_no_joins(spark):
+    """events_did_lift: the whole DiD readout must fold into
+    aggregations over ONE events scan — no join anywhere (the 2x2
+    pivot is a conditional aggregate, not a self-join per cell)."""
+    plan = plan_of(spark, "events_did_lift")
+    assert plan.count("Scan parquet") == 1, plan
+    for op in ("Join", "CartesianProduct"):
+        assert op not in plan, plan

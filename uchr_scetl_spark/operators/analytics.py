@@ -2306,3 +2306,112 @@ def events_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks_d_ppm"),
         )
     )
+
+
+@query(
+    "events_did_lift",
+    oracle="""
+    WITH cells AS (
+      SELECT user_id % 2 AS variant,
+             CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                  THEN 1 ELSE 0 END AS period,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+             CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                  AS BIGINT) AS n_purch
+      FROM events
+      GROUP BY 1, 2
+    ), wide AS (
+      SELECT
+        MAX(CASE WHEN variant = 0 AND period = 0 THEN n_users END) AS u_c_pre,
+        MAX(CASE WHEN variant = 0 AND period = 0 THEN n_purch END) AS p_c_pre,
+        MAX(CASE WHEN variant = 0 AND period = 1 THEN n_users END) AS u_c_post,
+        MAX(CASE WHEN variant = 0 AND period = 1 THEN n_purch END) AS p_c_post,
+        MAX(CASE WHEN variant = 1 AND period = 0 THEN n_users END) AS u_t_pre,
+        MAX(CASE WHEN variant = 1 AND period = 0 THEN n_purch END) AS p_t_pre,
+        MAX(CASE WHEN variant = 1 AND period = 1 THEN n_users END) AS u_t_post,
+        MAX(CASE WHEN variant = 1 AND period = 1 THEN n_purch END) AS p_t_post
+      FROM cells
+    )
+    SELECT u_c_pre, p_c_pre, u_c_post, p_c_post,
+           u_t_pre, p_t_pre, u_t_post, p_t_post,
+           CAST((p_t_post * 1000000) // u_t_post
+                - (p_t_pre * 1000000) // u_t_pre AS BIGINT) AS delta_t_ppm,
+           CAST((p_c_post * 1000000) // u_c_post
+                - (p_c_pre * 1000000) // u_c_pre AS BIGINT) AS delta_c_ppm,
+           CAST(((p_t_post * 1000000) // u_t_post
+                 - (p_t_pre * 1000000) // u_t_pre)
+                - ((p_c_post * 1000000) // u_c_post
+                   - (p_c_pre * 1000000) // u_c_pre) AS BIGINT) AS did_ppm
+    FROM wide
+    """,
+)
+def events_did_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout — the quasi-experimental twin
+    of events_ab_lift for launches WITHOUT a randomized holdout: a
+    treatment cohort (user_id parity as the deterministic assignment
+    stand-in) is compared against control across a pre/post boundary
+    (mid-month), and the effect estimate is the difference of the two
+    cohorts' pre→post changes, which nets out any seasonality shared
+    by both cohorts. Metric: purchases per exposed user, in exact
+    integer ppm (floor division, both engines' // truncation agrees on
+    the non-negative rates; the subtractions happen after flooring, so
+    every reported number is exact integer algebra — no float ever).
+
+    All four (variant × period) cells are populated at every test
+    scale (the corpus spans the full month and both parities), so no
+    arm of the wide pivot is vacuous.
+
+    Scale shape: ONE aggregation over events with a composite group
+    key — the distinct-user count rides the same shuffle as the
+    purchase count (partial aggregation on both) — then a 4-row pivot
+    and a single-row projection. Cheaper than the A/B key (no per-user
+    window), which is the point: DiD is what you run when you can't
+    afford — or didn't plan — per-user randomization."""
+    e = load(spark, sf_dir, "events")
+    cells = (
+        e.groupBy(
+            (F.col("user_id") % 2).alias("variant"),
+            F.when(
+                F.col("ts") >= F.lit("2024-01-16").cast("timestamp_ntz"), 1
+            ).otherwise(0).alias("period"),
+        )
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+                "n_purch"
+            ),
+        )
+    )
+    def cell(v, p, col):
+        return F.max(
+            F.when(
+                (F.col("variant") == v) & (F.col("period") == p), F.col(col)
+            )
+        )
+
+    wide = cells.agg(
+        cell(0, 0, "n_users").alias("u_c_pre"),
+        cell(0, 0, "n_purch").alias("p_c_pre"),
+        cell(0, 1, "n_users").alias("u_c_post"),
+        cell(0, 1, "n_purch").alias("p_c_post"),
+        cell(1, 0, "n_users").alias("u_t_pre"),
+        cell(1, 0, "n_purch").alias("p_t_pre"),
+        cell(1, 1, "n_users").alias("u_t_post"),
+        cell(1, 1, "n_purch").alias("p_t_post"),
+    )
+    rate = lambda p, u: F.expr(f"({p} * 1000000) div {u}")  # noqa: E731
+    return wide.select(
+        "*",
+        (rate("p_t_post", "u_t_post") - rate("p_t_pre", "u_t_pre"))
+        .cast("bigint")
+        .alias("delta_t_ppm"),
+        (rate("p_c_post", "u_c_post") - rate("p_c_pre", "u_c_pre"))
+        .cast("bigint")
+        .alias("delta_c_ppm"),
+        (
+            (rate("p_t_post", "u_t_post") - rate("p_t_pre", "u_t_pre"))
+            - (rate("p_c_post", "u_c_post") - rate("p_c_pre", "u_c_pre"))
+        )
+        .cast("bigint")
+        .alias("did_ppm"),
+    )
