@@ -52,6 +52,7 @@ KEYS = [
     "sim_label_recall_topk",
     "multimodal_enrich",
     "multimodal_crossmodal_topk",
+    "embeddings_dimension_stats",
 ]
 
 REGISTRY = load_registry()

@@ -879,3 +879,14 @@ def test_did_lift_is_one_scan_no_joins(spark):
     assert plan.count("Scan parquet") == 1, plan
     for op in ("Join", "CartesianProduct"):
         assert op not in plan, plan
+
+
+def test_dimension_stats_aggregates_without_join(spark):
+    """embeddings_dimension_stats: posexplode emits dim-tagged scalars
+    in-row; the only shuffle is the |dims|-row final aggregate with a
+    partial side — no join, one scan."""
+    plan = plan_of(spark, "embeddings_dimension_stats")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Generate posexplode" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan

@@ -1490,3 +1490,60 @@ def sim_label_recall_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("label_recall_ppm"),
         )
     )
+
+
+@query(
+    "embeddings_dimension_stats",
+    oracle="""
+    WITH flat AS (
+      SELECT unnest(range(len(embedding))) AS dim,
+             unnest(embedding) AS x
+      FROM embeddings
+    )
+    SELECT CAST(dim AS INT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)) AS BIGINT)
+             AS sum_micro,
+           CAST(MIN(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)) AS BIGINT)
+             AS min_micro,
+           CAST(MAX(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)) AS BIGINT)
+             AS max_micro,
+           CAST(COUNT(CASE WHEN x = 0 THEN 1 END) AS BIGINT) AS n_zero
+    FROM flat
+    GROUP BY dim
+    """,
+)
+def embeddings_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding health check — the feature-monitoring
+    pass an embedding pipeline runs before anything consumes the
+    vectors: per coordinate, count / sum / min / max / zero-count.
+    A dead dimension (all zeros), a clipped one (min==max pinned), or
+    a drifting mean shows up here long before it degrades retrieval.
+
+    Values are quantized to MICRO units with the repo's tie-safe
+    ``floor(x * 1e6 + 0.5)`` idiom (see embeddings_quantize_int8)
+    before any aggregation, so every statistic is exact bigint algebra
+    — a float SUM would be shuffle-order-dependent and never
+    hash-comparable across engines.
+
+    Scale shape: posexplode emits dim-tagged scalars in-row (no join,
+    no shuffle before the aggregate); the groupBy(dim) reduces to
+    |dims| rows with full partial aggregation, so the shuffle carries
+    at most |dims| × tasks rows regardless of corpus size. NULL
+    embedding rows drop out of posexplode on the Spark side and out of
+    unnest on the oracle side — same contract, covered by the
+    null-embedding gate."""
+    e = load(spark, sf_dir, "embeddings")
+    q = F.expr("floor(CAST(x AS DOUBLE) * 1000000 + 0.5)")
+    return (
+        e.select(F.posexplode("embedding").alias("dim", "x"))
+        .select(F.col("dim").cast("int").alias("dim"), q.alias("qx"), "x")
+        .groupBy("dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("qx").cast("bigint").alias("sum_micro"),
+            F.min("qx").cast("bigint").alias("min_micro"),
+            F.max("qx").cast("bigint").alias("max_micro"),
+            F.count(F.when(F.col("x") == 0, 1)).alias("n_zero"),
+        )
+    )
