@@ -116,6 +116,7 @@ def test_dq_audit_counters_all_fire_and_match(spark, corrupted_dir, corrupted_or
         "join_left_outer",
         "join_theta_range",
         "pipeline_orders_daily",
+        "etl_publish_checksums",
     ],
 )
 def test_orders_keys_survive_corruption(key, spark, corrupted_dir, corrupted_oracle):

@@ -890,3 +890,17 @@ def test_dimension_stats_aggregates_without_join(spark):
     assert "Join" not in plan, plan
     assert "Generate posexplode" in plan, plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_publish_checksums_three_scans_no_join(spark):
+    """etl_publish_checksums: three independent table scans, each
+    reduced by a partial+final aggregate — no join anywhere, and each
+    scan reads only the checksummed columns (pruning reaches the
+    parquet reader)."""
+    plan = plan_of(spark, "etl_publish_checksums")
+    assert plan.count("Scan parquet") == 3, plan
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") >= 6, plan  # partial+final x3
+    for seg in plan.split("ReadSchema: ")[1:]:
+        head = seg.split("\n")[0]
+        assert "o_comment" not in head and "l_comment" not in head, plan

@@ -1131,3 +1131,123 @@ def etl_gdpr_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+def _checksum_cols_sql(cols: str) -> str:
+    # 60-bit md5 prefix per row (the simhash/sampling idiom — 15 hex
+    # chars always fit a signed BIGINT), summed wide: HUGEINT on the
+    # oracle side to mirror Spark's DECIMAL(38,0) sum
+    # rendered as VARCHAR: a DECIMAL(38,0)/HUGEINT column reaches
+    # pandas as float64 on the DuckDB side (precision loss past 2^53),
+    # so the comparable form of a wide digest is its decimal STRING
+    return (
+        f"CAST(CAST(SUM(CAST(('0x' || substr(md5({cols}), 1, 15)) AS BIGINT))"
+        f" AS DECIMAL(38,0)) AS VARCHAR)"
+    )
+
+
+@query(
+    "etl_publish_checksums",
+    oracle=f"""
+    SELECT 'orders' AS table_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {_checksum_cols_sql("concat_ws('|', CAST(o_orderkey AS VARCHAR),"
+                               " CAST(o_custkey AS VARCHAR), o_orderstatus,"
+                               " CAST(CAST(floor(o_totalprice * 100 + 0.5)"
+                               "           AS BIGINT) AS VARCHAR),"
+                               " strftime(o_orderdate,"
+                               "          '%Y-%m-%d %H:%M:%S.%f'))")}
+             AS checksum
+    FROM orders
+    UNION ALL
+    SELECT 'customer',
+           CAST(COUNT(*) AS BIGINT),
+           {_checksum_cols_sql("concat_ws('|', CAST(c_custkey AS VARCHAR),"
+                               " c_name, CAST(c_nationkey AS VARCHAR),"
+                               " CAST(CAST(floor(c_acctbal * 100 + 0.5)"
+                               "           AS BIGINT) AS VARCHAR))")}
+    FROM customer
+    UNION ALL
+    SELECT 'lineitem',
+           CAST(COUNT(*) AS BIGINT),
+           {_checksum_cols_sql("concat_ws('|', CAST(l_orderkey AS VARCHAR),"
+                               " CAST(l_partkey AS VARCHAR),"
+                               " CAST(l_linenumber AS VARCHAR),"
+                               " CAST(CAST(floor(l_quantity * 100 + 0.5)"
+                               "           AS BIGINT) AS VARCHAR))")}
+    FROM lineitem
+    """,
+)
+def etl_publish_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive per-table content checksums — the publish /
+    replication integrity gate: producer and consumer each run this
+    one-pass aggregate and compare three numbers instead of diffing
+    rows. A lost row, a duplicated row, or a single flipped cent
+    changes the checksum; row order, partitioning, and file layout do
+    not (the sum is commutative).
+
+    Canonicalization is SCHEMA-AWARE, never engine-default rendering:
+    integers and strings pass through, money doubles go through the
+    tie-safe cents quantization (floor(x*100+0.5) — exact for
+    2-decimal money), timestamps are rendered with an explicit fixed-width
+    microsecond format on both engines (never engine-default casts). That is
+    what makes the checksum comparable across engines (and across
+    Spark versions): Java's and DuckDB's double→string formatting
+    disagree in scientific-notation thresholds, so a checksum over
+    default string casts would be engine-local. Each row contributes a
+    60-bit md5 prefix (the repo's simhash/sampling idiom) summed into
+    DECIMAL(38,0) — overflow-free to ~10^19 rows.
+
+    Scale shape: one codegen'd projection + partial/final sum per
+    table, no shuffle wider than one row per task; the three tables
+    are independent scans unioned. At 100 TB this is the cheapest
+    possible full-content verification — one pass, three numbers."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    li = load(spark, sf_dir, "lineitem")
+
+    def cents(col: str) -> Column:
+        return F.expr(
+            f"CAST(CAST(floor({col} * 100 + 0.5) AS BIGINT) AS STRING)"
+        )
+
+
+    def table_sum(df: DataFrame, name: str, row_str: Column) -> DataFrame:
+        h = F.expr("CAST(conv(substring(md5(__row), 1, 15), 16, 10)"
+                   " AS DECIMAL(38,0))")
+        return (
+            df.select(row_str.alias("__row"))
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(h).cast("decimal(38,0)").cast("string").alias("checksum"),
+            )
+            .select(F.lit(name).alias("table_name"), "n_rows", "checksum")
+        )
+
+    o_row = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        cents("o_totalprice"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+    )
+    c_row = F.concat_ws(
+        "|",
+        F.col("c_custkey").cast("string"),
+        F.col("c_name"),
+        F.col("c_nationkey").cast("string"),
+        cents("c_acctbal"),
+    )
+    l_row = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_partkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        cents("l_quantity"),
+    )
+    return (
+        table_sum(o, "orders", o_row)
+        .unionAll(table_sum(c, "customer", c_row))
+        .unionAll(table_sum(li, "lineitem", l_row))
+    )
