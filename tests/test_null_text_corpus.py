@@ -57,6 +57,7 @@ KEYS = [
     "sample_stratified",
     "sample_split_assign",
     "sample_reservoir_hash",
+    "sample_source_cap",
 ]
 
 REGISTRY = load_registry()

@@ -904,3 +904,18 @@ def test_publish_checksums_three_scans_no_join(spark):
     for seg in plan.split("ReadSchema: ")[1:]:
         head = seg.split("\n")[0]
         assert "o_comment" not in head and "l_comment" not in head, plan
+
+
+def test_source_cap_two_pass_windows_are_salt_bounded(spark):
+    """sample_source_cap: the first window must partition by the SALT
+    as well as the group key (the skew split), the survivor relation
+    feeds a second, group-only window, and the corpus-derived cap
+    arrives via broadcast — never a shuffle join."""
+    plan = plan_of(spark, "sample_source_cap")
+    assert plan.count("RunningWindowFunction") >= 2 or plan.count("Window") >= 2, plan
+    # salt appears in the first window's partition spec
+    import re
+    wins = [seg[:400] for seg in plan.split("Window ")[1:]]
+    assert any("salt" in w for w in wins), plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # the 1-row cap join
+    assert "SortMergeJoin" not in plan, plan

@@ -497,3 +497,77 @@ def sample_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("source").alias("n_groups"),
         F.sum("doc_id").alias("id_checksum"),
     )
+
+
+_CAP_FLOOR = 8  # corpus-derived cap: GREATEST(floor, |docs| / 125) —
+# chosen so BOTH branches fire at every test scale: at sf0.001/sf0.01
+# the cap is 8 (groups of 1-7 pass through, 8-16 get capped); at sf0.1
+# it is 80 (groups of 24-49 pass through, 86-112 get capped). A fixed
+# literal cap would leave one branch vacuous at some scale — the
+# pattern tools/vacuity_audit.py exists to catch.
+_CAP_SALTS = 16
+
+
+@query(
+    "sample_source_cap",
+    oracle=f"""
+    WITH cap AS (
+      SELECT GREATEST({_CAP_FLOOR}, COUNT(*) // 125) AS cap FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, lang,
+             row_number() OVER (
+               PARTITION BY source, lang
+               ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source, lang, CAST(rn AS BIGINT) AS rn
+    FROM ranked CROSS JOIN cap
+    WHERE rn <= cap
+    """,
+)
+def sample_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap — the over-represented-source
+    downsampler every pretraining mix runs (a crawl where one domain
+    is 30% of the corpus must not be 30% of the training set): keep at
+    most ``cap`` docs per (source, lang), selected by a deterministic
+    md5 priority so the survivor set is stable across runs, engines,
+    and partitionings. The cap itself is corpus-derived
+    (max({_CAP_FLOOR}, n/125)) so capped and pass-through groups both
+    exist at every test scale.
+
+    Scale design — the naive form (one row_number window per group) is
+    NOT it: group count is bounded (sources × langs) but group SIZE is
+    not, and a hot domain becomes one giant window partition on one
+    task. This implementation is the salted TWO-PASS exact top-cap:
+    pass 1 ranks within (source, lang, md5-salt mod {_CAP_SALTS}) and
+    keeps ≤cap per salt — hot groups split across {_CAP_SALTS} tasks,
+    per-task frame bounded at cap rows kept; pass 2 re-ranks the
+    ≤cap·{_CAP_SALTS} survivors per group — a relation bounded by
+    |groups|·cap·{_CAP_SALTS} regardless of corpus size. Exact because
+    the priority is a pure row function: every global top-cap member
+    is necessarily in its own salt's top-cap. The oracle is the naive
+    single-window form, so the equivalence of the two algorithms is
+    what the hash match proves."""
+    d = load(spark, sf_dir, "documents")
+    n = d.agg(
+        F.greatest(
+            F.lit(_CAP_FLOOR), (F.count("*") / F.lit(125)).cast("bigint")
+        ).alias("cap")
+    )
+    pri = F.md5(F.concat(F.lit("cap:"), F.col("doc_id").cast("string")))
+    salted = d.select("doc_id", "source", "lang", pri.alias("pri")).withColumn(
+        "salt", F.expr(f"pmod(crc32(pri), {_CAP_SALTS})")
+    )
+    w1 = Window.partitionBy("source", "lang", "salt").orderBy("pri", "doc_id")
+    w2 = Window.partitionBy("source", "lang").orderBy("pri", "doc_id")
+    capped = salted.withColumn("rn1", F.row_number().over(w1)).crossJoin(
+        F.broadcast(n)
+    )
+    survivors = capped.where(F.col("rn1") <= F.col("cap"))
+    return (
+        survivors.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= F.col("cap"))
+        .select("doc_id", "source", "lang", F.col("rn").cast("bigint").alias("rn"))
+    )
