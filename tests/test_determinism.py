@@ -104,6 +104,18 @@ KEYS = [
     "events_time_weighted_avg",
     # round 6 (cont.): epoch-salted shard counts off an in-row explode
     "sample_shard_epochs",
+    # round 7: the frontier BFS (anti-join accumulation must label
+    # each node once whatever the layout), the salted two-pass exact
+    # top-cap (per-salt survivor sets must re-rank identically), the
+    # md5-digest table checksums (commutative DECIMAL(38,0) sums), the
+    # micro-quantized per-dimension stats, the integer-ppm DiD cells,
+    # and the composed Pipeline's partitioned sink round-trip
+    "graph_bfs_hops",
+    "sample_source_cap",
+    "etl_publish_checksums",
+    "embeddings_dimension_stats",
+    "events_did_lift",
+    "pipeline_orders_daily",
 ]
 
 
