@@ -451,6 +451,42 @@ AUDITS: dict[str, tuple[str, list[str]]] = {
         "self-join relation (InMemoryTableScan).",
         [r"BroadcastHashJoin", r"InMemoryTableScan"],
     ),
+    "graph_bfs_hops": (
+        "Frontier BFS: the final plan is checkpoint-truncated (a "
+        "union of ExistingRDD scans - the per-level join trees never "
+        "stack), exactly like the PageRank loop.",
+        [r"Scan ExistingRDD", r"Union"],
+    ),
+    "events_did_lift": (
+        "Difference-in-differences: the whole 2x2 readout folds into "
+        "partial+final aggregates over ONE events scan - the pivot is "
+        "a conditional aggregate, not a join per cell.",
+        [r"HashAggregate", r"Scan parquet"],
+    ),
+    "embeddings_dimension_stats": (
+        "Per-dimension stats: posexplode emits dim-tagged scalars "
+        "in-row; the only shuffle is the 64-row final aggregate with "
+        "a partial side.",
+        [r"Generate posexplode", r"HashAggregate"],
+    ),
+    "etl_publish_checksums": (
+        "Table checksums: three independent pruned scans, each "
+        "reduced by partial+final sums - no join, no wide shuffle.",
+        [r"HashAggregate", r"ReadSchema"],
+    ),
+    "sample_source_cap": (
+        "Salted two-pass exact top-cap: the first Window partitions "
+        "by (source, lang, salt) so hot domains split across tasks; "
+        "survivors re-rank in a group-only Window; the 1-row "
+        "corpus-derived cap arrives via BroadcastNestedLoopJoin.",
+        [r"Window", r"BroadcastNestedLoopJoin"],
+    ),
+    "pipeline_orders_daily": (
+        "Declarative pipeline: the composed pre-sink plan has ONE "
+        "parquet scan with the later-step date filter pushed into it "
+        "(asserted in tests); this audit shows the re-read side.",
+        [r"Scan parquet", r"HashAggregate"],
+    ),
 }
 
 
