@@ -58,6 +58,7 @@ KEYS = [
     "sample_split_assign",
     "sample_reservoir_hash",
     "sample_source_cap",
+    "dedup_pair_jaccard_spectrum",
 ]
 
 REGISTRY = load_registry()

@@ -919,3 +919,16 @@ def test_source_cap_two_pass_windows_are_salt_bounded(spark):
     assert any("salt" in w for w in wins), plan
     assert "BroadcastNestedLoopJoin" in plan, plan  # the 1-row cap join
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_jaccard_spectrum_panel_is_takeordered_and_broadcast(spark):
+    """dedup_pair_jaccard_spectrum: the fixed panel must be a
+    TakeOrderedAndProject draw (bounded heap, no global sort), its
+    postings must BROADCAST into the corpus inverted index, and the
+    shingle relations must come from the shared session memo
+    (InMemoryTableScan) — never a recomputed shingle subtree."""
+    plan = plan_of(spark, "dedup_pair_jaccard_spectrum")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+    assert "CartesianProduct" not in plan, plan

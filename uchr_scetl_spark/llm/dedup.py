@@ -1107,3 +1107,113 @@ def dedup_exact_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("doc_id", "lang", "source", "n_chars")
     )
+
+
+SPECTRUM_PANEL_K = 100  # fixed ABSOLUTE panel size (the
+# sim_cosine_histogram pattern): pair volume is O(k · postings), linear
+# in the corpus at fixed k — a fixed-RATE panel would grow the pair
+# count quadratically
+
+
+@query(
+    "dedup_pair_jaccard_spectrum",
+    oracle=f"""
+    WITH {_ORACLE_SHINGLED_CTE},
+    shingle_rows AS (
+      SELECT doc_id, n, unnest(toks) AS tok FROM sized
+    ),
+    panel AS (
+      SELECT doc_id AS p_id, n AS p_n, toks AS p_toks FROM sized
+      ORDER BY md5('spec:' || CAST(doc_id AS VARCHAR)), doc_id
+      LIMIT {SPECTRUM_PANEL_K}
+    ),
+    panel_rows AS (
+      SELECT p_id, p_n, unnest(p_toks) AS tok FROM panel
+    ),
+    pair_inter AS (
+      SELECT p.p_id, s.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS inter,
+             any_value(p.p_n) AS p_n, any_value(s.n) AS s_n
+      FROM panel_rows p JOIN shingle_rows s
+        ON p.tok = s.tok AND s.doc_id <> p.p_id
+      GROUP BY p.p_id, s.doc_id
+    ),
+    banded AS (
+      SELECT CAST(floor(CAST(inter AS DOUBLE)
+                        / (p_n + s_n - inter) * 10) AS INT) AS band
+      FROM pair_inter
+    ),
+    hist AS (
+      SELECT band, CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM banded GROUP BY band
+    )
+    SELECT band,
+           (CAST(band AS DOUBLE) / 10) AS band_lo,
+           n_pairs,
+           CAST(SUM(n_pairs) OVER (ORDER BY band DESC) AS BIGINT)
+             AS n_pairs_ge
+    FROM hist
+    """,
+)
+def dedup_pair_jaccard_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-Jaccard SPECTRUM over a fixed panel × the corpus — the
+    measurement you calibrate LSH banding against: it shows where the
+    corpus's pair-similarity mass sits (here: a background lobe at
+    J < 0.1 and a near-dup lobe at J ≥ 0.8, nothing in between), so
+    threshold and band/row choices stop being guesses. n_pairs_ge is
+    the running "pairs a threshold at this band's lower edge would
+    have to verify" count — the verify-stage cost curve.
+
+    Scale design: the panel is {SPECTRUM_PANEL_K} docs drawn by salted
+    md5 k-smallest (TakeOrderedAndProject — deterministic, corpus-
+    size-independent, the sim_cosine_histogram fix), and pairs come
+    from the panel's shingle postings joined against the corpus
+    inverted index — O(k · postings) TOTAL, never all-pairs. The
+    shingle relations are the shared session memos, so the spectrum
+    rides the same cached build as the dedup keys. Bands are
+    data-driven groupBy keys (no per-band CASE arms to go vacuous);
+    the cumulative window runs over ≤ 11 rows. The Jaccard division
+    and the floor(x*10) banding are the same double expression tree on
+    both engines, so band edges agree bit-exactly."""
+    sized = shingled_docs(spark, sf_dir)
+    rows = shingle_rows(spark, sf_dir)
+    panel = (
+        sized.orderBy(
+            F.md5(F.concat(F.lit("spec:"), F.col("doc_id").cast("string"))),
+            "doc_id",
+        )
+        .limit(SPECTRUM_PANEL_K)
+        .select(F.col("doc_id").alias("p_id"), F.col("n").alias("p_n"),
+                F.col("toks").alias("p_toks"))
+    )
+    panel_rows = panel.select(
+        "p_id", "p_n", F.explode("p_toks").alias("shingle")
+    )
+    sizes = sized.select(F.col("doc_id").alias("s_id"), F.col("n").alias("sn"))
+    pair_inter = (
+        F.broadcast(panel_rows)
+        .join(rows, ["shingle"])
+        .where(F.col("doc_id") != F.col("p_id"))
+        .groupBy("p_id", "doc_id")
+        .agg(F.count("*").alias("inter"), F.first("p_n").alias("pn"))
+        .join(sizes, F.col("doc_id") == F.col("s_id"))
+    )
+    band = F.floor(
+        F.col("inter").cast("double")
+        / (F.col("pn") + F.col("sn") - F.col("inter"))
+        * 10
+    ).cast("int")
+    hist = (
+        pair_inter.select(band.alias("band"))
+        .groupBy("band")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+    w = Window.orderBy(F.desc("band")).rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return hist.select(
+        "band",
+        (F.col("band").cast("double") / 10).alias("band_lo"),
+        "n_pairs",
+        F.sum("n_pairs").over(w).cast("bigint").alias("n_pairs_ge"),
+    )
