@@ -116,6 +116,9 @@ KEYS = [
     "embeddings_dimension_stats",
     "events_did_lift",
     "pipeline_orders_daily",
+    # round 7 (cont.): cross-multiplied segment thresholds off shuffled
+    # cents sums must place every customer identically at any layout
+    "orders_segment_migration",
 ]
 
 

@@ -932,3 +932,15 @@ def test_jaccard_spectrum_panel_is_takeordered_and_broadcast(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "InMemoryTableScan" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_segment_migration_broadcasts_totals_no_window(spark):
+    """orders_segment_migration: segmenting must NOT use a global
+    window (no Window node anywhere — the whole point vs textbook
+    ntile); the 2-row period totals broadcast; the self-pair is an
+    equi full-outer join."""
+    plan = plan_of(spark, "orders_segment_migration")
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "FullOuter" in plan, plan
+    assert "CartesianProduct" not in plan, plan

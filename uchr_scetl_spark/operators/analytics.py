@@ -2415,3 +2415,110 @@ def events_did_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("did_ppm"),
     )
+
+
+@query(
+    "orders_segment_migration",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             CASE WHEN o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+                  THEN 1 ELSE 2 END AS period,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    ), tot AS (
+      SELECT period, CAST(SUM(cents) AS HUGEINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM spend GROUP BY 1
+    ), seg AS (
+      SELECT s.o_custkey, s.period,
+             CASE WHEN 4 * CAST(s.cents AS HUGEINT) * t.n >= 5 * t.total
+                    THEN 3
+                  WHEN 4 * CAST(s.cents AS HUGEINT) * t.n >= 3 * t.total
+                    THEN 2
+                  ELSE 1 END AS seg
+      FROM spend s JOIN tot t USING (period)
+    ),
+    s1 AS (SELECT o_custkey, seg FROM seg WHERE period = 1),
+    s2 AS (SELECT o_custkey, seg FROM seg WHERE period = 2)
+    SELECT CAST(COALESCE(s1.seg, 0) AS INT) AS seg_from,
+           CAST(COALESCE(s2.seg, 0) AS INT) AS seg_to,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM s1 FULL OUTER JOIN s2 USING (o_custkey)
+    GROUP BY 1, 2
+    """,
+)
+def orders_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend-segment migration matrix across a period
+    boundary — the CRM readout behind "how many high-value customers
+    did we lose last year": per period, each customer lands in a
+    low/mid/high segment; the matrix counts every (segment-before,
+    segment-after) transition, with 0 standing for absent (new
+    customers in seg_from=0, churned in seg_to=0).
+
+    Segmenting deliberately avoids the textbook global ntile: a
+    corpus-wide ntile is ONE window partition — the whole customer
+    base sorted on one task, the anti-pattern at 100 TB. Instead a
+    customer's segment compares their exact cents spend against the
+    period's average via cross-multiplied integer inequalities
+    (4·spend·n ≥ 5·total ⇔ spend ≥ 1.25·avg) — a 2-row broadcast of
+    period totals, zero sorting, exact at any parallelism (the cents
+    quantization is the repo's tie-safe floor idiom; the wide products
+    ride DECIMAL/HUGEINT). All 3×3 live-to-live cells plus the
+    new-customer arm are populated at every test scale (the churned
+    arm additionally fires at sf0.1); probed before the thresholds
+    were frozen, per the vacuity discipline.
+
+    Scale shape: one orders scan → per-(customer, period) cents sums
+    (one shuffle), 2-row totals broadcast back, a full-outer self-pair
+    on custkey co-partitioned with the first shuffle, and a ≤16-row
+    final count."""
+    o = load(spark, sf_dir, "orders")
+    spend = (
+        o.groupBy(
+            "o_custkey",
+            F.when(
+                F.col("o_orderdate")
+                < F.lit("1996-01-01").cast("timestamp_ntz"),
+                1,
+            )
+            .otherwise(2)
+            .alias("period"),
+        )
+        .agg(
+            F.sum(
+                F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+            ).alias("cents")
+        )
+    )
+    tot = spend.groupBy("period").agg(
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("total"),
+        F.count("*").alias("n"),
+    )
+    seg_expr = (
+        F.when(
+            F.col("cents").cast("decimal(38,0)") * 4 * F.col("n")
+            >= F.col("total") * 5,
+            3,
+        )
+        .when(
+            F.col("cents").cast("decimal(38,0)") * 4 * F.col("n")
+            >= F.col("total") * 3,
+            2,
+        )
+        .otherwise(1)
+    )
+    seg = spend.join(F.broadcast(tot), "period").select(
+        "o_custkey", "period", seg_expr.alias("seg")
+    )
+    s1 = seg.where(F.col("period") == 1).select("o_custkey", F.col("seg").alias("seg1"))
+    s2 = seg.where(F.col("period") == 2).select("o_custkey", F.col("seg").alias("seg2"))
+    return (
+        s1.join(s2, "o_custkey", "full_outer")
+        .groupBy(
+            F.coalesce("seg1", F.lit(0)).cast("int").alias("seg_from"),
+            F.coalesce("seg2", F.lit(0)).cast("int").alias("seg_to"),
+        )
+        .agg(F.count("*").alias("n_customers"))
+    )
