@@ -64,6 +64,7 @@ KEYS = [
     "events_ks_statistic",
     "join_theta_range",
     "events_did_lift",
+    "stream_state_store_read",
 ]
 
 REGISTRY = load_registry()

@@ -944,3 +944,14 @@ def test_segment_migration_broadcasts_totals_no_window(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "FullOuter" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_state_store_read_is_direct_scan(spark):
+    """stream_state_store_read: the state read must be a direct
+    StateScan + projection — no Exchange and no aggregate above it
+    (state files are already partitioned by the shuffle that wrote
+    them; one row per key arrives ready to serve)."""
+    plan = plan_of(spark, "stream_state_store_read")
+    assert "StateScan" in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "HashAggregate" not in plan, plan

@@ -385,3 +385,66 @@ def stream_watermark_lag_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("lateness_us").alias("max_lateness_us"),
         )
     )
+
+
+@query(
+    "stream_state_store_read",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's state-store DATA SOURCE: run a streaming aggregation
+    to completion (availableNow — process everything, then stop), then
+    read the query's checkpointed STATE back as a plain batch
+    DataFrame via ``spark.read.format("statestore")`` — the offline
+    state-introspection surface you use to debug a production
+    streaming job without touching the job (is a key stuck? how big
+    is the state really? what does this group's accumulator hold?).
+
+    The correctness claim is end-to-end: the state rows (one per
+    group key, holding the aggregation buffer) must equal the batch
+    twin's GROUP BY counts — so the oracle match covers the streaming
+    execution, the RocksDB/HDFS state commit, AND the state source's
+    decode of key/value structs, not just the final sink output.
+
+    Scale shape: the streaming agg itself is the standard partial/
+    final count; the state read is one scan of the checkpoint's state
+    files partitioned exactly like the shuffle that wrote them (one
+    state row per key per partition — no re-shuffle to read). The
+    events copy into a scratch dir exists only because a
+    FileStreamSource basePath must be a directory; a production
+    stream reads its real source."""
+    from ..io import scratch_dir
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    src = scratch_dir("uchr_state_src_")
+    ckpt = scratch_dir("uchr_state_ckpt_")
+    load(spark, sf_dir, "events").select("event_id", "event_type").write.mode(
+        "overwrite"
+    ).parquet(f"{src}/events")
+    schema = StructType(
+        [StructField("event_id", LongType()), StructField("event_type", StringType())]
+    )
+    counts = (
+        spark.readStream.schema(schema)
+        .parquet(f"{src}/events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    q = (
+        counts.writeStream.outputMode("update")
+        .format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.exception() is not None:
+        raise q.exception()
+    state = spark.read.format("statestore").load(ckpt)
+    return state.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").cast("bigint").alias("n_events"),
+    )
