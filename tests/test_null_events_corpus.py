@@ -65,6 +65,7 @@ KEYS = [
     "join_theta_range",
     "events_did_lift",
     "stream_state_store_read",
+    "join_interval_overlap",
 ]
 
 REGISTRY = load_registry()

@@ -955,3 +955,18 @@ def test_state_store_read_is_direct_scan(spark):
     assert "StateScan" in plan, plan
     assert "Exchange" not in plan, plan
     assert "HashAggregate" not in plan, plan
+
+
+def test_interval_overlap_is_bucket_equi_join(spark):
+    """join_interval_overlap: the interval x interval overlap must be
+    a hash equi-join on the bucket id (both sides exploded in-row) —
+    never a nested loop/cartesian — with the first-overlap-bucket
+    residual doing pair-once dedup instead of a Distinct."""
+    plan = plan_of(spark, "join_interval_overlap")
+    assert "Generate explode" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    ), plan
+    assert "Distinct" not in plan, plan

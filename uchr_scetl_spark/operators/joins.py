@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from contextlib import contextmanager
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..exprs import dec_sum, sql_dec_sum
@@ -624,3 +624,131 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature under test (the plan test would catch it)."""
     with bloom_confs(spark):
         return bloom_pruned_join(spark, sf_dir).localCheckpoint(eager=True)
+
+
+_IVL_W_US = 21_600 * 1_000_000  # 6h bucket width, microseconds
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    WITH lagged AS (
+      SELECT user_id, ts, event_id,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN prev_ts IS NULL
+                       OR ts > prev_ts + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM lagged
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS session_id
+      FROM flagged
+    ),
+    sessions AS (
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             MIN(ts) AS s_start, MAX(ts) AS s_end
+      FROM numbered GROUP BY user_id, session_id
+    ),
+    windows AS (
+      SELECT w_start, w_start + INTERVAL 6 HOUR AS w_end
+      FROM generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                           TIMESTAMP '2024-01-30 00:00:00',
+                           INTERVAL 15 HOUR) AS g(w_start)
+    )
+    SELECT s.user_id, s.session_id, w.w_start,
+           CAST(epoch_us(least(s.s_end, w.w_end))
+                - epoch_us(greatest(s.s_start, w.w_start)) AS BIGINT)
+             AS overlap_us
+    FROM sessions s JOIN windows w
+      ON s.s_end >= w.w_start AND s.s_start < w.w_end
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval OVERLAP join — user sessions against a
+    deterministic grid of 6-hour audit windows (the sessions-vs-
+    campaign / incident-vs-deploy join every ops pipeline runs),
+    emitting exact overlap durations in microseconds.
+
+    Scale design — the FIRST-OVERLAP-BUCKET equi-join, the interval
+    twin of join_range_banded: both sides explode the 6-hour buckets
+    their interval covers (sessions span few, windows exactly 1–2),
+    hash equi-join on the bucket id, and keep a pair ONLY in the
+    bucket containing max(start_left, start_right) — so each
+    qualifying pair survives exactly once with NO distinct and no
+    nested loop, and the bucket key hash-distributes (AQE skew
+    handling applies if one time slice is hot). Cost: shuffle of
+    (intervals × buckets-covered) rows instead of |L|×|R| probes.
+    The overlap residual and duration use exact microsecond integers
+    (NTZ→TZ cast is exact under the pinned UTC session)."""
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    numbered = e.withColumn("new_sess", new_sess).withColumn(
+        "session_id",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sessions = numbered.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    windows = spark.range(1).select(
+        F.explode(
+            F.expr(
+                "sequence(to_timestamp_ntz('2024-01-01 00:00:00'),"
+                " to_timestamp_ntz('2024-01-30 00:00:00'),"
+                " interval 15 hours)"
+            )
+        ).alias("w_start")
+    ).withColumn("w_end", F.expr("w_start + interval 6 hours"))
+
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    left = sessions.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                (us("s_start") / _IVL_W_US).cast("bigint"),
+                (us("s_end") / _IVL_W_US).cast("bigint"),
+            )
+        ),
+    )
+    right = windows.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                (us("w_start") / _IVL_W_US).cast("bigint"),
+                # half-open end: the bucket of the last included instant
+                ((us("w_end") - 1) / _IVL_W_US).cast("bigint"),
+            )
+        ),
+    )
+    first_bucket = (
+        F.greatest(us("s_start"), us("w_start")) / _IVL_W_US
+    ).cast("bigint")
+    overlap = (F.col("s_end") >= F.col("w_start")) & (
+        F.col("s_start") < F.col("w_end")
+    )
+    return (
+        left.join(right, "bucket")
+        .where(overlap & (F.col("bucket") == first_bucket))
+        .select(
+            "user_id",
+            "session_id",
+            "w_start",
+            (
+                F.least(us("s_end"), us("w_end"))
+                - F.greatest(us("s_start"), us("w_start"))
+            ).alias("overlap_us"),
+        )
+    )
