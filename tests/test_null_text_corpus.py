@@ -59,6 +59,7 @@ KEYS = [
     "sample_reservoir_hash",
     "sample_source_cap",
     "dedup_pair_jaccard_spectrum",
+    "sample_contrastive_negatives",
 ]
 
 REGISTRY = load_registry()

@@ -970,3 +970,16 @@ def test_interval_overlap_is_bucket_equi_join(spark):
         "ShuffledHashJoin" in plan
     ), plan
     assert "Distinct" not in plan, plan
+
+
+def test_contrastive_negatives_excludes_via_broadcast_anti(spark):
+    """sample_contrastive_negatives: the near-dup exclusion must be a
+    BROADCAST anti-join (the verified-pair relation is |true dups|
+    tiny), the hard-negative pick a per-anchor bounded window, and the
+    shingle relations the shared memo (InMemoryTableScan) — no
+    cartesian anywhere."""
+    plan = plan_of(spark, "sample_contrastive_negatives")
+    assert "LeftAnti, BuildRight" in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+    assert "Window" in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -571,3 +571,145 @@ def sample_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= F.col("cap"))
         .select("doc_id", "source", "lang", F.col("rn").cast("bigint").alias("rn"))
     )
+
+
+NEG_RANDOM_K = 4  # easy negatives per doc (deterministic md5-mod draw)
+NEG_HARD_K = 2  # hard negatives per doc (top co-shingle partners)
+
+
+def _neg_oracle() -> str:
+    from .dedup import _ORACLE_SHINGLED_CTE
+
+    return f"""
+    WITH {_ORACLE_SHINGLED_CTE},
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    shingle_rows AS (
+      SELECT doc_id, n, unnest(toks) AS tok FROM sized
+    ),
+    co AS (
+      SELECT a.doc_id AS doc_id, b.doc_id AS cand,
+             CAST(COUNT(*) AS BIGINT) AS inter,
+             any_value(a.n) AS a_n, any_value(b.n) AS b_n
+      FROM shingle_rows a JOIN shingle_rows b
+        ON a.tok = b.tok AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    ),
+    hard AS (
+      SELECT doc_id, cand,
+             CAST(100 + row_number() OVER (
+               PARTITION BY doc_id ORDER BY inter DESC, cand) AS INT)
+               AS slot
+      FROM co
+      QUALIFY row_number() OVER (
+        PARTITION BY doc_id ORDER BY inter DESC, cand) <= {NEG_HARD_K}
+    ),
+    easy AS (
+      SELECT d.doc_id,
+             CAST(('0x' || substr(md5('neg:' || CAST(d.doc_id AS VARCHAR)
+                                   || ':' || CAST(g.j AS VARCHAR)), 1, 8))
+                  AS BIGINT) % nn.n AS cand,
+             CAST(g.j AS INT) AS slot
+      FROM documents d CROSS JOIN nn
+      CROSS JOIN generate_series(1, {NEG_RANDOM_K}) AS g(j)
+    ),
+    cands AS (
+      SELECT * FROM hard
+      UNION ALL
+      SELECT * FROM easy WHERE cand <> doc_id
+    ),
+    near AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM co AS j2
+      JOIN sized a ON a.doc_id = j2.doc_id
+      JOIN sized b ON b.doc_id = j2.cand
+      WHERE j2.doc_id < j2.cand
+        AND CAST(j2.inter AS DOUBLE) / (j2.a_n + j2.b_n - j2.inter) >= 0.8
+    )
+    SELECT c.doc_id, c.slot, c.cand AS neg_id
+    FROM cands c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM near p
+      WHERE (p.a_id = c.doc_id AND p.b_id = c.cand)
+         OR (p.a_id = c.cand AND p.b_id = c.doc_id)
+    )
+    """
+
+
+@query("sample_contrastive_negatives", oracle=_neg_oracle())
+def sample_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training negative pairs — the generator behind
+    embedding/retrieval fine-tuning data: per anchor doc, {NEG_RANDOM_K}
+    EASY negatives (deterministic md5-mod draws over the dense id
+    space — reproducible, no RNG) and {NEG_HARD_K} HARD negatives (the
+    anchor's top co-shingle partners — the ANN-candidate stand-ins that
+    actually teach a model boundaries), with every candidate FILTERED
+    against the verified near-duplicate relation: a near-dup labelled
+    as a negative is a poisoned example, and this exclusion arm
+    provably fires at every test scale (each near-dup doc's partner is
+    its top co-shingle candidate, so the filter removes it).
+
+    Slots: 1..{NEG_RANDOM_K} easy, 101.. hard — a training loader can
+    weight the tiers separately.
+
+    Scale shape: easy negatives are one in-row explode + hash
+    projection (O(k·n), no shuffle before the exclusion join); hard
+    negatives ride the shingle inverted index (pairs sharing a
+    shingle, the same group-bounded relation the dedup keys use — at
+    100 TB the hot-shingle df cap from dedup_containment is the
+    valve) with a per-anchor top-{NEG_HARD_K} window bounded by
+    co-shingle degree; the near-pair exclusion is an anti-join against
+    the memoized verified-pairs relation (tiny: |true dups|), which
+    BROADCASTS."""
+    from .dedup import dedup_near, shingle_rows, shingled_docs
+
+    d = load(spark, sf_dir, "documents")
+    nn = d.agg(F.count("*").alias("n"))
+    rows = shingle_rows(spark, sf_dir)
+    co = (
+        rows.alias("a")
+        .join(
+            rows.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id"), F.col("b.doc_id").alias("cand")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("inter"), "cand")
+    hard = (
+        co.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= NEG_HARD_K)
+        .select("doc_id", "cand", (F.col("rn") + 100).cast("int").alias("slot"))
+    )
+    easy = (
+        d.select("doc_id")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(*[F.lit(j) for j in range(1, NEG_RANDOM_K + 1)])
+            ).alias("j"),
+            "n",
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(conv(substring(md5(concat('neg:',"
+                " CAST(doc_id AS STRING), ':', CAST(j AS STRING))),"
+                " 1, 8), 16, 10) AS BIGINT) % n"
+            ).alias("cand"),
+            F.col("j").cast("int").alias("slot"),
+        )
+        .where(F.col("cand") != F.col("doc_id"))
+    )
+    cands = hard.unionByName(easy)
+    near = dedup_near(spark, sf_dir).select("a_id", "b_id")
+    near_sym = near.unionAll(
+        near.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+    ).select(F.col("a_id").alias("doc_id"), F.col("b_id").alias("cand"))
+    return (
+        cands.join(F.broadcast(near_sym), ["doc_id", "cand"], "left_anti")
+        .select("doc_id", "slot", F.col("cand").alias("neg_id"))
+    )
