@@ -487,6 +487,36 @@ AUDITS: dict[str, tuple[str, list[str]]] = {
         "(asserted in tests); this audit shows the re-read side.",
         [r"Scan parquet", r"HashAggregate"],
     ),
+    "dedup_pair_jaccard_spectrum": (
+        "LSH calibration spectrum: TakeOrderedAndProject panel draw, "
+        "panel postings broadcast into the memoized shingle inverted "
+        "index - O(k*postings) pairs at any corpus size.",
+        [r"TakeOrderedAndProject", r"BroadcastHashJoin", r"InMemoryTableScan"],
+    ),
+    "orders_segment_migration": (
+        "Segment migration: NO window anywhere (segments via "
+        "cross-multiplied integer thresholds against broadcast period "
+        "totals, not a global ntile); full-outer self-pair on custkey.",
+        [r"BroadcastHashJoin", r"FullOuter"],
+    ),
+    "stream_state_store_read": (
+        "State-store source: direct StateScan of the checkpoint with "
+        "a projection - no Exchange, no re-aggregation (state files "
+        "are already partitioned by the writing shuffle).",
+        [r"StateScan"],
+    ),
+    "join_interval_overlap": (
+        "Interval overlap: both interval sides explode covered "
+        "buckets in-row and hash equi-join on the bucket id; the "
+        "first-overlap-bucket residual dedups pairs with no Distinct.",
+        [r"Generate explode", r"HashJoin|SortMergeJoin"],
+    ),
+    "sample_contrastive_negatives": (
+        "Contrastive negatives: per-anchor bounded window for hard "
+        "picks, md5-mod in-row easy draws, near-dup exclusion as a "
+        "BROADCAST anti-join of the tiny verified-pair relation.",
+        [r"LeftAnti, BuildRight", r"Window"],
+    ),
 }
 
 
