@@ -59,6 +59,21 @@ events volume (1.36→1.37 s) — the transition matrix is
 (|channels|+3)² regardless of corpus size, so the per-user path
 assembly and the matrix partial-aggregation are both fully
 input-partitioned and the probe sees pure overhead at this scale.
+
+Round-7 keys (quiet run, sf0.1 base): graph_bfs_hops 0.8x at 4x the
+order volume (the frontier/visited relations are node-sized and the
+node set is fixed under lineitem replication — only the edge scan
+grows); sample_source_cap 0.8x (the two-pass top-cap's survivor
+relation is |groups|·cap·salts regardless of corpus size);
+dedup_pair_jaccard_spectrum 0.8x (fixed panel, posting growth linear);
+join_interval_overlap 0.8x (session count grows, the window grid and
+bucket fan-out are fixed); embeddings_dimension_stats 0.7x (explode +
+64-row aggregate, pure map growth). sample_contrastive_negatives is
+the documented super-linear case: 2.0x wall at 4x (4.1→8.2 s) —
+twin replication grows the co-shingle pair relation ~k² (every doc
+gains k-1 full-overlap twins), the same true-output-growth class as
+dedup_containment; the hot-shingle df cap is the production valve,
+and the easy-negative side stays strictly linear.
 """
 
 from __future__ import annotations
@@ -121,6 +136,19 @@ KEYS = [
     # corpus-independent, so only the one events scan + per-user sort
     # should grow)
     "events_attribution_markov",
+    # round 7: frontier BFS (lineitem axis - the edge relation grows
+    # with baskets over a fixed catalogue), the salted top-cap and the
+    # panel spectrum and contrastive negatives (documents axis - the
+    # shingle/posting relations grow linearly, panels stay fixed), the
+    # interval join (events axis - session count grows, window grid is
+    # fixed), and the per-dimension stats (embeddings axis - pure
+    # explode + 64-row aggregate)
+    "graph_bfs_hops",
+    "sample_source_cap",
+    "dedup_pair_jaccard_spectrum",
+    "sample_contrastive_negatives",
+    "join_interval_overlap",
+    "embeddings_dimension_stats",
 ]
 
 FACTORS = [1, 2, 4]
