@@ -119,6 +119,8 @@ KEYS = [
     # round 7 (cont.): cross-multiplied segment thresholds off shuffled
     # cents sums must place every customer identically at any layout
     "orders_segment_migration",
+    # round 7 (cont.): Welch t off exact decimal sufficient statistics
+    "events_welch_ttest",
 ]
 
 

@@ -66,6 +66,7 @@ KEYS = [
     "events_did_lift",
     "stream_state_store_read",
     "join_interval_overlap",
+    "events_welch_ttest",
 ]
 
 REGISTRY = load_registry()

@@ -983,3 +983,12 @@ def test_contrastive_negatives_excludes_via_broadcast_anti(spark):
     assert "InMemoryTableScan" in plan, plan
     assert "Window" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_welch_ttest_single_scan_partial_agg(spark):
+    """events_welch_ttest: all three sufficient statistics must ride
+    ONE shuffle off one scan (partial+final aggregate), no join."""
+    plan = plan_of(spark, "events_welch_ttest")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan

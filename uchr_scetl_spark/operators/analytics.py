@@ -2522,3 +2522,107 @@ def orders_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_customers"))
     )
+
+
+# Welch formula fragments shared TEXTUALLY by the Spark projection and
+# the DuckDB oracle: identical double expression trees are what makes
+# the floored micro values engine-exact (the events_ab_lift z_micro
+# discipline).
+_WELCH_SE2 = "(v1 / n1 + v2 / n2)"
+_WELCH_EXPRS = {
+    "mean1_micro": "CAST(floor(m1 * 1000000) AS BIGINT)",
+    "mean2_micro": "CAST(floor(m2 * 1000000) AS BIGINT)",
+    "t_micro": f"CAST(floor((m1 - m2) / sqrt({_WELCH_SE2}) * 1000000)"
+    " AS BIGINT)",
+    "dof_micro": f"CAST(floor({_WELCH_SE2} * {_WELCH_SE2}"
+    " / ((v1 / n1) * (v1 / n1) / (n1 - 1)"
+    "  + (v2 / n2) * (v2 / n2) / (n2 - 1)) * 1000000) AS BIGINT)",
+}
+
+
+@query(
+    "events_welch_ttest",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id % 2 AS variant,
+             CAST(COUNT(value) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(value AS DECIMAL(24,6))
+                      * CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS ss
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1
+    ), wide AS (
+      SELECT MAX(CASE WHEN variant = 0 THEN n END) AS n1,
+             MAX(CASE WHEN variant = 0 THEN s END) AS s1,
+             MAX(CASE WHEN variant = 0 THEN ss END) AS ss1,
+             MAX(CASE WHEN variant = 1 THEN n END) AS n2,
+             MAX(CASE WHEN variant = 1 THEN s END) AS s2,
+             MAX(CASE WHEN variant = 1 THEN ss END) AS ss2
+      FROM g
+    ), m AS (
+      SELECT n1, n2,
+             s1 / n1 AS m1, s2 / n2 AS m2,
+             (ss1 - s1 / n1 * s1) / (n1 - 1) AS v1,
+             (ss2 - s2 / n2 * s2) / (n2 - 1) AS v2
+      FROM wide
+    )
+    SELECT n1, n2,
+           {_WELCH_EXPRS['mean1_micro']} AS mean1_micro,
+           {_WELCH_EXPRS['mean2_micro']} AS mean2_micro,
+           {_WELCH_EXPRS['t_micro']} AS t_micro,
+           {_WELCH_EXPRS['dof_micro']} AS dof_micro
+    FROM m
+    """,
+)
+def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t on purchase values
+    (treatment = user parity, the deterministic assignment stand-in) —
+    the CONTINUOUS-metric significance test completing the repo's
+    nonparametric pair (Mann–Whitney U, Kolmogorov–Smirnov): revenue-
+    per-event experiments need a mean test, not a rank test.
+
+    Determinism discipline (the events_ab_lift z_micro pattern): the
+    sufficient statistics (count, sum, sum-of-squares) are EXACT
+    decimal aggregates — order-insensitive at any parallelism — and
+    every double step after them (means, variances via the
+    computational formula, t, Welch–Satterthwaite dof) is the same
+    expression tree TEXT on both engines, so the IEEE results are
+    bit-equal and the floored micro values hash-match. The variance
+    uses (ss − s·s/n)/(n−1) with the division written first — the
+    exact fragment is shared between the Spark projection and the
+    oracle via module constants, making drift impossible by
+    construction.
+
+    Scale shape: one events scan, one 2-row aggregate with full
+    partial aggregation (three sums ride one shuffle), a 1-row pivot
+    and a scalar projection."""
+    e = load(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    g = e.groupBy((F.col("user_id") % 2).alias("variant")).agg(
+        F.count("value").alias("n"),
+        F.expr("CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE)").alias("s"),
+        F.expr(
+            "CAST(SUM(CAST(value AS DECIMAL(24,6))"
+            " * CAST(value AS DECIMAL(24,6))) AS DOUBLE)"
+        ).alias("ss"),
+    )
+    wide = g.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 0, F.col("s"))).alias("s1"),
+        F.max(F.when(F.col("variant") == 0, F.col("ss"))).alias("ss1"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("variant") == 1, F.col("s"))).alias("s2"),
+        F.max(F.when(F.col("variant") == 1, F.col("ss"))).alias("ss2"),
+    )
+    m = wide.selectExpr(
+        "n1",
+        "n2",
+        "s1 / n1 AS m1",
+        "s2 / n2 AS m2",
+        "(ss1 - s1 / n1 * s1) / (n1 - 1) AS v1",
+        "(ss2 - s2 / n2 * s2) / (n2 - 1) AS v2",
+    )
+    return m.selectExpr(
+        "n1",
+        "n2",
+        *[f"{expr} AS {alias}" for alias, expr in _WELCH_EXPRS.items()],
+    )
