@@ -125,3 +125,21 @@ def test_orders_keys_survive_corruption(key, spark, corrupted_dir, corrupted_ora
     odf = corrupted_oracle.sql(spec.oracle).df()
     problems = compare(sdf, odf)
     assert not problems, f"{key}: {'; '.join(problems)}"
+
+
+def test_expectations_suite_fails_on_corruption_and_matches(
+    spark, corrupted_dir, corrupted_oracle
+):
+    """On the corrupted corpus the zero-tolerance expectations must
+    flip to failed (their counters fire) while Spark and DuckDB still
+    value-match — both verdict arms live, oracle-checked."""
+    spec = REGISTRY["etl_expectations_suite"]
+    sdf = spec.fn(spark, corrupted_dir).toPandas()
+    odf = corrupted_oracle.sql(spec.oracle).df()
+    problems = compare(sdf, odf)
+    assert not problems, f"etl_expectations_suite: {'; '.join(problems)}"
+    by_id = {r.expectation_id: r for r in sdf.itertuples()}
+    for eid in ("price_positive", "price_not_null", "status_in_domain",
+                "custkey_positive"):
+        assert not by_id[eid].passed and by_id[eid].n_violations > 0, by_id[eid]
+    assert by_id["date_in_range"].passed  # corruption leaves dates intact

@@ -992,3 +992,13 @@ def test_welch_ttest_single_scan_partial_agg(spark):
     assert plan.count("Scan parquet") == 1, plan
     assert "Join" not in plan, plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_expectations_suite_is_one_scan(spark):
+    """etl_expectations_suite: N expectations must compile to ONE scan
+    with one partial+final aggregate — adding a check adds a count_if
+    column, never a pass over the data."""
+    plan = plan_of(spark, "etl_expectations_suite")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan

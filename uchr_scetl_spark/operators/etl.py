@@ -1251,3 +1251,121 @@ def etl_publish_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(table_sum(c, "customer", c_row))
         .unionAll(table_sum(li, "lineitem", l_row))
     )
+
+
+# Declarative expectation specs: (expectation_id, SQL condition over an
+# orders row that a COMPLIANT row satisfies, max violations tolerated).
+# The suite is DATA, not code — adding a check is adding a tuple, and
+# the whole suite still costs ONE scan (each spec compiles to one
+# conditional count in the same aggregate). Thresholds are chosen so
+# both verdict arms are exercised on the standard corpus: the
+# violation counters fire on the corrupted-corpus gate, and the
+# 'open_order_share' expectation FAILS even on clean data (orders are
+# ~half open — a deliberately failing expectation, because a suite
+# whose checks can never fail proves nothing — tolerance 400 < the
+# ~514 open orders at even the smallest sf0.001 corpus, so the FAIL
+# arm fires at every test scale).
+ORDERS_EXPECTATIONS: list[tuple[str, str, int]] = [
+    ("price_positive", "o_totalprice > 0", 0),
+    ("price_not_null", "o_totalprice IS NOT NULL", 0),
+    ("status_in_domain", "o_orderstatus IN ('O', 'F', 'P')", 0),
+    ("custkey_positive", "o_custkey > 0", 0),
+    ("date_in_range",
+     "o_orderdate >= TIMESTAMP '1990-01-01 00:00:00'"
+     " AND o_orderdate < TIMESTAMP '2005-01-01 00:00:00'", 0),
+    ("open_order_share", "o_orderstatus <> 'O'", 400),
+]
+
+
+@query(
+    "etl_expectations_suite",
+    oracle="""
+    SELECT e.expectation_id, e.max_violations,
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_rows,
+           e.n_violations,
+           (e.n_violations <= e.max_violations) AS passed
+    FROM (
+      SELECT 'price_positive' AS expectation_id,
+             CAST(0 AS BIGINT) AS max_violations,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+              WHERE NOT COALESCE(o_totalprice > 0, FALSE)) AS n_violations
+      UNION ALL
+      SELECT 'price_not_null', 0,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+              WHERE NOT COALESCE(o_totalprice IS NOT NULL, FALSE))
+      UNION ALL
+      SELECT 'status_in_domain', 0,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+              WHERE NOT COALESCE(o_orderstatus IN ('O','F','P'), FALSE))
+      UNION ALL
+      SELECT 'custkey_positive', 0,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+              WHERE NOT COALESCE(o_custkey > 0, FALSE))
+      UNION ALL
+      SELECT 'date_in_range', 0,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+              WHERE NOT COALESCE(
+                o_orderdate >= TIMESTAMP '1990-01-01 00:00:00'
+                AND o_orderdate < TIMESTAMP '2005-01-01 00:00:00', FALSE))
+      UNION ALL
+      SELECT 'open_order_share', 400,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+              WHERE NOT COALESCE(o_orderstatus <> 'O', FALSE))
+    ) e
+    """,
+)
+def etl_expectations_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-expectations engine — the Great-Expectations-
+    shaped publish gate: a suite of (condition, tolerance) specs
+    declared as DATA (ORDERS_EXPECTATIONS), compiled into ONE
+    conditional aggregate over ONE scan of the table, emitting per
+    expectation the violation count and a pass/fail verdict against
+    its tolerance. NULL-hostile by construction: a NULL condition
+    result counts as a violation (COALESCE(cond, FALSE)), so a null
+    price fails price_positive rather than slipping through
+    three-valued logic — the classic silent hole in hand-rolled
+    checks.
+
+    Both verdict arms are live on every corpus: open_order_share is a
+    deliberately failing expectation on clean data (a suite whose
+    checks can never fail proves nothing — the vacuity discipline
+    applied to itself), and the corrupted-corpus gate makes the
+    zero-tolerance counters fire too.
+
+    Scale shape: N expectations still cost one scan — each spec is a
+    count_if column in the same partial+final aggregate — then an
+    in-row explode of the N (id, tolerance, count) triples. Adding an
+    expectation never adds a pass over the data; at 100 TB that is
+    the difference between a usable gate and one nobody runs."""
+    o = load(spark, sf_dir, "orders")
+    counters = o.agg(
+        F.count("*").alias("n_rows"),
+        *[
+            F.count_if(~F.coalesce(F.expr(cond), F.lit(False))).alias(
+                f"v_{eid}"
+            )
+            for eid, cond, _tol in ORDERS_EXPECTATIONS
+        ],
+    )
+    triple = F.array(
+        *[
+            F.struct(
+                F.lit(eid).alias("expectation_id"),
+                F.lit(tol).cast("bigint").alias("max_violations"),
+                F.col(f"v_{eid}").alias("n_violations"),
+            )
+            for eid, _cond, tol in ORDERS_EXPECTATIONS
+        ]
+    )
+    return (
+        counters.select("n_rows", F.explode(triple).alias("e"))
+        .select(
+            F.col("e.expectation_id").alias("expectation_id"),
+            F.col("e.max_violations").alias("max_violations"),
+            "n_rows",
+            F.col("e.n_violations").alias("n_violations"),
+            (F.col("e.n_violations") <= F.col("e.max_violations")).alias(
+                "passed"
+            ),
+        )
+    )
