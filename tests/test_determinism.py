@@ -121,6 +121,8 @@ KEYS = [
     "orders_segment_migration",
     # round 7 (cont.): Welch t off exact decimal sufficient statistics
     "events_welch_ttest",
+    # round 7 (cont.): PQ argmin ties break on (distance, code) structs
+    "embeddings_pq_assign",
 ]
 
 

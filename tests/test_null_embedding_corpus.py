@@ -53,6 +53,7 @@ KEYS = [
     "multimodal_enrich",
     "multimodal_crossmodal_topk",
     "embeddings_dimension_stats",
+    "embeddings_pq_assign",
 ]
 
 REGISTRY = load_registry()

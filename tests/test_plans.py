@@ -1002,3 +1002,15 @@ def test_expectations_suite_is_one_scan(spark):
     assert plan.count("Scan parquet") == 1, plan
     assert "Join" not in plan, plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_pq_assign_broadcasts_codebook(spark):
+    """embeddings_pq_assign: the 16-row codebook must BROADCAST into
+    the in-row m-explode (never a shuffle join of the corpus), the
+    seed draw must be a bounded TakeOrderedAndProject, and the
+    distance fold must stay JVM-side (no Python/pandas node)."""
+    plan = plan_of(spark, "embeddings_pq_assign")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "FlatMapGroupsInPandas" not in plan, plan

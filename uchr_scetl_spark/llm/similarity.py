@@ -1547,3 +1547,123 @@ def embeddings_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("x") == 0, 1)).alias("n_zero"),
         )
     )
+
+
+PQ_M = 8  # subspaces (64 dims -> 8 x 8)
+PQ_K = 16  # codebook entries per subspace (4-bit codes)
+PQ_SCALE = 1_000_000  # component quantization (exact integer distances)
+
+
+@query(
+    "embeddings_pq_assign",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {PQ_SCALE}) AS BIGINT))
+               AS qv
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    seeds AS (
+      SELECT qv AS sv,
+             CAST(row_number() OVER (
+               ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR)), vec_id) - 1
+               AS BIGINT) AS k
+      FROM e
+      ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {PQ_K}
+    ),
+    dists AS (
+      SELECT e.vec_id, g.m, s.k,
+             list_sum(list_transform(generate_series(1, 8),
+               i -> (e.qv[g.m * 8 + i] - s.sv[g.m * 8 + i])
+                  * (e.qv[g.m * 8 + i] - s.sv[g.m * 8 + i]))) AS d
+      FROM e
+      CROSS JOIN generate_series(0, {PQ_M - 1}) AS g(m)
+      CROSS JOIN seeds s
+    ),
+    best AS (
+      SELECT vec_id, m, k
+      FROM dists
+      QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) = 1
+    )
+    SELECT vec_id,
+           {", ".join(f"CAST(MAX(CASE WHEN m = {mm} THEN k END) AS INT)"
+                      f" AS code_{mm}" for mm in range(8))},
+           CAST(SUM(k << (4 * m)) AS BIGINT) AS packed_code
+    FROM best GROUP BY vec_id
+    """,
+)
+def embeddings_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding — the ANN building block between
+    scalar quantization (embeddings_quantize_int8) and IVF
+    (sim_topk_ivf): each 64-dim vector becomes {PQ_M} 4-bit codes
+    (one per 8-dim subspace, nearest of {PQ_K} codebook entries),
+    compressing a vector to 32 bits while keeping distances
+    approximable per-subspace — at 100 TB this is what lets a billion
+    embeddings fit an in-memory ANN index.
+
+    Everything is EXACT integer arithmetic: components floor-quantized
+    to bigints (the k-means idiom), codebooks are the quantized
+    subvectors of {PQ_K} deterministic seed vectors (salted-md5
+    k-smallest — TakeOrderedAndProject, no RNG, the sim_kmeans seed
+    draw), distances are bigint sums of squares, and argmin ties
+    break on (distance, code) — so the assignment is bit-identical at
+    any parallelism and against the oracle's QUALIFY formulation.
+
+    Scale shape: the codebook ({PQ_K} rows × 64 ints) BROADCASTS; the
+    per-vector work is an in-row m-explode joined against it
+    ({PQ_M}·{PQ_K} distance rows per vector, each an 8-term fold —
+    vectorized JVM codegen, no Python), then one groupBy(vec_id) with
+    per-subspace conditional argmin structs riding a single shuffle."""
+    e = load(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    ).select(
+        "vec_id",
+        F.expr(
+            f"transform(CAST(embedding AS ARRAY<DOUBLE>),"
+            f" x -> CAST(floor(x * {PQ_SCALE}) AS BIGINT))"
+        ).alias("qv"),
+    )
+    pri = F.md5(F.concat(F.lit("pq:"), F.col("vec_id").cast("string")))
+    seeds = (
+        e.orderBy(pri, "vec_id")
+        .limit(PQ_K)
+        .select(F.col("qv").alias("sv"), pri.alias("p"))
+    )
+    w = Window.orderBy("p")
+    codebook = seeds.select(
+        (F.row_number().over(w) - 1).cast("bigint").alias("k"), "sv"
+    )
+    dists = (
+        e.select(
+            "vec_id",
+            "qv",
+            F.explode(F.array(*[F.lit(m) for m in range(PQ_M)])).alias("m"),
+        )
+        .join(F.broadcast(codebook))
+        .withColumn(
+            "d",
+            F.expr(
+                "aggregate(transform(sequence(1, 8),"
+                " i -> (element_at(qv, m * 8 + i) - element_at(sv, m * 8 + i))"
+                "    * (element_at(qv, m * 8 + i) - element_at(sv, m * 8 + i))),"
+                " 0L, (a, x) -> a + x)"
+            ),
+        )
+    )
+    best = F.struct("d", "k")
+    agg = dists.groupBy("vec_id").agg(
+        *[
+            F.min(F.when(F.col("m") == mm, best)).alias(f"b{mm}")
+            for mm in range(PQ_M)
+        ]
+    )
+    return agg.select(
+        "vec_id",
+        *[F.col(f"b{mm}.k").cast("int").alias(f"code_{mm}") for mm in range(PQ_M)],
+        sum(
+            [F.shiftleft(F.col(f"b{mm}.k"), 4 * mm) for mm in range(PQ_M)],
+            F.lit(0),
+        ).cast("bigint").alias("packed_code"),
+    )
