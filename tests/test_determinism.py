@@ -123,6 +123,7 @@ KEYS = [
     "events_welch_ttest",
     # round 7 (cont.): PQ argmin ties break on (distance, code) structs
     "embeddings_pq_assign",
+    "sim_topk_pq",
 ]
 
 

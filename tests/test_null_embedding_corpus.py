@@ -54,6 +54,7 @@ KEYS = [
     "multimodal_crossmodal_topk",
     "embeddings_dimension_stats",
     "embeddings_pq_assign",
+    "sim_topk_pq",
 ]
 
 REGISTRY = load_registry()

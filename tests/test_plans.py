@@ -1014,3 +1014,14 @@ def test_pq_assign_broadcasts_codebook(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "ArrowEvalPython" not in plan and "FlatMapGroupsInPandas" not in plan, plan
+
+
+def test_pq_adc_search_broadcasts_distance_table(spark):
+    """sim_topk_pq: the probe distance table (5*8*16 rows) must
+    BROADCAST into the codes relation; scoring is a partial+final sum;
+    the original vectors never join the scoring side (ADC reads codes,
+    not embeddings)."""
+    plan = plan_of(spark, "sim_topk_pq")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan

@@ -119,3 +119,55 @@ def test_knn_ann_agreement(spark, sf):
     assert set(ann) == set(exact)
     agree = sum(1 for p in exact if ann[p] == exact[p])
     assert agree >= 4, f"ANN/exact prediction agreement {agree}/5 at {sf}"
+
+
+def test_pq_adc_beats_random_baseline(spark):
+    """sim_topk_pq's ADC ranking must carry real signal: total
+    overlap with the exact quantized-L2 top-10 across the 5 probes is
+    deterministic (everything is exact integers) and measured at 10/50
+    on the smoke corpus — an order of magnitude above the ~1 expected
+    from random ranking (10*10/499 per probe). Floor set at 5 for
+    corpus-regeneration slack. (Recall is deliberately NOT asserted
+    high: the codebooks are untrained seed draws, not k-means-fitted —
+    the key checks the ADC machinery, the exactness discipline, and
+    the plan shape; codebook quality is sim_kmeans_assign's job.)"""
+    from collections import defaultdict
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from uchr_scetl_spark.llm.similarity import _pq_quantized
+
+    from .conftest import SF_SMOKE
+
+    adc = REGISTRY["sim_topk_pq"].fn(spark, SF_SMOKE).collect()
+    probes = sorted(set(r.p_id for r in adc))
+    e = _pq_quantized(spark, SF_SMOKE)
+    pe = e.where(F.col("vec_id").isin(probes)).select(
+        F.col("vec_id").alias("p_id"), F.col("qv").alias("qp")
+    )
+    ex = (
+        e.crossJoin(F.broadcast(pe))
+        .where(F.col("vec_id") != F.col("p_id"))
+        .withColumn(
+            "d",
+            F.expr(
+                "aggregate(zip_with(qv, qp, (a, b) -> (a - b) * (a - b)),"
+                " 0L, (acc, x) -> acc + x)"
+            ),
+        )
+    )
+    w = Window.partitionBy("p_id").orderBy("d", "vec_id")
+    exact = (
+        ex.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select("p_id", "vec_id")
+        .collect()
+    )
+    got, want = defaultdict(set), defaultdict(set)
+    for r in adc:
+        got[r.p_id].add(r.vec_id)
+    for r in exact:
+        want[r.p_id].add(r.vec_id)
+    overlap = sum(len(got[p] & want[p]) for p in probes)
+    assert overlap >= 5, f"ADC overlap {overlap}/50 — below signal floor"

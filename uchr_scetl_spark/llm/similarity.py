@@ -1554,6 +1554,62 @@ PQ_K = 16  # codebook entries per subspace (4-bit codes)
 PQ_SCALE = 1_000_000  # component quantization (exact integer distances)
 
 
+def _pq_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, qv): components floor-quantized to bigints — all PQ
+    arithmetic downstream is exact integers."""
+    return (
+        load(spark, sf_dir, "embeddings")
+        .where(F.col("embedding").isNotNull())
+        .select(
+            "vec_id",
+            F.expr(
+                f"transform(CAST(embedding AS ARRAY<DOUBLE>),"
+                f" x -> CAST(floor(x * {PQ_SCALE}) AS BIGINT))"
+            ).alias("qv"),
+        )
+    )
+
+
+def _pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(k, sv): the {PQ_K}-entry codebook — quantized vectors of the
+    salted-md5 k-smallest seed draw, indexed in draw order."""
+    e = _pq_quantized(spark, sf_dir)
+    pri = F.md5(F.concat(F.lit("pq:"), F.col("vec_id").cast("string")))
+    seeds = (
+        e.orderBy(pri, "vec_id")
+        .limit(PQ_K)
+        .select(F.col("qv").alias("sv"), pri.alias("p"))
+    )
+    w = Window.orderBy("p")
+    return seeds.select(
+        (F.row_number().over(w) - 1).cast("bigint").alias("k"), "sv"
+    )
+
+
+_PQ_SUBDIST = (
+    "aggregate(transform(sequence(1, 8),"
+    " i -> (element_at({a}, m * 8 + i) - element_at({b}, m * 8 + i))"
+    "    * (element_at({a}, m * 8 + i) - element_at({b}, m * 8 + i))),"
+    " 0L, (acc, x) -> acc + x)"
+)
+
+
+def _pq_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, m, (d, k) struct rows): per-vector per-subspace
+    distances to every codebook entry — argmin'd by the consumers."""
+    e = _pq_quantized(spark, sf_dir)
+    codebook = _pq_codebook(spark, sf_dir)
+    return (
+        e.select(
+            "vec_id",
+            "qv",
+            F.explode(F.array(*[F.lit(m) for m in range(PQ_M)])).alias("m"),
+        )
+        .join(F.broadcast(codebook))
+        .withColumn("d", F.expr(_PQ_SUBDIST.format(a="qv", b="sv")))
+    )
+
+
 @query(
     "embeddings_pq_assign",
     oracle=f"""
@@ -1616,44 +1672,8 @@ def embeddings_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ({PQ_M}·{PQ_K} distance rows per vector, each an 8-term fold —
     vectorized JVM codegen, no Python), then one groupBy(vec_id) with
     per-subspace conditional argmin structs riding a single shuffle."""
-    e = load(spark, sf_dir, "embeddings").where(
-        F.col("embedding").isNotNull()
-    ).select(
-        "vec_id",
-        F.expr(
-            f"transform(CAST(embedding AS ARRAY<DOUBLE>),"
-            f" x -> CAST(floor(x * {PQ_SCALE}) AS BIGINT))"
-        ).alias("qv"),
-    )
-    pri = F.md5(F.concat(F.lit("pq:"), F.col("vec_id").cast("string")))
-    seeds = (
-        e.orderBy(pri, "vec_id")
-        .limit(PQ_K)
-        .select(F.col("qv").alias("sv"), pri.alias("p"))
-    )
-    w = Window.orderBy("p")
-    codebook = seeds.select(
-        (F.row_number().over(w) - 1).cast("bigint").alias("k"), "sv"
-    )
-    dists = (
-        e.select(
-            "vec_id",
-            "qv",
-            F.explode(F.array(*[F.lit(m) for m in range(PQ_M)])).alias("m"),
-        )
-        .join(F.broadcast(codebook))
-        .withColumn(
-            "d",
-            F.expr(
-                "aggregate(transform(sequence(1, 8),"
-                " i -> (element_at(qv, m * 8 + i) - element_at(sv, m * 8 + i))"
-                "    * (element_at(qv, m * 8 + i) - element_at(sv, m * 8 + i))),"
-                " 0L, (a, x) -> a + x)"
-            ),
-        )
-    )
     best = F.struct("d", "k")
-    agg = dists.groupBy("vec_id").agg(
+    agg = _pq_best(spark, sf_dir).groupBy("vec_id").agg(
         *[
             F.min(F.when(F.col("m") == mm, best)).alias(f"b{mm}")
             for mm in range(PQ_M)
@@ -1666,4 +1686,127 @@ def embeddings_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             [F.shiftleft(F.col(f"b{mm}.k"), 4 * mm) for mm in range(PQ_M)],
             F.lit(0),
         ).cast("bigint").alias("packed_code"),
+    )
+
+
+PQ_QUERY_K = 5  # probe count for the ADC search demo
+PQ_TOPK = 10
+
+
+@query(
+    "sim_topk_pq",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {PQ_SCALE}) AS BIGINT))
+               AS qv
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    seeds AS (
+      SELECT qv AS sv,
+             CAST(row_number() OVER (
+               ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR)), vec_id) - 1
+               AS BIGINT) AS k
+      FROM e
+      ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {PQ_K}
+    ),
+    codes AS (
+      SELECT vec_id, g.m, s.k,
+             list_sum(list_transform(generate_series(1, 8),
+               i -> (e.qv[g.m * 8 + i] - s.sv[g.m * 8 + i])
+                  * (e.qv[g.m * 8 + i] - s.sv[g.m * 8 + i]))) AS d
+      FROM e
+      CROSS JOIN generate_series(0, {PQ_M - 1}) AS g(m)
+      CROSS JOIN seeds s
+      QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) = 1
+    ),
+    probes AS (
+      SELECT vec_id AS p_id, qv AS qp FROM e
+      ORDER BY md5('pqq:' || CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {PQ_QUERY_K}
+    ),
+    dtable AS (
+      SELECT p.p_id, g.m, s.k,
+             list_sum(list_transform(generate_series(1, 8),
+               i -> (p.qp[g.m * 8 + i] - s.sv[g.m * 8 + i])
+                  * (p.qp[g.m * 8 + i] - s.sv[g.m * 8 + i]))) AS dt
+      FROM probes p
+      CROSS JOIN generate_series(0, {PQ_M - 1}) AS g(m)
+      CROSS JOIN seeds s
+    ),
+    adc AS (
+      SELECT t.p_id, c.vec_id, CAST(SUM(t.dt) AS BIGINT) AS score
+      FROM codes c JOIN dtable t ON t.m = c.m AND t.k = c.k
+      WHERE c.vec_id <> t.p_id
+      GROUP BY t.p_id, c.vec_id
+    )
+    SELECT p_id, CAST(rank AS INT) AS rank, vec_id, score
+    FROM (
+      SELECT p_id, vec_id, score,
+             row_number() OVER (PARTITION BY p_id
+                                ORDER BY score, vec_id) AS rank
+      FROM adc
+    )
+    WHERE rank <= {PQ_TOPK}
+    """,
+)
+def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k search over the PQ codes — the
+    query half of product quantization (embeddings_pq_assign is the
+    index half): per probe, build a {PQ_M}×{PQ_K} distance table
+    against the codebook, then score every corpus vector by LOOKUP —
+    sum the table entries its 8 codes select — never touching the
+    original vectors. At 100 TB this is the whole point of PQ: the
+    scan reads 32-bit codes instead of 256-byte vectors, and the
+    per-vector cost is 8 adds.
+
+    Exactness discipline: quantized-integer distance tables and codes
+    (shared helpers with embeddings_pq_assign), ties on
+    (score, vec_id) — so even though ADC is an APPROXIMATION of true
+    distance, the approximation itself is deterministic and the
+    oracle replicates it bit-exactly (unlike the LSH/IVF keys, which
+    are rows-only, the PQ search path is fully hash-checked).
+
+    Scale shape: codes are one groupBy off the broadcast-codebook
+    explode; the {PQ_QUERY_K}·{PQ_M}·{PQ_K}-row distance table
+    BROADCASTS; scoring is one equi-join on (m, k) plus a
+    partial+final sum; top-k is a per-probe window over probe-bounded
+    groups."""
+    pb = _pq_best(spark, sf_dir)
+    codes = pb.groupBy("vec_id", "m").agg(
+        F.min(F.struct("d", "k")).getField("k").alias("k")
+    )
+    e = _pq_quantized(spark, sf_dir)
+    pri = F.md5(F.concat(F.lit("pqq:"), F.col("vec_id").cast("string")))
+    probes = (
+        e.orderBy(pri, "vec_id")
+        .limit(PQ_QUERY_K)
+        .select(F.col("vec_id").alias("p_id"), F.col("qv").alias("qp"))
+    )
+    codebook = _pq_codebook(spark, sf_dir)
+    dtable = (
+        probes.select(
+            "p_id",
+            "qp",
+            F.explode(F.array(*[F.lit(m) for m in range(PQ_M)])).alias("m"),
+        )
+        .join(F.broadcast(codebook))
+        .select(
+            "p_id", "m", "k",
+            F.expr(_PQ_SUBDIST.format(a="qp", b="sv")).alias("dt"),
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(dtable), ["m", "k"])
+        .where(F.col("vec_id") != F.col("p_id"))
+        .groupBy("p_id", "vec_id")
+        .agg(F.sum("dt").cast("bigint").alias("score"))
+    )
+    w = Window.partitionBy("p_id").orderBy("score", "vec_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= PQ_TOPK)
+        .select("p_id", F.col("rank").cast("int").alias("rank"), "vec_id", "score")
     )
