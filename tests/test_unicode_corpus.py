@@ -82,6 +82,11 @@ KEYS = [
     "sample_stratified",
     "sample_split_assign",
     "sample_temperature",
+    # round 7: shingle-derived pair machinery must agree over
+    # multibyte text — panel spectrum bands and co-shingle hard
+    # negatives both count UTF-8 shingle intersections
+    "dedup_pair_jaccard_spectrum",
+    "sample_contrastive_negatives",
 ]
 
 REGISTRY = load_registry()
