@@ -124,6 +124,9 @@ KEYS = [
     # round 7 (cont.): PQ argmin ties break on (distance, code) structs
     "embeddings_pq_assign",
     "sim_topk_pq",
+    # round 7 (cont.): the CUSUM prefix-sum/running-min identity must
+    # produce the same alarm set at any layout (scaled-integer algebra)
+    "events_cusum_alarm",
 ]
 
 

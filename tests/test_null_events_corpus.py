@@ -67,6 +67,7 @@ KEYS = [
     "stream_state_store_read",
     "join_interval_overlap",
     "events_welch_ttest",
+    "events_cusum_alarm",
 ]
 
 REGISTRY = load_registry()

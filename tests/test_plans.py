@@ -1025,3 +1025,18 @@ def test_pq_adc_search_broadcasts_distance_table(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_cusum_one_exchange_serves_all_windows(spark):
+    """events_cusum_alarm: per-stream totals, prefix sum, running min,
+    row number and the final aggregate must all ride ONE
+    hashpartitioning(user_id) exchange — the CUSUM identity's whole
+    point is that the sequential recursion became window algebra."""
+    plan = plan_of(spark, "events_cusum_alarm")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    import re
+    n_user_exchanges = len(
+        re.findall(r"Exchange hashpartitioning\(user_id", plan)
+    )
+    assert n_user_exchanges == 1, plan

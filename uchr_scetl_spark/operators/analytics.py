@@ -2626,3 +2626,104 @@ def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n2",
         *[f"{expr} AS {alias}" for alias, expr in _WELCH_EXPRS.items()],
     )
+
+
+CUSUM_H_MULT = 16  # alarm threshold = 16·S (in the 4n-scaled units
+# below, i.e. 4·mean·n): chosen by probing — 10/15, 104/150 and
+# 1160/1500 users alarm at sf0.001/sf0.01/sf0.1, so BOTH outcome arms
+# (alarming and quiet streams) are populated at every test scale
+
+
+@query(
+    "events_cusum_alarm",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CAST(floor(value * 1000000) AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL
+    ), st AS (
+      SELECT user_id, ts, event_id, x,
+             CAST(SUM(x) OVER (PARTITION BY user_id) AS BIGINT) AS s,
+             CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+      FROM e
+    ), p AS (
+      SELECT user_id, ts, event_id, s, n,
+             SUM(4 * n * x - 5 * s) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS pi,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM st
+    ), c AS (
+      SELECT user_id, n, rn,
+             pi - LEAST(0, MIN(pi) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) AS ci,
+             {CUSUM_H_MULT} * s AS h
+      FROM p
+    )
+    SELECT user_id,
+           CAST(MAX(n) AS BIGINT) AS n_events,
+           CAST(MAX(ci) AS BIGINT) AS max_cusum,
+           CAST(COUNT(CASE WHEN ci > h THEN 1 END) AS BIGINT) AS n_alarms,
+           CAST(MIN(CASE WHEN ci > h THEN rn END) AS BIGINT)
+             AS first_alarm_rn
+    FROM c GROUP BY user_id
+    """,
+)
+def events_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detector per user stream — the SEQUENTIAL
+    anomaly family next to the pointwise ones (zscore, MAD): a
+    one-sided cumulative-sum chart accumulates drift above the stream
+    mean (with a mean/4 slack) and alarms when the accumulation
+    crosses a threshold — catching slow upward drifts no single-point
+    detector sees.
+
+    The CUSUM recursion s_i = max(0, s_{{i-1}} + z_i) is NOT window
+    algebra as written — but its closed form IS: s_i = P_i − min(0,
+    min_{{j≤i}} P_j) where P is the prefix sum of z. That identity
+    turns a sequential scan into two ordered window aggregates (cumsum
+    + running min), fully shuffle-parallel across streams with ONE
+    exchange on user_id serving every window (per-stream totals,
+    prefix sum, running min, row number — Catalyst reuses the
+    hashpartitioning).
+
+    Exactness: everything is scaled integers — z_i = 4n·x_i − 5S keeps
+    the drift term (x_i − μ − μ/4) integer by multiplying through by
+    4n, and the alarm threshold {CUSUM_H_MULT}·S lives in the same
+    units, so there is no division anywhere and the alarm set is
+    bit-identical at any parallelism and in both engines. Both arms
+    are live at every scale (see CUSUM_H_MULT note).
+
+    first_alarm_rn is the stream-order row number of the earliest
+    alarm (NULL for quiet streams) — rank, not event_id, so the
+    output is deterministic under ts ties."""
+    e = load(spark, sf_dir, "events").where(F.col("value").isNotNull()).select(
+        "user_id", "ts", "event_id",
+        F.expr("CAST(floor(value * 1000000) AS BIGINT)").alias("x"),
+    )
+    part = Window.partitionBy("user_id")
+    ordered = part.orderBy("ts", "event_id")
+    run = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    st = e.select(
+        "user_id", "ts", "event_id", "x",
+        F.sum("x").over(part).cast("bigint").alias("s"),
+        F.count("*").over(part).cast("bigint").alias("n"),
+    )
+    p = st.select(
+        "user_id", "s", "n",
+        F.sum(4 * F.col("n") * F.col("x") - 5 * F.col("s")).over(run).alias("pi"),
+        F.row_number().over(ordered).alias("rn"),
+        "ts", "event_id",
+    )
+    c = p.select(
+        "user_id", "n", "rn",
+        (F.col("pi") - F.least(F.lit(0), F.min("pi").over(run))).alias("ci"),
+        (F.lit(CUSUM_H_MULT) * F.col("s")).alias("h"),
+    )
+    return c.groupBy("user_id").agg(
+        F.max("n").cast("bigint").alias("n_events"),
+        F.max("ci").cast("bigint").alias("max_cusum"),
+        F.count(F.when(F.col("ci") > F.col("h"), 1)).alias("n_alarms"),
+        F.min(F.when(F.col("ci") > F.col("h"), F.col("rn")))
+        .cast("bigint")
+        .alias("first_alarm_rn"),
+    )
