@@ -127,6 +127,8 @@ KEYS = [
     # round 7 (cont.): the CUSUM prefix-sum/running-min identity must
     # produce the same alarm set at any layout (scaled-integer algebra)
     "events_cusum_alarm",
+    # round 7 (cont.): rolling integer OLS — no doubles anywhere
+    "win_rolling_ols_slope",
 ]
 
 

@@ -68,6 +68,7 @@ KEYS = [
     "join_interval_overlap",
     "events_welch_ttest",
     "events_cusum_alarm",
+    "win_rolling_ols_slope",
 ]
 
 REGISTRY = load_registry()

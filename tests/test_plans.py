@@ -1040,3 +1040,14 @@ def test_cusum_one_exchange_serves_all_windows(spark):
         re.findall(r"Exchange hashpartitioning\(user_id", plan)
     )
     assert n_user_exchanges == 1, plan
+
+
+def test_rolling_ols_single_window_pass(spark):
+    """win_rolling_ols_slope: the rank and all four rolling sufficient
+    statistics must ride ONE hashpartitioning(user_id) exchange and
+    share WindowExec passes — no join, no second scan."""
+    plan = plan_of(spark, "win_rolling_ols_slope")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    import re
+    assert len(re.findall(r"Exchange hashpartitioning\(user_id", plan)) == 1, plan

@@ -581,3 +581,91 @@ def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("max_drawdown_ppm"),
     )
+
+
+ROLL_OLS_W = 20  # rolling window length (last W events per stream)
+ROLL_OLS_SCALE = 1000  # slope unit: milli-micro-value per stream step
+
+
+@query(
+    "win_rolling_ols_slope",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CAST(floor(value * 1000000) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL
+    ), r AS (
+      SELECT user_id, ts, event_id, y,
+             CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS x
+      FROM e
+    ), s AS (
+      SELECT user_id, x, event_id,
+             CAST(COUNT(*) OVER w AS BIGINT)      AS nw,
+             CAST(SUM(x) OVER w AS BIGINT)        AS sx,
+             CAST(SUM(y) OVER w AS BIGINT)        AS sy,
+             CAST(SUM(x * y) OVER w AS BIGINT)    AS sxy,
+             CAST(SUM(x * x) OVER w AS BIGINT)    AS sxx
+      FROM r
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {ROLL_OLS_W - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, x AS rn, event_id,
+           CASE WHEN nw * sxx - sx * sx > 0 THEN
+             CAST((nw * sxy - sx * sy) * {ROLL_OLS_SCALE}
+                  // (nw * sxx - sx * sx) AS BIGINT)
+           END AS slope_milli
+    FROM s
+    """,
+)
+def win_rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling OLS trend slope over each user stream's last
+    {ROLL_OLS_W} events — the time-series FEATURE version of
+    agg_group_ols_trend (which fits one line per whole group): every
+    row gets the local regression slope of value against stream
+    position, the standard drift/momentum feature a training pipeline
+    materialises per event.
+
+    Exactness: the slope is computed ENTIRELY in integer algebra —
+    y in micro units, x the per-stream rank, the four rolling
+    sufficient statistics (n, Σx, Σy, Σxy, Σx²) as rolling window
+    sums, and the final slope as one integer division
+    (n·Σxy − Σx·Σy)·{ROLL_OLS_SCALE} ÷ (n·Σxx − Σx²), which both
+    engines truncate identically. No doubles anywhere, so every row
+    is bit-reproducible at any parallelism. Single-row windows
+    (denominator 0) yield NULL. The {ROLL_OLS_SCALE} factor keeps the
+    widest product under 2^63 at the corpus's stream lengths — wider
+    streams would move the expression to DECIMAL(38,0)/HUGEINT, same
+    algebra.
+
+    Scale shape: one exchange on user_id serves the rank and all four
+    rolling sums (same WINDOW frame, Catalyst computes them in one
+    WindowExec pass); no joins, no second scan."""
+    e = load(spark, sf_dir, "events").where(F.col("value").isNotNull()).select(
+        "user_id", "ts", "event_id",
+        F.expr("CAST(floor(value * 1000000) AS BIGINT)").alias("y"),
+    )
+    ordered = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = e.select(
+        "user_id", "ts", "event_id", "y",
+        F.row_number().over(ordered).cast("bigint").alias("x"),
+    )
+    roll = ordered.rowsBetween(-(ROLL_OLS_W - 1), Window.currentRow)
+    s = r.select(
+        "user_id", "x", "event_id", "ts",
+        F.count("*").over(roll).cast("bigint").alias("nw"),
+        F.sum("x").over(roll).cast("bigint").alias("sx"),
+        F.sum("y").over(roll).cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(roll).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(roll).cast("bigint").alias("sxx"),
+    )
+    den = F.col("nw") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        "user_id",
+        F.col("x").alias("rn"),
+        "event_id",
+        F.when(den > 0, F.expr(
+            f"CAST((nw * sxy - sx * sy) * {ROLL_OLS_SCALE}"
+            f" div (nw * sxx - sx * sx) AS BIGINT)"
+        )).alias("slope_milli"),
+    )
