@@ -517,6 +517,41 @@ AUDITS: dict[str, tuple[str, list[str]]] = {
         "BROADCAST anti-join of the tiny verified-pair relation.",
         [r"LeftAnti, BuildRight", r"Window"],
     ),
+    "events_welch_ttest": (
+        "Welch t: three decimal sufficient statistics ride one "
+        "partial+final aggregate off one scan; the double tail is a "
+        "scalar projection.",
+        [r"HashAggregate"],
+    ),
+    "etl_expectations_suite": (
+        "Expectations suite: N checks = N count_if columns in ONE "
+        "aggregate over ONE scan; results explode in-row.",
+        [r"HashAggregate", r"Generate explode"],
+    ),
+    "embeddings_pq_assign": (
+        "PQ encode: 16-row codebook broadcasts into the in-row "
+        "m-explode; distances are JVM integer folds; one groupBy "
+        "argmin pass.",
+        [r"TakeOrderedAndProject", r"HashAggregate"],
+    ),
+    "sim_topk_pq": (
+        "ADC search: the probe distance table broadcasts into the "
+        "codes relation (raw vectors never join the scoring side); "
+        "scoring is a partial+final sum.",
+        [r"BroadcastHashJoin", r"HashAggregate"],
+    ),
+    "events_cusum_alarm": (
+        "CUSUM: the sequential recursion as prefix-sum minus running "
+        "min - every window and the final aggregate share one "
+        "hashpartitioning(user_id) exchange.",
+        [r"Exchange hashpartitioning\(user_id", r"RunningWindowFunction|Window"],
+    ),
+    "win_rolling_ols_slope": (
+        "Rolling OLS: rank + four rolling sufficient statistics in "
+        "shared WindowExec frames over one exchange; slope is one "
+        "integer division in the projection.",
+        [r"Exchange hashpartitioning\(user_id", r"Window"],
+    ),
 }
 
 
