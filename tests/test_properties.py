@@ -1187,3 +1187,134 @@ def test_chi_square_cells_match_margins(spark):
             r.n_expected_floor
             == r_n[r.c_mktsegment] * c_n[r.o_orderpriority] // t_n
         ), r
+
+
+def test_cusum_closed_form_matches_sequential_recursion(spark):
+    """events_cusum_alarm implements s_i = max(0, s_{i-1} + z_i) via
+    the closed form P_i - min(0, running_min(P)). Recompute the NAIVE
+    sequential recursion in Python for every user stream at smoke
+    scale and demand identical max_cusum / n_alarms / first_alarm_rn —
+    the identity, proven on the data."""
+    from collections import defaultdict
+
+    from uchr_scetl_spark.io import load
+    from uchr_scetl_spark.operators.analytics import CUSUM_H_MULT
+    from uchr_scetl_spark.registry import load_registry
+
+    got = {
+        r.user_id: r
+        for r in load_registry()["events_cusum_alarm"].fn(spark, SF_SMOKE).collect()
+    }
+    rows = (
+        load(spark, SF_SMOKE, "events")
+        .where(F.col("value").isNotNull())
+        .select("user_id", "ts", "event_id",
+                F.expr("CAST(floor(value * 1000000) AS BIGINT)").alias("x"))
+        .collect()
+    )
+    streams = defaultdict(list)
+    for r in rows:
+        streams[r.user_id].append((r.ts, r.event_id, r.x))
+    assert set(streams) == set(got)
+    for uid, ev in streams.items():
+        ev.sort()
+        n = len(ev)
+        s_tot = sum(x for _, _, x in ev)
+        h = CUSUM_H_MULT * s_tot
+        s = 0
+        max_c = 0
+        n_alarms = 0
+        first_rn = None
+        for rn, (_, _, x) in enumerate(ev, start=1):
+            s = max(0, s + 4 * n * x - 5 * s_tot)
+            max_c = max(max_c, s)
+            if s > h:
+                n_alarms += 1
+                if first_rn is None:
+                    first_rn = rn
+        g = got[uid]
+        assert (g.n_events, g.max_cusum, g.n_alarms, g.first_alarm_rn) == (
+            n, max_c, n_alarms, first_rn,
+        ), uid
+
+
+def test_rolling_ols_slope_matches_numpy_fit(spark):
+    """win_rolling_ols_slope's integer slope must equal the float OLS
+    fit truncated to milli units on full windows: recompute with
+    numpy.polyfit for one user's stream and compare (ties at exact
+    milli boundaries aside — integer division is the ground truth, so
+    allow |diff| <= 1 for float round-off in the reference fit)."""
+    import numpy as np
+
+    from uchr_scetl_spark.io import load
+    from uchr_scetl_spark.operators.windows import ROLL_OLS_W
+    from uchr_scetl_spark.registry import load_registry
+
+    out = load_registry()["win_rolling_ols_slope"].fn(spark, SF_SMOKE)
+    uid = out.select("user_id").first().user_id
+    got = {
+        r.rn: r.slope_milli
+        for r in out.where(F.col("user_id") == uid).collect()
+    }
+    ys = [
+        r.y
+        for r in load(spark, SF_SMOKE, "events")
+        .where((F.col("value").isNotNull()) & (F.col("user_id") == uid))
+        .select(F.expr("CAST(floor(value * 1000000) AS BIGINT)").alias("y"),
+                "ts", "event_id")
+        .orderBy("ts", "event_id")
+        .collect()
+    ]
+    checked = 0
+    for end in range(ROLL_OLS_W, len(ys) + 1):
+        w = ys[end - ROLL_OLS_W : end]
+        xs = np.arange(end - ROLL_OLS_W + 1, end + 1, dtype=float)
+        slope = np.polyfit(xs, np.array(w, dtype=float), 1)[0]
+        # integer division truncates toward zero in both engines; the
+        # float reference can land either side of a boundary — accept
+        # within one milli unit
+        assert abs(got[end] - slope * 1000) <= 1.0, (end, got[end], slope * 1000)
+        checked += 1
+    assert checked > 0
+
+
+def test_source_cap_bounds_and_determinism(spark):
+    """sample_source_cap: (a) no (source, lang) group exceeds the
+    corpus-derived cap; (b) kept rows are a subset of the corpus;
+    (c) re-running yields the identical survivor set (md5 priority,
+    no RNG)."""
+    from uchr_scetl_spark.io import load
+    from uchr_scetl_spark.llm.sampling import _CAP_FLOOR
+    from uchr_scetl_spark.registry import load_registry
+
+    fn = load_registry()["sample_source_cap"].fn
+    a = fn(spark, SF_SMOKE).collect()
+    n_docs = load(spark, SF_SMOKE, "documents").count()
+    cap = max(_CAP_FLOOR, n_docs // 125)
+    from collections import Counter
+
+    per_group = Counter((r.source, r.lang) for r in a)
+    assert all(c <= cap for c in per_group.values()), per_group.most_common(3)
+    ids = {r.doc_id for r in a}
+    all_ids = {
+        r.doc_id for r in load(spark, SF_SMOKE, "documents").select("doc_id").collect()
+    }
+    assert ids <= all_ids
+    b = fn(spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_expectations_suite_counts_are_coherent(spark):
+    """etl_expectations_suite: violation counts are bounded by the row
+    count, pass verdicts follow the tolerance comparison exactly, and
+    the deliberately-failing expectation is present."""
+    from uchr_scetl_spark.registry import load_registry
+
+    rows = load_registry()["etl_expectations_suite"].fn(spark, SF_SMOKE).collect()
+    assert {r.expectation_id for r in rows} >= {
+        "price_positive", "open_order_share",
+    }
+    for r in rows:
+        assert 0 <= r.n_violations <= r.n_rows, r
+        assert r.passed == (r.n_violations <= r.max_violations), r
+    assert not [r for r in rows if r.expectation_id == "open_order_share"][0].passed
