@@ -129,6 +129,8 @@ KEYS = [
     "events_cusum_alarm",
     # round 7 (cont.): rolling integer OLS — no doubles anywhere
     "win_rolling_ols_slope",
+    # round 7 (cont.): power/MDE off exact counts + shared-text doubles
+    "events_ab_power_mde",
 ]
 
 

@@ -1051,3 +1051,13 @@ def test_rolling_ols_single_window_pass(spark):
     assert "Join" not in plan, plan
     import re
     assert len(re.findall(r"Exchange hashpartitioning\(user_id", plan)) == 1, plan
+
+
+def test_ab_power_mde_single_user_shuffle(spark):
+    """events_ab_power_mde: the activation window, per-user rollup and
+    variant pivot must ride the user_id exchange chain off one scan —
+    no join."""
+    plan = plan_of(spark, "events_ab_power_mde")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Window" in plan, plan

@@ -2727,3 +2727,104 @@ def events_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("first_alarm_rn"),
     )
+
+
+# power-analysis double fragments, shared textually between engines
+# (the z_micro / Welch discipline): z_(0.975)+z_(0.80) ≈ 2.8, the
+# standard 5%-two-sided / 80%-power constant
+# integer floor-division spells differently per engine (Spark `div`,
+# DuckDB `//`) — only the DOUBLE formulas are shared verbatim
+_MDE_POOLED = "CAST((c0 + c1) * 1000000 {IDIV} (n0 + n1) AS BIGINT)"
+_MDE_EXPRS = {
+    "mde_abs_micro": "CAST(floor(2.8 * sqrt("
+    "CAST(c0 + c1 AS DOUBLE) / (n0 + n1)"
+    " * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))"
+    " * (CAST(1 AS DOUBLE) / n0 + CAST(1 AS DOUBLE) / n1))"
+    " * 1000000) AS BIGINT)",
+    "n_per_arm_for_10pct_lift": "CAST(ceil(2 * 2.8 * 2.8"
+    " * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))"
+    " / (CAST(c0 + c1 AS DOUBLE) / (n0 + n1) * 0.01)) AS BIGINT)",
+}
+
+
+@query(
+    "events_ab_power_mde",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT user_id % 2 AS variant, user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts NULLS FIRST,
+                                         event_id NULLS FIRST) AS rn
+      FROM events
+    ), u AS (
+      SELECT variant, user_id,
+             MAX(CASE WHEN rn <= 5 AND event_type = 'purchase'
+                      THEN 1 ELSE 0 END) AS conv
+      FROM ranked GROUP BY variant, user_id
+    ), s AS (
+      SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(conv) AS BIGINT) AS n_conv
+      FROM u GROUP BY variant
+    ), wide AS (
+      SELECT MAX(CASE WHEN variant = 0 THEN n_users END) AS n0,
+             MAX(CASE WHEN variant = 0 THEN n_conv END) AS c0,
+             MAX(CASE WHEN variant = 1 THEN n_users END) AS n1,
+             MAX(CASE WHEN variant = 1 THEN n_conv END) AS c1
+      FROM s
+    )
+    SELECT n0, c0, n1, c1,
+           {_MDE_POOLED.format(IDIV='//')} AS p_pooled_ppm,
+           {_MDE_EXPRS['mde_abs_micro']} AS mde_abs_micro,
+           {_MDE_EXPRS['n_per_arm_for_10pct_lift']}
+             AS n_per_arm_for_10pct_lift
+    FROM wide
+    """,
+)
+def events_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power planning — the readout that belongs NEXT TO
+    events_ab_lift in every experimentation platform: given the
+    current exposure and the pooled activation rate, (a) the minimal
+    absolute effect the experiment can currently detect (MDE at 80%
+    power / 5% two-sided, the 2.8-sigma rule), and (b) how many users
+    per arm a 10% RELATIVE lift would need. Teams read this BEFORE
+    the lift number: an underpowered experiment's "no effect" is
+    noise, and this key is what says so.
+
+    Determinism: exposure/conversion counts are exact bigints off the
+    same per-user activation window events_ab_lift uses; the two
+    double formulas are shared textually between the Spark projection
+    and the oracle (module constants, the z_micro/Welch discipline),
+    floored to micro units. The pooled rate itself is exact ppm floor
+    division. Scale shape: one per-user window (single shuffle), a
+    2-row rollup, a 1-row pivot, scalar math."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_first(), F.col("event_id").asc_nulls_first()
+    )
+    ranked = e.select(
+        (F.col("user_id") % 2).alias("variant"),
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+    )
+    u = ranked.groupBy("variant", "user_id").agg(
+        F.max(
+            F.when(
+                (F.col("rn") <= 5) & (F.col("event_type") == "purchase"), 1
+            ).otherwise(0)
+        ).alias("conv")
+    )
+    s = u.groupBy("variant").agg(
+        F.count("*").alias("n_users"), F.sum("conv").cast("bigint").alias("n_conv")
+    )
+    wide = s.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_conv"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_conv"))).alias("c1"),
+    )
+    return wide.selectExpr(
+        "n0", "c0", "n1", "c1",
+        f"{_MDE_POOLED.format(IDIV='div')} AS p_pooled_ppm",
+        *[f"{expr} AS {alias}" for alias, expr in _MDE_EXPRS.items()],
+    )
