@@ -546,6 +546,12 @@ AUDITS: dict[str, tuple[str, list[str]]] = {
         "hashpartitioning(user_id) exchange.",
         [r"Exchange hashpartitioning\(user_id", r"RunningWindowFunction|Window"],
     ),
+    "events_ab_power_mde": (
+        "Power/MDE: the activation window + rollup + pivot ride the "
+        "user_id exchange chain off one scan; the MDE math is a "
+        "scalar projection.",
+        [r"Window", r"HashAggregate"],
+    ),
     "win_rolling_ols_slope": (
         "Rolling OLS: rank + four rolling sufficient statistics in "
         "shared WindowExec frames over one exchange; slope is one "
