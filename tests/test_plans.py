@@ -983,6 +983,12 @@ def test_contrastive_negatives_excludes_via_broadcast_anti(spark):
     assert "InMemoryTableScan" in plan, plan
     assert "Window" in plan, plan
     assert "CartesianProduct" not in plan, plan
+    # the hot-shingle valve must be IN the plan, not just the
+    # docstring (the round-7 finding): the df filter's literal shows
+    # up as a pushed comparison against NEG_SHINGLE_DF_CAP
+    from uchr_scetl_spark.llm.sampling import NEG_SHINGLE_DF_CAP
+
+    assert f"<= {NEG_SHINGLE_DF_CAP}" in plan, plan
 
 
 def test_welch_ttest_single_scan_partial_agg(spark):

@@ -1318,3 +1318,102 @@ def test_expectations_suite_counts_are_coherent(spark):
         assert 0 <= r.n_violations <= r.n_rows, r
         assert r.passed == (r.n_violations <= r.max_violations), r
     assert not [r for r in rows if r.expectation_id == "open_order_share"][0].passed
+
+
+def test_neg_shingle_df_cap_both_branches_fire(spark):
+    """sample_contrastive_negatives' hot-shingle valve is NOT vacuous:
+    the corpus must contain shingles ABOVE the df cap (so the drop arm
+    fires — the vacuity class tools/vacuity_audit.py can't see for a
+    windowed atom) and shingles at-or-below it (so candidates survive).
+    Guards against a corpus regeneration silently inert-ing the cap,
+    the way join_theta_range went vacuous in round 6."""
+    import pyspark.sql.functions as F
+
+    from uchr_scetl_spark.llm.dedup import shingle_rows
+    from uchr_scetl_spark.llm.sampling import NEG_SHINGLE_DF_CAP
+
+    df = (
+        shingle_rows(spark, SF_SMOKE)
+        .groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .agg(
+            F.max("df").alias("max_df"),
+            F.sum(F.when(F.col("df") <= NEG_SHINGLE_DF_CAP, 1).otherwise(0))
+            .alias("n_kept"),
+        )
+        .collect()[0]
+    )
+    assert df.max_df > NEG_SHINGLE_DF_CAP, (
+        f"no shingle exceeds the cap ({df.max_df} <= {NEG_SHINGLE_DF_CAP})"
+        " — the hot-shingle valve is vacuous at this scale"
+    )
+    assert df.n_kept > 0
+
+
+def test_neg_hard_candidates_ride_the_capped_index(spark):
+    """The hard-negative stage must compute co-shingle ranks off the
+    CAPPED posting lists: a doc pair whose only shared shingles are
+    hot (df > cap) must contribute no hard candidate. Verified by
+    recomputing the capped co-counts independently and checking every
+    emitted hard slot (slot > 100) is among them."""
+    import pyspark.sql.functions as F
+
+    from uchr_scetl_spark.llm.dedup import shingle_rows
+    from uchr_scetl_spark.llm.sampling import NEG_SHINGLE_DF_CAP
+    from uchr_scetl_spark.registry import load_registry
+
+    rows = shingle_rows(spark, SF_SMOKE)
+    hot = {
+        r.shingle
+        for r in rows.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > NEG_SHINGLE_DF_CAP)
+        .collect()
+    }
+    posting = {}
+    for r in rows.collect():
+        if r.shingle not in hot:
+            posting.setdefault(r.shingle, []).append(r.doc_id)
+    co_ok = set()
+    for docs in posting.values():
+        for a in docs:
+            for b in docs:
+                if a != b:
+                    co_ok.add((a, b))
+    out = load_registry()["sample_contrastive_negatives"].fn(spark, SF_SMOKE)
+    hard = [(r.doc_id, r.neg_id) for r in out.where("slot > 100").collect()]
+    assert hard, "hard-negative arm emitted nothing at smoke scale"
+    assert all(p in co_ok for p in hard)
+
+
+def test_publish_checksum_canonicalization_is_unambiguous(spark):
+    """The _canon_field rendering must distinguish the collision
+    classes concat_ws alone cannot: (a) a '|' inside a free-text field
+    vs a field shift, (b) NULL vs the literal backslash-N string vs
+    empty string, (c) NULL in different positions."""
+    from uchr_scetl_spark.operators.etl import _canon_field
+
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [
+            ("a|b", "c"),
+            ("a", "b|c"),
+            (None, "x"),
+            ("x", None),
+            ("\\N", "x"),
+            ("", "x"),
+        ],
+        "f1 string, f2 string",
+    )
+    out = df.select(
+        F.expr(
+            "concat_ws('|', "
+            + _canon_field("f1", escape=True)
+            + ", "
+            + _canon_field("f2", escape=True)
+            + ")"
+        ).alias("canon")
+    ).collect()
+    canon = [r.canon for r in out]
+    assert len(set(canon)) == len(canon), canon

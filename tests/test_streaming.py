@@ -401,7 +401,7 @@ def test_foreach_batch_sink_is_idempotent_under_redelivery(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in 120s"
     assert committed_batches(spark, stream_target)
     assert spark.read.parquet(stream_target).count() == 200
 
@@ -439,7 +439,7 @@ def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream did not finish in 120s"
 
     run_once()
     n_first = spark.read.parquet(sink_dir).count()

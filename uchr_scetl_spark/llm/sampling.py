@@ -575,6 +575,19 @@ def sample_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NEG_RANDOM_K = 4  # easy negatives per doc (deterministic md5-mod draw)
 NEG_HARD_K = 2  # hard negatives per doc (top co-shingle partners)
+# Hot-shingle posting cap for the HARD-negative co-shingle self-join —
+# the same valve as dedup_containment's CONTAINMENT_DF_CAP: a shingle
+# occurring in f docs contributes f² candidate pairs, so boilerplate
+# shingles (cookie banners, license headers) must be dropped from
+# candidate generation BEFORE the self-join. Corpus-tuned to 6 so both
+# branches provably fire at every test scale (measured max shingle df:
+# 9 at sf0.001, 7 at sf0.01, 25 at sf0.1 — tests/test_properties.py
+# asserts hot shingles exist above the cap); a production crawl tunes
+# this up to ~10³ like CONTAINMENT_DF_CAP. Applied ONLY to hard-
+# candidate generation — the near-dup EXCLUSION arm keeps exact
+# uncapped Jaccard semantics (matching dedup_near), because a capped
+# exclusion could let a true near-dup through as a poisoned negative.
+NEG_SHINGLE_DF_CAP = 6
 
 
 def _neg_oracle() -> str:
@@ -586,6 +599,10 @@ def _neg_oracle() -> str:
     shingle_rows AS (
       SELECT doc_id, n, unnest(toks) AS tok FROM sized
     ),
+    capped AS (
+      SELECT * FROM shingle_rows
+      QUALIFY COUNT(*) OVER (PARTITION BY tok) <= {NEG_SHINGLE_DF_CAP}
+    ),
     co AS (
       SELECT a.doc_id AS doc_id, b.doc_id AS cand,
              CAST(COUNT(*) AS BIGINT) AS inter,
@@ -594,12 +611,19 @@ def _neg_oracle() -> str:
         ON a.tok = b.tok AND a.doc_id <> b.doc_id
       GROUP BY 1, 2
     ),
+    co_hard AS (
+      SELECT a.doc_id AS doc_id, b.doc_id AS cand,
+             CAST(COUNT(*) AS BIGINT) AS inter
+      FROM capped a JOIN capped b
+        ON a.tok = b.tok AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    ),
     hard AS (
       SELECT doc_id, cand,
              CAST(100 + row_number() OVER (
                PARTITION BY doc_id ORDER BY inter DESC, cand) AS INT)
                AS slot
-      FROM co
+      FROM co_hard
       QUALIFY row_number() OVER (
         PARTITION BY doc_id ORDER BY inter DESC, cand) <= {NEG_HARD_K}
     ),
@@ -653,22 +677,32 @@ def sample_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: easy negatives are one in-row explode + hash
     projection (O(k·n), no shuffle before the exclusion join); hard
-    negatives ride the shingle inverted index (pairs sharing a
-    shingle, the same group-bounded relation the dedup keys use — at
-    100 TB the hot-shingle df cap from dedup_containment is the
-    valve) with a per-anchor top-{NEG_HARD_K} window bounded by
-    co-shingle degree; the near-pair exclusion is an anti-join against
-    the memoized verified-pairs relation (tiny: |true dups|), which
-    BROADCASTS."""
+    negatives ride the shingle inverted index with every posting list
+    CAPPED at df ≤ {NEG_SHINGLE_DF_CAP} before the self-join (the
+    dedup_containment valve, mirrored in the oracle — a shingle in f
+    docs contributes f² pairs, so uncapped, one boilerplate shingle at
+    crawl scale is a 10¹²-pair blowup; capped, the join's worst case
+    is |shingles|·cap² and the per-anchor top-{NEG_HARD_K} window is
+    bounded by capped co-shingle degree); the near-pair exclusion is
+    an anti-join against the memoized verified-pairs relation (tiny:
+    |true dups|), which BROADCASTS — and deliberately UNCAPPED in the
+    oracle: exclusion must keep exact near-dup semantics or a capped
+    miss would admit a poisoned example."""
     from .dedup import dedup_near, shingle_rows, shingled_docs
 
     d = load(spark, sf_dir, "documents")
     nn = d.agg(F.count("*").alias("n"))
     rows = shingle_rows(spark, sf_dir)
+    w_df = Window.partitionBy("shingle")
+    capped = (
+        rows.withColumn("df", F.count("*").over(w_df))
+        .where(F.col("df") <= NEG_SHINGLE_DF_CAP)
+        .drop("df")
+    )
     co = (
-        rows.alias("a")
+        capped.alias("a")
         .join(
-            rows.alias("b"),
+            capped.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") != F.col("b.doc_id")),
         )

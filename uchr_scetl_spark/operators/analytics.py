@@ -2708,9 +2708,21 @@ def events_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").over(part).cast("bigint").alias("s"),
         F.count("*").over(part).cast("bigint").alias("n"),
     )
+    # The prefix sum accumulates up to n terms of magnitude ≤9·n·Y
+    # (Y = micro-scaled |value| bound), i.e. |pi| ≤ 9·n²·Y — past 2^63
+    # around n≈5·10⁴ events/stream at this corpus's Y. DuckDB's window
+    # SUM(BIGINT) is already HUGEINT, so the bigint form would WRAP
+    # silently on the Spark side only, wrong alarms with no failure
+    # signal: sum in DECIMAL(38,0) (the z TERM itself is bigint-safe
+    # to n·Y < 2^63/9). Outputs stay bigint — max_cusum's VALUE is
+    # corpus-bound by construction; the alarm decisions are exact.
     p = st.select(
         "user_id", "s", "n",
-        F.sum(4 * F.col("n") * F.col("x") - 5 * F.col("s")).over(run).alias("pi"),
+        F.sum(
+            (4 * F.col("n") * F.col("x") - 5 * F.col("s")).cast(
+                "decimal(38,0)"
+            )
+        ).over(run).alias("pi"),
         F.row_number().over(ordered).alias("rn"),
         "ts", "event_id",
     )

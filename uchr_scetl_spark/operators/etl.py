@@ -1133,6 +1133,28 @@ def etl_gdpr_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Canonical-row field fragments, shared TEXTUALLY between engines
+# (concat_ws/replace/coalesce/chr spell identically in Spark SQL and
+# DuckDB). concat_ws alone is ambiguous two ways: it drops NULL fields
+# WITH their separator (so (1,NULL,'x') and (1,'x',NULL) collide —
+# exactly the lost-vs-mutated cell the checksum advertises catching),
+# and a '|' inside a free-text field shifts every later field. So:
+# every free-text field is escaped (backslash doubled first, then '|'
+# backslash-escaped), and every field renders NULL as chr(92)||'N'
+# ('\N') — unproducible by escaped content, whose backslashes are
+# always doubled.
+_CANON_NULL = "chr(92) || 'N'"
+
+
+def _canon_field(expr: str, escape: bool = False) -> str:
+    if escape:
+        expr = (
+            f"replace(replace({expr}, chr(92), chr(92) || chr(92)),"
+            f" '|', chr(92) || '|')"
+        )
+    return f"coalesce({expr}, {_CANON_NULL})"
+
+
 def _checksum_cols_sql(cols: str) -> str:
     # 60-bit md5 prefix per row (the simhash/sampling idiom — 15 hex
     # chars always fit a signed BIGINT), summed wide: HUGEINT on the
@@ -1151,30 +1173,38 @@ def _checksum_cols_sql(cols: str) -> str:
     oracle=f"""
     SELECT 'orders' AS table_name,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           {_checksum_cols_sql("concat_ws('|', CAST(o_orderkey AS VARCHAR),"
-                               " CAST(o_custkey AS VARCHAR), o_orderstatus,"
-                               " CAST(CAST(floor(o_totalprice * 100 + 0.5)"
-                               "           AS BIGINT) AS VARCHAR),"
-                               " strftime(o_orderdate,"
-                               "          '%Y-%m-%d %H:%M:%S.%f'))")}
+           {_checksum_cols_sql(
+               "concat_ws('|', "
+               + _canon_field("CAST(o_orderkey AS VARCHAR)") + ", "
+               + _canon_field("CAST(o_custkey AS VARCHAR)") + ", "
+               + _canon_field("o_orderstatus", escape=True) + ", "
+               + _canon_field("CAST(CAST(floor(o_totalprice * 100 + 0.5)"
+                              " AS BIGINT) AS VARCHAR)") + ", "
+               + _canon_field("strftime(o_orderdate,"
+                              " '%Y-%m-%d %H:%M:%S.%f')") + ")")}
              AS checksum
     FROM orders
     UNION ALL
     SELECT 'customer',
            CAST(COUNT(*) AS BIGINT),
-           {_checksum_cols_sql("concat_ws('|', CAST(c_custkey AS VARCHAR),"
-                               " c_name, CAST(c_nationkey AS VARCHAR),"
-                               " CAST(CAST(floor(c_acctbal * 100 + 0.5)"
-                               "           AS BIGINT) AS VARCHAR))")}
+           {_checksum_cols_sql(
+               "concat_ws('|', "
+               + _canon_field("CAST(c_custkey AS VARCHAR)") + ", "
+               + _canon_field("c_name", escape=True) + ", "
+               + _canon_field("CAST(c_nationkey AS VARCHAR)") + ", "
+               + _canon_field("CAST(CAST(floor(c_acctbal * 100 + 0.5)"
+                              " AS BIGINT) AS VARCHAR)") + ")")}
     FROM customer
     UNION ALL
     SELECT 'lineitem',
            CAST(COUNT(*) AS BIGINT),
-           {_checksum_cols_sql("concat_ws('|', CAST(l_orderkey AS VARCHAR),"
-                               " CAST(l_partkey AS VARCHAR),"
-                               " CAST(l_linenumber AS VARCHAR),"
-                               " CAST(CAST(floor(l_quantity * 100 + 0.5)"
-                               "           AS BIGINT) AS VARCHAR))")}
+           {_checksum_cols_sql(
+               "concat_ws('|', "
+               + _canon_field("CAST(l_orderkey AS VARCHAR)") + ", "
+               + _canon_field("CAST(l_partkey AS VARCHAR)") + ", "
+               + _canon_field("CAST(l_linenumber AS VARCHAR)") + ", "
+               + _canon_field("CAST(CAST(floor(l_quantity * 100 + 0.5)"
+                              " AS BIGINT) AS VARCHAR)") + ")")}
     FROM lineitem
     """,
 )
@@ -1187,15 +1217,21 @@ def etl_publish_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     not (the sum is commutative).
 
     Canonicalization is SCHEMA-AWARE, never engine-default rendering:
-    integers and strings pass through, money doubles go through the
-    tie-safe cents quantization (floor(x*100+0.5) — exact for
-    2-decimal money), timestamps are rendered with an explicit fixed-width
-    microsecond format on both engines (never engine-default casts). That is
-    what makes the checksum comparable across engines (and across
-    Spark versions): Java's and DuckDB's double→string formatting
-    disagree in scientific-notation thresholds, so a checksum over
-    default string casts would be engine-local. Each row contributes a
-    60-bit md5 prefix (the repo's simhash/sampling idiom) summed into
+    integers pass through, money doubles go through the tie-safe cents
+    quantization (floor(x*100+0.5) — exact for 2-decimal money),
+    timestamps are rendered with an explicit fixed-width microsecond
+    format on both engines (never engine-default casts). That is what
+    makes the checksum comparable across engines (and across Spark
+    versions): Java's and DuckDB's double→string formatting disagree
+    in scientific-notation thresholds, so a checksum over default
+    string casts would be engine-local. The rendering is also
+    UNAMBIGUOUS (see _canon_field): free-text fields are
+    backslash-escaped so a '|' in c_name cannot shift fields, and
+    NULL renders as the unproducible '\\N' token rather than
+    concat_ws's silent drop-with-separator — without both, distinct
+    rows can collide to one canonical string and a lost-vs-mutated
+    cell cancels out of the sum. Each row contributes a 60-bit md5
+    prefix (the repo's simhash/sampling idiom) summed into
     DECIMAL(38,0) — overflow-free to ~10^19 rows.
 
     Scale shape: one codegen'd projection + partial/final sum per
@@ -1206,11 +1242,12 @@ def etl_publish_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     li = load(spark, sf_dir, "lineitem")
 
-    def cents(col: str) -> Column:
-        return F.expr(
-            f"CAST(CAST(floor({col} * 100 + 0.5) AS BIGINT) AS STRING)"
-        )
+    def cents(col: str) -> str:
+        return f"CAST(CAST(floor({col} * 100 + 0.5) AS BIGINT) AS STRING)"
 
+    def row_expr(*fields: str) -> Column:
+        # _canon_field fragments spell identically in Spark SQL
+        return F.expr("concat_ws('|', " + ", ".join(fields) + ")")
 
     def table_sum(df: DataFrame, name: str, row_str: Column) -> DataFrame:
         h = F.expr("CAST(conv(substring(md5(__row), 1, 15), 16, 10)"
@@ -1224,27 +1261,26 @@ def etl_publish_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(name).alias("table_name"), "n_rows", "checksum")
         )
 
-    o_row = F.concat_ws(
-        "|",
-        F.col("o_orderkey").cast("string"),
-        F.col("o_custkey").cast("string"),
-        F.col("o_orderstatus"),
-        cents("o_totalprice"),
-        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+    o_row = row_expr(
+        _canon_field("CAST(o_orderkey AS STRING)"),
+        _canon_field("CAST(o_custkey AS STRING)"),
+        _canon_field("o_orderstatus", escape=True),
+        _canon_field(cents("o_totalprice")),
+        _canon_field(
+            "date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss.SSSSSS')"
+        ),
     )
-    c_row = F.concat_ws(
-        "|",
-        F.col("c_custkey").cast("string"),
-        F.col("c_name"),
-        F.col("c_nationkey").cast("string"),
-        cents("c_acctbal"),
+    c_row = row_expr(
+        _canon_field("CAST(c_custkey AS STRING)"),
+        _canon_field("c_name", escape=True),
+        _canon_field("CAST(c_nationkey AS STRING)"),
+        _canon_field(cents("c_acctbal")),
     )
-    l_row = F.concat_ws(
-        "|",
-        F.col("l_orderkey").cast("string"),
-        F.col("l_partkey").cast("string"),
-        F.col("l_linenumber").cast("string"),
-        cents("l_quantity"),
+    l_row = row_expr(
+        _canon_field("CAST(l_orderkey AS STRING)"),
+        _canon_field("CAST(l_partkey AS STRING)"),
+        _canon_field("CAST(l_linenumber AS STRING)"),
+        _canon_field(cents("l_quantity")),
     )
     return (
         table_sum(o, "orders", o_row)

@@ -134,19 +134,27 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(o_totalprice) AS DOUBLE) AS sum_price
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_price_cents
     FROM orders WHERE o_orderstatus = 'F'
     GROUP BY o_orderpriority
     """,
 )
 def sink_orc_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Partitioned ORC sink + pruned re-read aggregate."""
+    """Partitioned ORC sink + pruned re-read aggregate.
+
+    Money aggregate uses the registry's cents idiom (BIGINT SUM, not a
+    raw order-dependent double SUM — same class as the
+    pipeline_orders_daily fix)."""
     src = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     out = scratch_dir("uchr_sink_orc_")
     src.write.mode("overwrite").partitionBy("o_orderpriority").orc(out)
     back = spark.read.schema(src.schema).orc(out)  # zero-row-write safe
     return back.groupBy("o_orderpriority").agg(
-        F.count("*").alias("n"), F.sum("o_totalprice").alias("sum_price")
+        F.count("*").alias("n"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+        ).alias("sum_price_cents"),
     )
 
 

@@ -612,8 +612,10 @@ ROLL_OLS_SCALE = 1000  # slope unit: milli-micro-value per stream step
     )
     SELECT user_id, x AS rn, event_id,
            CASE WHEN nw * sxx - sx * sx > 0 THEN
-             CAST((nw * sxy - sx * sy) * {ROLL_OLS_SCALE}
-                  // (nw * sxx - sx * sx) AS BIGINT)
+             CAST((CAST(nw AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
+                  * {ROLL_OLS_SCALE}
+                  // (CAST(nw AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+                  AS BIGINT)
            END AS slope_milli
     FROM s
     """,
@@ -633,10 +635,16 @@ def win_rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n·Σxy − Σx·Σy)·{ROLL_OLS_SCALE} ÷ (n·Σxx − Σx²), which both
     engines truncate identically. No doubles anywhere, so every row
     is bit-reproducible at any parallelism. Single-row windows
-    (denominator 0) yield NULL. The {ROLL_OLS_SCALE} factor keeps the
-    widest product under 2^63 at the corpus's stream lengths — wider
-    streams would move the expression to DECIMAL(38,0)/HUGEINT, same
-    algebra.
+    (denominator 0) yield NULL. The numerator/denominator PRODUCTS are
+    computed in 128-bit integer algebra — DECIMAL(38,0) on the Spark
+    side, HUGEINT in the oracle (DuckDB's DECIMAL `//` is true
+    division, HUGEINT `//` truncates toward zero like Spark's decimal
+    `div`) — because the bigint form has only corpus-bound headroom:
+    at stream length L and |y|≤Y the widest product n·Σxy·scale is
+    ~4·10⁵·L·Y and silently WRAPS past 2^63 without ANSI mode, wrong
+    slopes with no failure signal. The rolling sums themselves are
+    safe in bigint to L·Y < 2^63/20 (petabyte-stream territory), and
+    the final QUOTIENT |slope|≤scale·Y always fits a long.
 
     Scale shape: one exchange on user_id serves the rank and all four
     rolling sums (same WINDOW frame, Catalyst computes them in one
@@ -660,12 +668,15 @@ def win_rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).over(roll).cast("bigint").alias("sxx"),
     )
     den = F.col("nw") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dec = "DECIMAL(38,0)"
     return s.select(
         "user_id",
         F.col("x").alias("rn"),
         "event_id",
         F.when(den > 0, F.expr(
-            f"CAST((nw * sxy - sx * sy) * {ROLL_OLS_SCALE}"
-            f" div (nw * sxx - sx * sx) AS BIGINT)"
+            f"CAST((CAST(nw AS {dec}) * sxy - CAST(sx AS {dec}) * sy)"
+            f" * {ROLL_OLS_SCALE}"
+            f" div (CAST(nw AS {dec}) * sxx - CAST(sx AS {dec}) * sx)"
+            f" AS BIGINT)"
         )).alias("slope_milli"),
     )

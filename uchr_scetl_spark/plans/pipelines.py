@@ -48,7 +48,8 @@ def orders_daily_pipeline(spark: SparkSession, sf_dir: str, out: str) -> Pipelin
                 """
                 SELECT o_orderpriority, o_orderstatus,
                        COUNT(*) AS n_orders,
-                       CAST(SUM(o_totalprice) AS DOUBLE) AS sum_price
+                       SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                         AS sum_price_cents
                 FROM {df}
                 GROUP BY o_orderpriority, o_orderstatus
                 """,
@@ -65,7 +66,8 @@ def orders_daily_pipeline(spark: SparkSession, sf_dir: str, out: str) -> Pipelin
     oracle="""
     SELECT o_orderpriority, o_orderstatus,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(o_totalprice) AS DOUBLE) AS sum_price
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_price_cents
     FROM orders
     WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -82,7 +84,14 @@ def pipeline_orders_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink is hive-partitioned on o_orderstatus for downstream pruning,
     and the returned relation reads the SINK, so the check also covers
     the partitioned round-trip (column re-ordering, partition-value
-    typing), not just the in-memory plan."""
+    typing), not just the in-memory plan.
+
+    The money aggregate is the registry's tie-safe cents idiom
+    (SUM over BIGINT cents, never a raw float SUM): IEEE double
+    summation is order-dependent, so a float SUM would only hash-match
+    DuckDB while both engines happen to sum in identical row order —
+    exactly the partition-count coincidence test_determinism exists to
+    forbid."""
     out = scratch_dir("uchr_pipeline_orders_")
     p = orders_daily_pipeline(spark, sf_dir, out)
     res = p.run(spark)
@@ -92,5 +101,5 @@ def pipeline_orders_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         "o_orderstatus",
         F.col("n_orders").cast("long").alias("n_orders"),
-        "sum_price",
+        "sum_price_cents",
     )

@@ -440,7 +440,17 @@ def stream_state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # awaitTermination returns False on TIMEOUT with the query still
+    # running and exception() still None — reading the state store at
+    # that point would return a plausible partially-committed result.
+    # Fail loudly instead.
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "stream_state_store_read: streaming aggregation did not "
+            "finish within 300s; refusing to read a partially-"
+            "committed state store"
+        )
     if q.exception() is not None:
         raise q.exception()
     state = spark.read.format("statestore").load(ckpt)
