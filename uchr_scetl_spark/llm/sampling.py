@@ -96,7 +96,8 @@ def sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH weighted AS (
       SELECT doc_id, source,
-             (1 + CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 5)
+             (1 + COALESCE(TRY_CAST(regexp_extract(source, '([0-9]+)$', 1)
+                           AS BIGINT), 0) % 5)
                / 5.0 AS keep_frac,
              '0' || substr(md5(concat(CAST(doc_id AS VARCHAR), '|', source)),
                            1, 4) AS h5
@@ -127,7 +128,14 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     One narrow map over the corpus, zero shuffles, retry-stable at any
     parallelism."""
     d = load(spark, sf_dir, "documents")
-    src_n = F.regexp_extract("source", r"([0-9]+)$", 1).cast("bigint")
+    # a source with NO numeric suffix parses to '' — under ANSI that
+    # cast THROWS (the skewed-corpus gate's hot source found this);
+    # try_cast + coalesce gives suffix-less sources the defined
+    # weight class 0 instead of crashing the whole draw
+    src_n = F.expr(
+        "coalesce(try_cast(regexp_extract(source, '([0-9]+)$', 1)"
+        " AS BIGINT), 0)"
+    )
     keep_frac = (1 + src_n % 5) / 5.0
     h5 = F.concat(
         F.lit("0"),
@@ -158,7 +166,8 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT source,
              CAST(COUNT(*) AS BIGINT) AS n_docs,
              CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
-             CAST(CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) + 1
+             CAST(COALESCE(TRY_CAST(regexp_extract(source, '([0-9]+)$', 1)
+                           AS BIGINT), 0) + 1
                   AS BIGINT) AS raw_w
       FROM documents GROUP BY source
     ), tot AS (
@@ -194,8 +203,13 @@ def sample_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count("*").alias("n_docs"), F.sum("nt").alias("n_tokens"))
         .withColumn(
+            # try_cast: suffix-less sources weight 1, never an ANSI
+            # cast crash (skewed-corpus gate finding)
             "raw_w",
-            F.regexp_extract("source", r"([0-9]+)$", 1).cast("bigint") + 1,
+            F.expr(
+                "coalesce(try_cast(regexp_extract(source, '([0-9]+)$', 1)"
+                " AS BIGINT), 0) + 1"
+            ),
         )
     )
     tot = stats.agg(
