@@ -143,3 +143,100 @@ def test_expectations_suite_fails_on_corruption_and_matches(
                 "custkey_positive"):
         assert not by_id[eid].passed and by_id[eid].n_violations > 0, by_id[eid]
     assert by_id["date_in_range"].passed  # corruption leaves dates intact
+
+
+# --- poisoned-negatives arm -------------------------------------------------
+# sample_contrastive_negatives' exclusion claim ("a near-dup labelled as
+# a negative is a poisoned example, and this exclusion arm provably
+# fires") was previously tested by corpus luck. This corpus makes the
+# poison CERTAIN by construction: doc 442 is anchor 0's slot-1 easy
+# draw (md5('neg:0:1') % 500 == 442 — pure arithmetic, asserted below),
+# and we overwrite doc 442's text with doc 0's text so the pair IS a
+# verified near-duplicate. Without the anti-join the pair would be
+# emitted as both an easy negative (slot 1) and a hard negative (each
+# is the other's top co-shingle partner); with it, no (0,442) pair of
+# any slot may survive — and the whole key must still value-match the
+# oracle on the hostile corpus.
+
+POISON_ANCHOR = 0
+POISON_TWIN = 442  # == conv(md5('neg:0:1')[:8], 16, 10) % 500
+
+
+@pytest.fixture(scope="module")
+def poisoned_dir():
+    import duckdb
+
+    out = tempfile.mkdtemp(prefix="uchr_poisoned_corpus_")
+    con = duckdb.connect()
+    for t in TABLES:
+        src = f"{SF_SMOKE}/{t}.parquet"
+        dst = f"{out}/{t}.parquet"
+        if t == "documents":
+            con.execute(
+                f"""
+                COPY (
+                  SELECT * REPLACE (
+                    CASE WHEN doc_id = {POISON_TWIN}
+                         THEN (SELECT text FROM read_parquet('{src}')
+                               WHERE doc_id = {POISON_ANCHOR})
+                         ELSE text END AS text)
+                  FROM read_parquet('{src}')
+                ) TO '{dst}' (FORMAT PARQUET)
+                """
+            )
+        else:
+            shutil.copyfile(src, dst)
+    con.close()
+    yield out
+    clear_caches(out)
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_poisoned_negative_is_excluded_by_construction(spark, poisoned_dir):
+    import hashlib
+
+    # (1) the draw arithmetic really targets the twin — this is what
+    # makes the exclusion provable rather than lucky: slot-1 easy
+    # candidate of the anchor IS the twin, engine-independently
+    n = 500
+    drawn = (
+        int(
+            hashlib.md5(
+                f"neg:{POISON_ANCHOR}:1".encode()
+            ).hexdigest()[:8],
+            16,
+        )
+        % n
+    )
+    assert drawn == POISON_TWIN, drawn
+
+    # (2) the pair is a verified near-duplicate on this corpus
+    near = {
+        (r.a_id, r.b_id)
+        for r in REGISTRY["dedup_near"].fn(spark, poisoned_dir).collect()
+    }
+    lo, hi = sorted((POISON_ANCHOR, POISON_TWIN))
+    assert (lo, hi) in near or (hi, lo) in near, sorted(near)[:5]
+
+    # (3) no output pair between anchor and twin survives, in either
+    # direction, easy or hard
+    out_pairs = {
+        (r.doc_id, r.neg_id)
+        for r in REGISTRY["sample_contrastive_negatives"]
+        .fn(spark, poisoned_dir)
+        .collect()
+    }
+    assert (POISON_ANCHOR, POISON_TWIN) not in out_pairs
+    assert (POISON_TWIN, POISON_ANCHOR) not in out_pairs
+
+
+def test_poisoned_corpus_still_matches_oracle(spark, poisoned_dir):
+    con = oracle_connection(poisoned_dir)
+    try:
+        spec = REGISTRY["sample_contrastive_negatives"]
+        sdf = spec.fn(spark, poisoned_dir).toPandas()
+        odf = con.sql(spec.oracle).df()
+        problems = compare(sdf, odf)
+        assert not problems, f"poisoned: {'; '.join(problems)}"
+    finally:
+        con.close()
