@@ -68,12 +68,24 @@ relation is |groups|·cap·salts regardless of corpus size);
 dedup_pair_jaccard_spectrum 0.8x (fixed panel, posting growth linear);
 join_interval_overlap 0.8x (session count grows, the window grid and
 bucket fan-out are fixed); embeddings_dimension_stats 0.7x (explode +
-64-row aggregate, pure map growth). sample_contrastive_negatives is
-the documented super-linear case: 2.0x wall at 4x (4.1→8.2 s) —
-twin replication grows the co-shingle pair relation ~k² (every doc
-gains k-1 full-overlap twins), the same true-output-growth class as
-dedup_containment; the hot-shingle df cap is the production valve,
-and the easy-negative side stays strictly linear.
+64-row aggregate, pure map growth). sample_contrastive_negatives
+measured 2.0x wall at 4x (4.1→8.2 s) in round 7 — twin replication
+grows the co-shingle pair relation ~k² (every doc gains k-1
+full-overlap twins), the same true-output-growth class as
+dedup_containment — because its hot-shingle df cap existed only in
+the docstring.
+
+Round-8 re-measure (quiet run, sf0.1 base), after wiring
+NEG_SHINGLE_DF_CAP into the co-shingle self-join:
+sample_contrastive_negatives 9.41/6.04/5.98 s at 1x/2x/4x = **0.6x at
+4x** — replication multiplies every shingle's df by k, so the
+replicated postings cross the cap and drop out of candidate matching;
+the k² growth is clipped exactly as the containment analysis
+predicted, and wall now FALLS with corpus duplication (the 1x shot
+carries the shingle/near memo build in this key-restricted run).
+The remaining round-7 keys, same run: events_cusum_alarm 0.8x,
+win_rolling_ols_slope 1.1x, sim_topk_pq 1.0x, stream_state_store_read
+0.9x at 4x — all flat (curves in BASELINE.md round-8 table).
 """
 
 from __future__ import annotations
@@ -149,6 +161,17 @@ KEYS = [
     "sample_contrastive_negatives",
     "join_interval_overlap",
     "embeddings_dimension_stats",
+    # round 8: the remaining round-7 registrations — CUSUM and rolling
+    # OLS (events axis — per-user window algebra, one exchange, so
+    # wall should track the events scan), the PQ ADC scorer
+    # (embeddings axis — codes are one in-row map, the distance-table
+    # broadcast is corpus-independent), and the end-to-end streaming
+    # state read (events axis — the availableNow job and the state
+    # commit both grow with input; state row count stays |groups|)
+    "events_cusum_alarm",
+    "win_rolling_ols_slope",
+    "sim_topk_pq",
+    "stream_state_store_read",
 ]
 
 FACTORS = [1, 2, 4]
