@@ -131,6 +131,12 @@ KEYS = [
     "win_rolling_ols_slope",
     # round 7 (cont.): power/MDE off exact counts + shared-text doubles
     "events_ab_power_mde",
+    # round 8: the salted two-pass exact top-k per group (per-salt
+    # survivor sets must re-rank identically at any layout — the
+    # win_topk_per_group twin), and the df profile's integer band
+    # counts off the shared shingle index
+    "agg_topk_per_group_salted",
+    "dedup_shingle_df_profile",
 ]
 
 

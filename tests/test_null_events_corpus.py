@@ -69,6 +69,7 @@ KEYS = [
     "events_welch_ttest",
     "events_cusum_alarm",
     "win_rolling_ols_slope",
+    "agg_topk_per_group_salted",
     "events_ab_power_mde",
 ]
 

@@ -60,6 +60,9 @@ KEYS = [
     "sample_source_cap",
     "dedup_pair_jaccard_spectrum",
     "sample_contrastive_negatives",
+    # round 8: the df profile shares the shingle index — NULL texts
+    # must drop out of the bands, not null the whole profile
+    "dedup_shingle_df_profile",
 ]
 
 REGISTRY = load_registry()

@@ -1067,3 +1067,40 @@ def test_ab_power_mde_single_user_shuffle(spark):
     assert plan.count("Scan parquet") == 1, plan
     assert "Join" not in plan, plan
     assert "Window" in plan, plan
+
+
+def test_topk_per_group_salted_is_two_bounded_windows(spark):
+    """agg_topk_per_group_salted: the plan must be the salted TWO-PASS
+    — two Window nodes (per-salt rank, then survivor re-rank), a
+    deterministic hash salt (xxhash64, never rand), both rank filters
+    present as pushed row_number predicates, and no join or cartesian
+    anywhere (the survivor relation flows straight into pass 2)."""
+    plan = plan_of(spark, "agg_topk_per_group_salted")
+    assert plan.count("Window") >= 2, plan
+    assert "xxhash64" in plan, plan
+    assert "rand" not in plan.lower().replace("operand", ""), plan
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    from uchr_scetl_spark.operators.aggregates import _TOPK_K
+
+    assert f"<= {_TOPK_K}" in plan, plan
+
+
+def test_shingle_df_profile_is_two_aggregates_no_join(spark):
+    """dedup_shingle_df_profile: one partial+final count per shingle
+    off the shared memoized shingle relation (InMemoryTableScan once
+    the memo is materialized), one tiny band re-aggregate — no join,
+    no window, no second documents scan."""
+    # materialize the shared shingle memo first: plan_of compiles
+    # before execution, and an unmaterialized .cache() still plans as
+    # the parquet scan it wraps
+    REGISTRY["dedup_shingle_df_profile"].fn(spark, SF_SMOKE).collect()
+    plan = plan_of(spark, "dedup_shingle_df_profile")
+    assert "InMemoryTableScan" in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan  # partial+final x2
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    # the only parquet text allowed is the one INSIDE the cached
+    # relation's stored build plan — no live scan above the memo
+    live = plan.split("InMemoryRelation")[0]
+    assert "Scan parquet" not in live, plan

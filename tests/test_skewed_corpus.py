@@ -78,6 +78,7 @@ KEYS = [
     # dedicated skew answers
     "agg_skew_salted",
     "join_skew_salted",
+    "agg_topk_per_group_salted",
     # per-source sampling family under a hot source
     "sample_source_cap",
     "sample_stratified",

@@ -87,6 +87,8 @@ KEYS = [
     # negatives both count UTF-8 shingle intersections
     "dedup_pair_jaccard_spectrum",
     "sample_contrastive_negatives",
+    # round 8: df bands over UTF-8 shingles
+    "dedup_shingle_df_profile",
 ]
 
 REGISTRY = load_registry()

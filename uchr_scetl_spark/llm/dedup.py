@@ -1217,3 +1217,58 @@ def dedup_pair_jaccard_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         F.sum("n_pairs").over(w).cast("bigint").alias("n_pairs_ge"),
     )
+
+
+@query(
+    "dedup_shingle_df_profile",
+    oracle=f"""
+    WITH {_ORACLE_SHINGLED_CTE},
+    shingle_rows AS (
+      SELECT doc_id, unnest(toks) AS tok FROM sized
+    ),
+    df AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+      FROM shingle_rows GROUP BY tok
+    )
+    SELECT CAST(length(printf('%b', df)) AS INT) AS df_band,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(df) AS BIGINT) AS n_postings,
+           CAST(SUM(df * (df - 1)) AS BIGINT) AS n_pair_candidates,
+           CAST(MAX(df) AS BIGINT) AS max_df
+    FROM df GROUP BY 1
+    """,
+)
+def dedup_shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle document-frequency profile — the measurement you run
+    BEFORE choosing a hot-posting cap (dedup_containment's
+    CONTAINMENT_DF_CAP, sampling's NEG_SHINGLE_DF_CAP): per df decade
+    (1 = df 1-9, 2 = df 10-99, …), how many distinct shingles live
+    there, how many posting rows they own, and — the number the caps
+    exist to bound — how many ordered candidate pairs the
+    inverted-index self-join would generate from them
+    (Σ df·(df−1), exactly the pair count `ON a.tok = b.tok AND
+    a.doc_id <> b.doc_id` produces). On a crawl, one boilerplate
+    band dominating n_pair_candidates IS the 10¹²-pair blowup in
+    table form; the cap is set where that column explodes. The band
+    is the df's binary digit count (band b = df in [2^(b-1), 2^b)) —
+    computed as the LENGTH of the base-2 STRING rendering on both
+    engines (Spark conv(df,10,2), DuckDB printf('%b')): pure
+    integer/string algebra, because floor(log2) of a double is not
+    engine-stable at bucket edges.
+
+    Scale shape: the df relation is one count per distinct shingle
+    off the SHARED memoized shingle explode (partial-aggregated
+    map-side), the profile a ≤20-row re-aggregate — strictly cheaper
+    than any dedup key that consumes the same index."""
+    rows = shingle_rows(spark, sf_dir)
+    df = rows.groupBy("shingle").agg(F.count("*").alias("df"))
+    return df.groupBy(
+        F.length(F.expr("conv(df, 10, 2)")).cast("int").alias("df_band")
+    ).agg(
+        F.count("*").alias("n_shingles"),
+        F.sum("df").cast("bigint").alias("n_postings"),
+        F.sum(F.col("df") * (F.col("df") - 1))
+        .cast("bigint")
+        .alias("n_pair_candidates"),
+        F.max("df").cast("bigint").alias("max_df"),
+    )

@@ -289,6 +289,68 @@ def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TOPK_K = 25
+_TOPK_SALTS = 16
+
+
+@query(
+    "agg_topk_per_group_salted",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT event_type, event_id, value,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY value DESC, event_id
+             ) AS rn
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type, event_id, value, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= {_TOPK_K}
+    """,
+)
+def agg_topk_per_group_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-{_TOPK_K} per group via the salted TWO-PASS — the
+    skew-safe sibling of win_topk_per_group (which is the naive
+    single-window form this one's oracle uses, so the hash match
+    proves algorithm equivalence, exactly like sample_source_cap).
+
+    Why it exists: event_type has ~5 values, so the naive form parks
+    every row of a hot group on ONE task — the per-group top-k is the
+    single most common window query to melt on skewed production
+    data. Pass 1 ranks within (group, xxhash64-salt mod
+    {_TOPK_SALTS}) and keeps ≤{_TOPK_K} per salt — the hot group
+    spreads over {_TOPK_SALTS} tasks and each task's window state is
+    a bounded top-{_TOPK_K} heap; pass 2 re-ranks the
+    ≤{_TOPK_K}·{_TOPK_SALTS} survivors per group, a relation bounded
+    by |groups|·k·salts regardless of input size. Exact because the
+    ordering key (value DESC, event_id) is a pure row function:
+    every global top-{_TOPK_K} member is necessarily in its own
+    salt's top-{_TOPK_K}. Deterministic under ties (event_id
+    tiebreak) and retries (hash salt, not rand()); exercised under a
+    genuinely hot group by tests/test_skewed_corpus.py."""
+    e = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    salted = e.select("event_type", "event_id", "value").withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(_TOPK_SALTS))
+    )
+    w1 = Window.partitionBy("event_type", "salt").orderBy(
+        F.desc("value"), "event_id"
+    )
+    w2 = Window.partitionBy("event_type").orderBy(F.desc("value"), "event_id")
+    survivors = salted.withColumn("rn1", F.row_number().over(w1)).where(
+        F.col("rn1") <= _TOPK_K
+    )
+    return (
+        survivors.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= _TOPK_K)
+        .select(
+            "event_type",
+            "event_id",
+            "value",
+            F.col("rn").cast("bigint").alias("rn"),
+        )
+    )
+
+
 @query(
     "agg_corr_stats",
     oracle="""
