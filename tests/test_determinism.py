@@ -137,6 +137,9 @@ KEYS = [
     # counts off the shared shingle index
     "agg_topk_per_group_salted",
     "dedup_shingle_df_profile",
+    # round 8 (cont.): centroid cosines off exact integer moments —
+    # one shared-text double expression at the end
+    "embeddings_label_separation",
 ]
 
 

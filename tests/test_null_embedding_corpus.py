@@ -55,6 +55,9 @@ KEYS = [
     "embeddings_dimension_stats",
     "embeddings_pq_assign",
     "sim_topk_pq",
+    # round 8: null embeddings/labels must drop out of the centroid
+    # sums, not null a whole label's row
+    "embeddings_label_separation",
 ]
 
 REGISTRY = load_registry()

@@ -1104,3 +1104,22 @@ def test_shingle_df_profile_is_two_aggregates_no_join(spark):
     # relation's stored build plan — no live scan above the memo
     live = plan.split("InMemoryRelation")[0]
     assert "Scan parquet" not in live, plan
+
+
+def test_label_separation_reduces_before_pairing(spark):
+    """embeddings_label_separation: the vector rows must reduce to the
+    |labels|·d sums relation ONCE (eager localCheckpoint barrier —
+    four consumers must not replicate the posexplode subtree), the
+    pairwise stage must be an equi-join on dim, and every stat
+    attachment a broadcast — no cartesian, no second corpus pass."""
+    plan = plan_of(spark, "embeddings_label_separation")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    # the corpus is scanned ONCE, inside the eager localCheckpoint of
+    # the sums relation — the final plan reads only the checkpointed
+    # 640-row ExistingRDD (without the barrier Catalyst replicated the
+    # posexplode subtree per consumer: 7 parquet scans, measured)
+    assert "Scan ExistingRDD" in plan, plan
+    assert "Scan parquet" not in plan, plan
+    assert "posexplode" not in plan, plan

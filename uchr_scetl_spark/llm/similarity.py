@@ -1810,3 +1810,155 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= PQ_TOPK)
         .select("p_id", F.col("rank").cast("int").alias("rank"), "vec_id", "score")
     )
+
+
+@query(
+    "embeddings_label_separation",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(label AS INT) AS label,
+             unnest(range(len(embedding))) AS dim,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS qx
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND label IS NOT NULL
+    ), sums AS (
+      SELECT label, dim, CAST(SUM(qx) AS BIGINT) AS s
+      FROM e GROUP BY 1, 2
+    ), nrm AS (
+      SELECT label, SUM(CAST(s AS HUGEINT) * s) AS nrm2
+      FROM sums GROUP BY 1
+    ), cnt AS (
+      SELECT CAST(label AS INT) AS label, CAST(COUNT(*) AS BIGINT) AS n
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND label IS NOT NULL
+      GROUP BY 1
+    ), dots AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             SUM(CAST(a.s AS HUGEINT) * b.s) AS dot
+      FROM sums a JOIN sums b ON a.dim = b.dim AND a.label < b.label
+      GROUP BY 1, 2
+    )
+    SELECT d.label_a, d.label_b, na.n AS n_a, nb.n AS n_b,
+           CAST(floor((CAST(d.dot AS DOUBLE)
+                 / sqrt(CAST(x.nrm2 AS DOUBLE) * CAST(y.nrm2 AS DOUBLE)))
+                 * 1000000 + 0.5) AS BIGINT) AS centroid_cosine_micro
+    FROM dots d
+    JOIN nrm x ON x.label = d.label_a
+    JOIN nrm y ON y.label = d.label_b
+    JOIN cnt na ON na.label = d.label_a
+    JOIN cnt nb ON nb.label = d.label_b
+    """,
+)
+def embeddings_label_separation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-label centroid separation matrix — the class-separability
+    QC a labelled embedding corpus gets before training a probe or
+    kNN classifier on it: the cosine between every pair of label
+    centroids (scale cancels, so the cosine of the per-label SUM
+    vectors equals the cosine of the means). Complements
+    sim_label_centroids, which emits the prototype vectors themselves;
+    this key is the QC READOUT over them, computed without ever
+    materialising a centroid double. Two labels whose
+    centroids sit at cosine ≈ 1 are inseparable at the linear level —
+    the signal that labels are noisy, duplicated, or need merging.
+
+    Exactness discipline (agg_corr_stats + dimension_stats combined):
+    components are micro-quantized with the tie-safe floor(x·1e6+0.5)
+    BEFORE any aggregation, the per-(label, dim) sums are exact
+    bigints, the dot/norm moments are exact 128-bit products
+    (DECIMAL(38,0) / HUGEINT), and only the final cosine is one
+    double expression with identical parenthesization on both engines
+    — bit-reproducible at any parallelism, then micro-quantized.
+
+    Scale shape: one posexplode (in-row) → groupBy(label, dim) with
+    full partial aggregation — the shuffle carries ≤ |labels|·d rows
+    per task regardless of corpus size; the pairwise stage joins the
+    |labels|·d sums relation with itself on dim (|labels|²·d cells,
+    corpus-independent). Nothing downstream of the first aggregate
+    ever touches a vector row again — the same sketch-once/
+    merge-downstream shape as the Gram matrix key, but keyed by
+    label."""
+    e = load(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    )
+    q = e.select(
+        F.col("label").cast("int").alias("label"),
+        F.posexplode("embedding").alias("dim", "x"),
+    ).select(
+        "label",
+        "dim",
+        F.expr(
+            "CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
+        ).alias("qx"),
+    )
+    # the sums relation is consumed FOUR times downstream (norms, both
+    # pair sides, counts); without a barrier Catalyst replicates the
+    # whole posexplode+aggregate subtree per consumer — 4 corpus scans
+    # (measured: 7 parquet scans in the unbarriered plan). It is
+    # |labels|·d rows (~640), so an eager localCheckpoint materialises
+    # it once and every consumer reads the tiny ExistingRDD; the
+    # corpus is scanned exactly once.
+    sums = (
+        q.groupBy("label", "dim")
+        .agg(
+            F.sum("qx").cast("bigint").alias("s"),
+            F.count("*").alias("nd"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    nrm = sums.groupBy("label").agg(
+        F.sum(F.expr("CAST(s AS DECIMAL(38,0)) * s")).alias("nrm2")
+    )
+    # vector count per label == row count at any one dim — no second
+    # corpus scan for it
+    cnt = sums.where(F.col("dim") == 0).select(
+        "label", F.col("nd").alias("n")
+    )
+    a, b = sums.alias("a"), sums.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.dim") == F.col("b.dim"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+        )
+        .agg(
+            F.sum(
+                F.expr("CAST(a.s AS DECIMAL(38,0)) * b.s")
+            ).alias("dot")
+        )
+    )
+    cos = F.expr(
+        "CAST(floor((CAST(dot AS DOUBLE)"
+        " / sqrt(CAST(nrm2_a AS DOUBLE) * CAST(nrm2_b AS DOUBLE)))"
+        " * 1000000 + 0.5) AS BIGINT)"
+    )
+    return (
+        dots.join(
+            F.broadcast(nrm.select(F.col("label").alias("label_a"),
+                                   F.col("nrm2").alias("nrm2_a"))),
+            "label_a",
+        )
+        .join(
+            F.broadcast(nrm.select(F.col("label").alias("label_b"),
+                                   F.col("nrm2").alias("nrm2_b"))),
+            "label_b",
+        )
+        .join(
+            F.broadcast(cnt.select(F.col("label").alias("label_a"),
+                                   F.col("n").alias("n_a"))),
+            "label_a",
+        )
+        .join(
+            F.broadcast(cnt.select(F.col("label").alias("label_b"),
+                                   F.col("n").alias("n_b"))),
+            "label_b",
+        )
+        .select("label_a", "label_b", "n_a", "n_b",
+                cos.alias("centroid_cosine_micro"))
+    )
