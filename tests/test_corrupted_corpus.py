@@ -111,6 +111,7 @@ def test_dq_audit_counters_all_fire_and_match(spark, corrupted_dir, corrupted_or
         # orders-reading keys that must stay oracle-exact when the fact
         # table carries real violations (NULLs, negatives, duplicates)
         "etl_upsert_snapshot",
+        "etl_schema_evolution_audit",
         "etl_snapshot_diff",
         "agg_groupby",
         "join_left_outer",

@@ -140,6 +140,9 @@ KEYS = [
     # round 8 (cont.): centroid cosines off exact integer moments —
     # one shared-text double expression at the end
     "embeddings_label_separation",
+    # round 8 (cont.): merged-schema snapshot audit — cents sums and
+    # NULL-fill must not depend on file/partition layout
+    "etl_schema_evolution_audit",
 ]
 
 

@@ -1123,3 +1123,15 @@ def test_label_separation_reduces_before_pairing(spark):
     assert "Scan ExistingRDD" in plan, plan
     assert "Scan parquet" not in plan, plan
     assert "posexplode" not in plan, plan
+
+
+def test_schema_evolution_merged_scan_is_one_pass(spark):
+    """etl_schema_evolution_audit: the audit must be ONE partial+final
+    aggregate over the merged scan (snap arrives as a hive partition
+    column — no join, no per-snapshot pass), and the merged read must
+    carry the evolved column."""
+    plan = plan_of(spark, "etl_schema_evolution_audit")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "o_orderstatus" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Join" not in plan, plan

@@ -1405,3 +1405,63 @@ def etl_expectations_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "etl_schema_evolution_audit",
+    oracle="""
+    SELECT CAST(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS INT)
+             AS snap,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(CASE WHEN o_orderkey % 2 = 1
+                           THEN o_orderstatus END) AS BIGINT)
+             AS n_status_nonnull,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_price_cents
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def etl_schema_evolution_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift round-trip — the mergeSchema contract every
+    long-lived parquet table eventually depends on: snapshot 1 was
+    written BEFORE a column existed (here o_orderstatus), snapshot 2
+    after; a mergeSchema read over both must union the schemas and
+    NULL-fill the missing column for old files, and the per-snapshot
+    audit (row count, non-null count of the evolved column, money sum)
+    must match recomputing from the raw table. n_status_nonnull is 0
+    for snap 1 BY SCHEMA (the column physically doesn't exist in its
+    files) and full for snap 2 — both arms live at every scale by
+    construction.
+
+    Scale notes: mergeSchema=true costs one footer read per FILE at
+    planning time (fine for snapshot counts; a 100 TB table with
+    millions of files pins the merged schema in a metastore instead —
+    this key tests the semantics the metastore entry must encode).
+    The snap column comes from hive partition-dir names, so snapshot
+    pruning stays static; the audit is one partial+final aggregate
+    over the merged scan."""
+    from ..io import scratch_dir
+
+    o = load(spark, sf_dir, "orders")
+    out = scratch_dir("uchr_schema_evo_")
+    v1 = o.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    v2 = o.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    v1.write.mode("overwrite").parquet(f"{out}/snap=1")
+    v2.write.mode("overwrite").parquet(f"{out}/snap=2")
+    back = (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", out)
+        .parquet(out)
+    )
+    return back.groupBy(F.col("snap").cast("int").alias("snap")).agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_orderstatus").alias("n_status_nonnull"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+        ).alias("sum_price_cents"),
+    )
