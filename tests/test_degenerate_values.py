@@ -1,0 +1,158 @@
+"""Degenerate-value gate: EMPTY (non-NULL) embedding arrays and NULL
+document sources, value-matched against the oracle.
+
+Round-8 review findings, pinned: both shapes are one failed upstream
+step away on real data (an encoder that emits [] on failure instead of
+NULL; a crawler that loses the source header), and both found live
+divergences when first exercised —
+
+- empty arrays: Spark's posexplode emits nothing for [] while the
+  oracle's generate_series cross join emitted 64 NULL components, so
+  sim_label_centroids' COUNT and embeddings_label_separation's
+  dim==0 count trick both diverged until the zero-length filter was
+  mirrored on both engines;
+- NULL sources: Spark's concat NULL-propagates while DuckDB's concat
+  SKIPS null arguments, so sample_weighted's md5 draw silently dropped
+  every NULL-source doc on the Spark side only, until the draw hash
+  coalesced the source on both sides.
+
+The corpora are deterministic key-based rewrites of the smoke tables
+(the null/skew/corruption gate pattern).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from uchr_scetl_spark import clear_caches, load_registry
+
+from .conftest import SF_SMOKE
+from .oracle import compare, oracle_connection
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+EMPTY_EMB_KEYS = [
+    "sim_label_centroids",
+    "embeddings_label_separation",
+    "embeddings_dimension_stats",
+    "embeddings_gram_matrix",
+    "embeddings_random_projection",
+]
+
+NULL_SOURCE_KEYS = [
+    "sample_weighted",
+    "sample_mix_plan",
+    "sample_source_cap",
+    "sample_temperature",
+    "sample_group_kfold",
+    "sample_reservoir_hash",
+    "sample_stratified",
+    "dedup_exact",
+]
+
+REGISTRY = load_registry()
+
+
+def _variant_dir(prefix: str, table: str, copy_sql: str):
+    import duckdb
+
+    out = tempfile.mkdtemp(prefix=prefix)
+    con = duckdb.connect()
+    for t in TABLES:
+        src = f"{SF_SMOKE}/{t}.parquet"
+        dst = f"{out}/{t}.parquet"
+        if t == table:
+            con.execute(copy_sql.format(src=src, dst=dst))
+        else:
+            shutil.copyfile(src, dst)
+    con.close()
+    return out
+
+
+@pytest.fixture(scope="module")
+def empty_emb_dir():
+    out = _variant_dir(
+        "uchr_empty_emb_corpus_",
+        "embeddings",
+        """
+        COPY (
+          SELECT * REPLACE (
+            CASE WHEN vec_id % 11 = 0 THEN [] ELSE embedding END
+              AS embedding)
+          FROM read_parquet('{src}')
+        ) TO '{dst}' (FORMAT PARQUET)
+        """,
+    )
+    yield out
+    clear_caches(out)
+    shutil.rmtree(out, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def null_source_dir():
+    out = _variant_dir(
+        "uchr_null_source_corpus_",
+        "documents",
+        """
+        COPY (
+          SELECT * REPLACE (
+            CASE WHEN doc_id % 13 = 0 THEN NULL ELSE source END
+              AS source)
+          FROM read_parquet('{src}')
+        ) TO '{dst}' (FORMAT PARQUET)
+        """,
+    )
+    yield out
+    clear_caches(out)
+    shutil.rmtree(out, ignore_errors=True)
+
+
+@pytest.mark.parametrize("key", EMPTY_EMB_KEYS)
+def test_key_matches_oracle_with_empty_embeddings(key, spark, empty_emb_dir):
+    con = oracle_connection(empty_emb_dir)
+    try:
+        spec = REGISTRY[key]
+        sdf = spec.fn(spark, empty_emb_dir).toPandas()
+        odf = con.sql(spec.oracle).df()
+        problems = compare(sdf, odf)
+        assert not problems, f"{key}: {'; '.join(problems)}"
+    finally:
+        con.close()
+
+
+@pytest.mark.parametrize("key", NULL_SOURCE_KEYS)
+def test_key_matches_oracle_with_null_sources(key, spark, null_source_dir):
+    con = oracle_connection(null_source_dir)
+    try:
+        spec = REGISTRY[key]
+        sdf = spec.fn(spark, null_source_dir).toPandas()
+        odf = con.sql(spec.oracle).df()
+        problems = compare(sdf, odf)
+        assert not problems, f"{key}: {'; '.join(problems)}"
+    finally:
+        con.close()
+
+
+def test_empty_embeddings_actually_present(spark, empty_emb_dir):
+    """Anti-vacuity: the corpus really contains empty (non-NULL)
+    arrays, and they are excluded from the label stats."""
+    import pyspark.sql.functions as F
+
+    from uchr_scetl_spark.io import load
+
+    e = load(spark, empty_emb_dir, "embeddings")
+    n_empty = e.where(
+        F.col("embedding").isNotNull() & (F.size("embedding") == 0)
+    ).count()
+    assert n_empty > 0
+    out = REGISTRY["embeddings_label_separation"].fn(spark, empty_emb_dir)
+    total_counted = (
+        out.select("label_a", "n_a").distinct().groupBy().sum("n_a")
+    )
+    assert total_counted.collect()[0][0] < e.count()

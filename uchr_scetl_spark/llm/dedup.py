@@ -544,6 +544,28 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cap_hot_postings(rows, key_col: str, cap: int):
+    """Drop posting rows whose key occurs in more than ``cap`` rows —
+    THE hot-posting valve for every inverted-index self-join in the
+    registry (a key with document frequency f contributes f² candidate
+    pairs, so one boilerplate shingle at crawl scale is a 10¹²-pair
+    blowup). One definition so the Spark semantics can never drift
+    between consumers (dedup_containment, the contrastive sampler);
+    the mirrored oracle fragment is sql_df_cap_qualify below, and
+    dedup_shingle_df_profile is the measurement that tunes ``cap``."""
+    w = Window.partitionBy(key_col)
+    return (
+        rows.withColumn("_df", F.count("*").over(w))
+        .where(F.col("_df") <= cap)
+        .drop("_df")
+    )
+
+
+def sql_df_cap_qualify(col: str, cap: int) -> str:
+    """DuckDB twin of cap_hot_postings, as a QUALIFY line."""
+    return f"QUALIFY COUNT(*) OVER (PARTITION BY {col}) <= {cap}"
+
+
 CONTAINMENT_T = 0.8
 # posting-length cap: shingles appearing in more than this many docs
 # (within a lang) are dropped from candidate matching — the standard
@@ -560,7 +582,7 @@ _ORACLE_CONTAINMENT = f"""
     ),
     capped AS (
       SELECT * FROM shingle_rows
-      QUALIFY COUNT(*) OVER (PARTITION BY tok) <= {CONTAINMENT_DF_CAP}
+      {sql_df_cap_qualify('tok', CONTAINMENT_DF_CAP)}
     ),
     pair_inter AS (
       SELECT a.doc_id AS inner_id, b.doc_id AS outer_id,
@@ -613,12 +635,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingled_docs(spark, sf_dir).select(
         "doc_id", "n", F.explode("toks").alias("tok")
     )
-    w = Window.partitionBy("tok")
-    capped = (
-        sh.withColumn("df", F.count("*").over(w))
-        .where(F.col("df") <= CONTAINMENT_DF_CAP)
-        .drop("df")
-    )
+    capped = cap_hot_postings(sh, "tok", CONTAINMENT_DF_CAP)
     a = capped.alias("a")
     b = capped.alias("b")
     pairs = (
@@ -1241,9 +1258,10 @@ def dedup_pair_jaccard_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle document-frequency profile — the measurement you run
     BEFORE choosing a hot-posting cap (dedup_containment's
-    CONTAINMENT_DF_CAP, sampling's NEG_SHINGLE_DF_CAP): per df decade
-    (1 = df 1-9, 2 = df 10-99, …), how many distinct shingles live
-    there, how many posting rows they own, and — the number the caps
+    CONTAINMENT_DF_CAP, sampling's NEG_SHINGLE_DF_CAP): per BINARY
+    df band (band b = df in [2^(b-1), 2^b): 1 = df 1, 2 = df 2-3,
+    3 = df 4-7, …), how many distinct shingles live there, how many
+    posting rows they own, and — the number the caps
     exist to bound — how many ordered candidate pairs the
     inverted-index self-join would generate from them
     (Σ df·(df−1), exactly the pair count `ON a.tok = b.tok AND

@@ -99,7 +99,8 @@ def sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
              (1 + COALESCE(TRY_CAST(regexp_extract(source, '([0-9]+)$', 1)
                            AS BIGINT), 0) % 5)
                / 5.0 AS keep_frac,
-             '0' || substr(md5(concat(CAST(doc_id AS VARCHAR), '|', source)),
+             '0' || substr(md5(concat(CAST(doc_id AS VARCHAR), '|',
+                                      coalesce(source, ''))),
                            1, 4) AS h5
       FROM documents
     )
@@ -137,12 +138,19 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS BIGINT), 0)"
     )
     keep_frac = (1 + src_n % 5) / 5.0
+    # coalesce the source inside the draw hash: Spark's concat
+    # NULL-propagates while DuckDB's concat SKIPS null arguments, so
+    # an uncoalesced NULL source silently dropped every such doc on
+    # the Spark side only (found by review on a null-source corpus —
+    # the same hostile shape as the suffix-less-source crash above)
     h5 = F.concat(
         F.lit("0"),
         F.substring(
             F.md5(
                 F.concat(
-                    F.col("doc_id").cast("string"), F.lit("|"), F.col("source")
+                    F.col("doc_id").cast("string"),
+                    F.lit("|"),
+                    F.coalesce(F.col("source"), F.lit("")),
                 )
             ),
             1,
@@ -605,7 +613,7 @@ NEG_SHINGLE_DF_CAP = 6
 
 
 def _neg_oracle() -> str:
-    from .dedup import _ORACLE_SHINGLED_CTE
+    from .dedup import _ORACLE_SHINGLED_CTE, sql_df_cap_qualify
 
     return f"""
     WITH {_ORACLE_SHINGLED_CTE},
@@ -615,7 +623,7 @@ def _neg_oracle() -> str:
     ),
     capped AS (
       SELECT * FROM shingle_rows
-      QUALIFY COUNT(*) OVER (PARTITION BY tok) <= {NEG_SHINGLE_DF_CAP}
+      {sql_df_cap_qualify('tok', NEG_SHINGLE_DF_CAP)}
     ),
     co AS (
       SELECT a.doc_id AS doc_id, b.doc_id AS cand,
@@ -702,17 +710,17 @@ def sample_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     |true dups|), which BROADCASTS — and deliberately UNCAPPED in the
     oracle: exclusion must keep exact near-dup semantics or a capped
     miss would admit a poisoned example."""
-    from .dedup import dedup_near, shingle_rows, shingled_docs
+    from .dedup import (
+        cap_hot_postings,
+        dedup_near,
+        shingle_rows,
+        shingled_docs,
+    )
 
     d = load(spark, sf_dir, "documents")
     nn = d.agg(F.count("*").alias("n"))
     rows = shingle_rows(spark, sf_dir)
-    w_df = Window.partitionBy("shingle")
-    capped = (
-        rows.withColumn("df", F.count("*").over(w_df))
-        .where(F.col("df") <= NEG_SHINGLE_DF_CAP)
-        .drop("df")
-    )
+    capped = cap_hot_postings(rows, "shingle", NEG_SHINGLE_DF_CAP)
     co = (
         capped.alias("a")
         .join(

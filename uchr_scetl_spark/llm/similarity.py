@@ -628,7 +628,7 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                           AS BIGINT)) AS DOUBLE)
               / 1000000.0 / COUNT(*)) AS centroid
     FROM embeddings, generate_series(1, 64) g(i)
-    WHERE embedding IS NOT NULL
+    WHERE embedding IS NOT NULL AND len(embedding) > 0
     GROUP BY label, i
     """,
 )
@@ -643,8 +643,14 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     floats are dyadic rationals whose exact decimal expansions can
     terminate with a trailing 5 at ANY decimal-cast scale, where Spark
     (HALF_UP) and DuckDB (HALF_EVEN) disagree — floor of the same
-    double is tie-free and bit-identical in both engines."""
-    e = load(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
+    double is tie-free and bit-identical in both engines. EMPTY
+    (non-NULL) arrays are filtered on both sides: posexplode emits
+    nothing for them while the oracle's generate_series cross join
+    emits 64 NULL components, so an unfiltered COUNT diverges — the
+    failed-encode row shape the degenerate-values gate pins."""
+    e = load(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    )
     return (
         e.select(
             "label",
@@ -1264,7 +1270,8 @@ GRAM_SCALE = 1000  # component quantization for exact integer products
       SELECT list_transform(CAST(embedding AS DOUBLE[]),
                             x -> CAST(floor(x * {GRAM_SCALE}.0) AS BIGINT))
                AS qv
-      FROM embeddings WHERE embedding IS NOT NULL
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) > 0
     ),
     dims AS (SELECT CAST(r.range AS INT) AS pos
              FROM range(1, {KMEANS_ASSIGN_DIM + 1}) r)
@@ -1290,8 +1297,12 @@ def embeddings_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors. int64 throughout: |q| ≤ {GRAM_SCALE}·max|x|, so per-batch
     products cannot overflow and cross-engine sums are exact (at
     extreme corpus sizes the final SUM would need decimal(38,0), noted
-    rather than silently widened)."""
-    e = load(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
+    rather than silently widened). Zero-length (non-NULL) arrays are
+    filtered on both sides — a ragged batch would crash the numpy
+    matmul outright (degenerate-values gate)."""
+    e = load(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    )
     qdf = e.select(
         F.transform(
             F.col("embedding").cast("array<double>"),
@@ -1366,7 +1377,8 @@ def _rp_oracle() -> str:
              list_transform(CAST(embedding AS DOUBLE[]),
                             x -> CAST(floor(x * {RP_SCALE}.0) AS BIGINT))
                AS qv
-      FROM embeddings WHERE embedding IS NOT NULL
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) > 0
     ),
     m(out_dim, signs) AS (VALUES {rows})
     SELECT q.vec_id, CAST(m.out_dim AS INT) AS out_dim,
@@ -1398,11 +1410,14 @@ def embeddings_random_projection(
     Scale design: the matrix is a compile-time literal embedded in
     the plan — no broadcast, no join, no shuffle; one codegen map
     pass over the corpus (zip_with·aggregate per output dim),
-    exactly how a 100 TB projection should run. NULL embeddings are
-    filtered symmetrically on both sides."""
+    exactly how a 100 TB projection should run. NULL and zero-length
+    embeddings are filtered symmetrically on both sides (zip_with
+    NULL-pads a short array, so an empty vector would project to NULL
+    rows on Spark but error/zero in the oracle — degenerate-values
+    gate)."""
     e = (
         load(spark, sf_dir, "embeddings")
-        .where(F.col("embedding").isNotNull())
+        .where(F.col("embedding").isNotNull() & (F.size("embedding") > 0))
         .withColumn(
             "qv",
             F.expr(
@@ -1821,7 +1836,8 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
                   AS BIGINT) AS qx
       FROM embeddings
-      WHERE embedding IS NOT NULL AND label IS NOT NULL
+      WHERE embedding IS NOT NULL AND len(embedding) > 0
+        AND label IS NOT NULL
     ), sums AS (
       SELECT label, dim, CAST(SUM(qx) AS BIGINT) AS s
       FROM e GROUP BY 1, 2
@@ -1831,7 +1847,8 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), cnt AS (
       SELECT CAST(label AS INT) AS label, CAST(COUNT(*) AS BIGINT) AS n
       FROM embeddings
-      WHERE embedding IS NOT NULL AND label IS NOT NULL
+      WHERE embedding IS NOT NULL AND len(embedding) > 0
+        AND label IS NOT NULL
       GROUP BY 1
     ), dots AS (
       SELECT a.label AS label_a, b.label AS label_b,
@@ -1880,8 +1897,15 @@ def embeddings_label_separation(
     ever touches a vector row again — the same sketch-once/
     merge-downstream shape as the Gram matrix key, but keyed by
     label."""
+    # empty (non-NULL) arrays are excluded on BOTH sides: they carry
+    # no centroid signal, posexplode drops them implicitly, and the
+    # dim==0 count trick below requires every counted vector to HAVE a
+    # dim 0 — without the filter the oracle's plain row count diverges
+    # (found by review on a failed-encode corpus)
     e = load(spark, sf_dir, "embeddings").where(
-        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") > 0)
+        & F.col("label").isNotNull()
     )
     q = e.select(
         F.col("label").cast("int").alias("label"),

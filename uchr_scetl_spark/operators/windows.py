@@ -611,7 +611,8 @@ ROLL_OLS_SCALE = 1000  # slope unit: milli-micro-value per stream step
                    ROWS BETWEEN {ROLL_OLS_W - 1} PRECEDING AND CURRENT ROW)
     )
     SELECT user_id, x AS rn, event_id,
-           CASE WHEN nw * sxx - sx * sx > 0 THEN
+           CASE WHEN CAST(nw AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                  > 0 THEN
              CAST((CAST(nw AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
                   * {ROLL_OLS_SCALE}
                   // (CAST(nw AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
@@ -667,8 +668,14 @@ def win_rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).over(roll).cast("bigint").alias("sxy"),
         F.sum(F.col("x") * F.col("x")).over(roll).cast("bigint").alias("sxx"),
     )
-    den = F.col("nw") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # the guard rides the SAME 128-bit algebra as the quotient: a
+    # 64-bit nw*sxx crosses 2^63 at ~1.5e8 rows/stream, where Spark
+    # (non-ANSI) wraps the guard silently while DuckDB throws — the
+    # engines would fail differently on the same data (review finding)
     dec = "DECIMAL(38,0)"
+    den = F.expr(
+        f"CAST(nw AS {dec}) * sxx - CAST(sx AS {dec}) * sx"
+    )
     return s.select(
         "user_id",
         F.col("x").alias("rn"),
