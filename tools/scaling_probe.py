@@ -86,6 +86,16 @@ carries the shingle/near memo build in this key-restricted run).
 The remaining round-7 keys, same run: events_cusum_alarm 0.8x,
 win_rolling_ols_slope 1.1x, sim_topk_pq 1.0x, stream_state_store_read
 0.9x at 4x — all flat (curves in BASELINE.md round-8 table).
+
+Round-8 keys (quiet run, sf0.1 base): agg_topk_per_group_salted 1.1x
+at 4x the events (the survivor relation is |groups|·k·salts, so only
+the pass-1 scan grows); dedup_shingle_df_profile 0.7x (one count per
+shingle + ≤20-row re-agg — shingle count grows sub-linearly under
+replication since replicas SHARE shingles); embeddings_label_separation
+0.7x (corpus reduces to the checkpointed |labels|·d sums once; all
+pair work is corpus-independent); etl_schema_evolution_audit 0.9x
+(two snapshot writes + one merged aggregate, pure scan growth). All
+flat-to-sub-linear.
 """
 
 from __future__ import annotations
@@ -172,6 +182,16 @@ KEYS = [
     "win_rolling_ols_slope",
     "sim_topk_pq",
     "stream_state_store_read",
+    # round 8: the salted exact top-k (events axis — survivor relation
+    # |groups|·k·salts regardless of input), the df profile (documents
+    # axis — one count per shingle + ≤20-row re-agg), the label
+    # separation (embeddings axis — corpus reduces to |labels|·d sums
+    # behind one checkpoint), and the mergeSchema audit (orders axis —
+    # two snapshot writes + one merged aggregate)
+    "agg_topk_per_group_salted",
+    "dedup_shingle_df_profile",
+    "embeddings_label_separation",
+    "etl_schema_evolution_audit",
 ]
 
 FACTORS = [1, 2, 4]
