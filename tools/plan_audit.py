@@ -558,6 +558,32 @@ AUDITS: dict[str, tuple[str, list[str]]] = {
         "integer division in the projection.",
         [r"Exchange hashpartitioning\(user_id", r"Window"],
     ),
+    "agg_topk_per_group_salted": (
+        "Salted exact top-k: two Window passes - per-(group, hash-salt) "
+        "bounded rank, then re-rank of the |groups|*k*salts survivors; "
+        "no join, deterministic xxhash64 salt in the plan.",
+        [r"Window", r"xxhash64"],
+    ),
+    "dedup_shingle_df_profile": (
+        "df profile: one partial+final count per shingle off the shared "
+        "memoized shingle relation, then a <=20-row band re-aggregate - "
+        "no join, no window, corpus scanned zero extra times.",
+        [r"InMemoryTableScan", r"HashAggregate"],
+    ),
+    "embeddings_label_separation": (
+        "Label separation: the corpus reduces ONCE to the checkpointed "
+        "|labels|*d sums (eager localCheckpoint - four consumers, one "
+        "scan); pair stage is an equi-join on dim with broadcast stat "
+        "attachments.",
+        [r"Scan ExistingRDD", r"BroadcastHashJoin"],
+    ),
+    "etl_schema_evolution_audit": (
+        "mergeSchema audit: ONE merged scan with snap as a hive "
+        "partition column feeding one partial+final aggregate - "
+        "NULL-fill of the evolved column happens in the reader, not a "
+        "join.",
+        [r"Scan parquet", r"HashAggregate"],
+    ),
 }
 
 
