@@ -1,20 +1,29 @@
-"""Degenerate-value gate: EMPTY (non-NULL) embedding arrays and NULL
-document sources, value-matched against the oracle.
+"""Degenerate-value gate: EMPTY (non-NULL) embedding arrays, NULL
+document sources, NULL langs, and EMPTY-STRING texts, value-matched
+against the oracle.
 
-Round-8 review findings, pinned: both shapes are one failed upstream
-step away on real data (an encoder that emits [] on failure instead of
-NULL; a crawler that loses the source header), and both found live
-divergences when first exercised —
+Round-8 findings, pinned: each shape is one failed upstream step away
+on real data (an encoder that emits [] on failure instead of NULL; a
+crawler that loses the source header or lang tag; a scraper that
+yields ''), and three of the four found live divergences when first
+exercised —
 
 - empty arrays: Spark's posexplode emits nothing for [] while the
   oracle's generate_series cross join emitted 64 NULL components, so
   sim_label_centroids' COUNT and embeddings_label_separation's
-  dim==0 count trick both diverged until the zero-length filter was
+  dim==0 count trick both diverged (and embeddings_gram_matrix
+  CRASHED on the ragged numpy batch) until the zero-length filter was
   mirrored on both engines;
 - NULL sources: Spark's concat NULL-propagates while DuckDB's concat
   SKIPS null arguments, so sample_weighted's md5 draw silently dropped
   every NULL-source doc on the Spark side only, until the draw hash
-  coalesced the source on both sides.
+  coalesced the source on both sides;
+- empty texts (full-registry sweep): DuckDB's array_to_string([]) is
+  NULL where Spark's array_join([]) is '' (fn_array_lambda), and
+  Spark's binaryFile source silently SKIPS zero-byte files
+  (scan_binary_files) — both contracts now explicit on both sides;
+- NULL langs: full-registry sweep came back clean (292 pass); the
+  lang-keyed cross-section is pinned here to keep it that way.
 
 The corpora are deterministic key-based rewrites of the smoke tables
 (the null/skew/corruption gate pattern).
@@ -156,3 +165,93 @@ def test_empty_embeddings_actually_present(spark, empty_emb_dir):
         out.select("label_a", "n_a").distinct().groupBy().sum("n_a")
     )
     assert total_counted.collect()[0][0] < e.count()
+
+
+NULL_LANG_KEYS = [
+    # lang is a banding / stratification / grouping key throughout —
+    # a NULL lang must form its own group identically on both engines
+    "sample_stratified",
+    "sample_source_cap",
+    "dedup_ngram_jaccard",
+    "dedup_exact_keep_best",
+    "text_langid_confusion",
+    "agg_collect_sorted",
+]
+
+EMPTY_TEXT_KEYS = [
+    # the two divergences the empty-text sweep found, plus the
+    # shingle/token cross-section ('' splits to [''] — zero shingles,
+    # one empty token — and both engines must agree on every
+    # downstream arm)
+    "fn_array_lambda",
+    "scan_binary_files",
+    "text_tokenize_stats",
+    "text_quality_score",
+    "dedup_exact",
+    "dedup_near",
+    "text_span_dedup",
+    "sample_contrastive_negatives",
+    "text_bpe_pair_counts",
+]
+
+
+@pytest.fixture(scope="module")
+def null_lang_dir():
+    out = _variant_dir(
+        "uchr_null_lang_corpus_",
+        "documents",
+        """
+        COPY (
+          SELECT * REPLACE (
+            CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang)
+          FROM read_parquet('{src}')
+        ) TO '{dst}' (FORMAT PARQUET)
+        """,
+    )
+    yield out
+    clear_caches(out)
+    shutil.rmtree(out, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def empty_text_dir():
+    out = _variant_dir(
+        "uchr_empty_text_corpus_",
+        "documents",
+        """
+        COPY (
+          SELECT * REPLACE (
+            CASE WHEN doc_id % 9 = 0 THEN '' ELSE text END AS text)
+          FROM read_parquet('{src}')
+        ) TO '{dst}' (FORMAT PARQUET)
+        """,
+    )
+    yield out
+    clear_caches(out)
+    shutil.rmtree(out, ignore_errors=True)
+
+
+@pytest.mark.parametrize("key", NULL_LANG_KEYS)
+def test_key_matches_oracle_with_null_lang(key, spark, null_lang_dir):
+    con = oracle_connection(null_lang_dir)
+    try:
+        spec = REGISTRY[key]
+        sdf = spec.fn(spark, null_lang_dir).toPandas()
+        odf = con.sql(spec.oracle).df()
+        problems = compare(sdf, odf)
+        assert not problems, f"{key}: {'; '.join(problems)}"
+    finally:
+        con.close()
+
+
+@pytest.mark.parametrize("key", EMPTY_TEXT_KEYS)
+def test_key_matches_oracle_with_empty_text(key, spark, empty_text_dir):
+    con = oracle_connection(empty_text_dir)
+    try:
+        spec = REGISTRY[key]
+        sdf = spec.fn(spark, empty_text_dir).toPandas()
+        odf = con.sql(spec.oracle).df()
+        problems = compare(sdf, odf)
+        assert not problems, f"{key}: {'; '.join(problems)}"
+    finally:
+        con.close()

@@ -512,8 +512,9 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE doc_id % 5 = 0
     )
     SELECT doc_id,
-           array_to_string(list_transform(list_filter(toks, x -> len(x) > 3),
-                          x -> upper(x)), ' ') AS long_upper,
+           coalesce(array_to_string(
+                list_transform(list_filter(toks, x -> len(x) > 3),
+                               x -> upper(x)), ' '), '') AS long_upper,
            CAST(list_reduce(list_prepend(0,
                 list_transform(toks, x -> len(x))), (a, b) -> a + b)
              AS BIGINT) AS total_chars,
@@ -526,7 +527,13 @@ def fn_array_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order array functions as first-class surface: transform /
     filter / aggregate lambdas run inside codegen on the in-row array —
     the zero-shuffle way to process nested data (the explode
-    alternative multiplies rows through a Generate + later re-group)."""
+    alternative multiplies rows through a Generate + later re-group).
+
+    The joined string is canonicalized to '' for an empty filtered
+    list on BOTH engines: Spark's array_join([]) is '' but DuckDB's
+    array_to_string([]) is NULL — an empty-text document (one '' token,
+    nothing longer than 3 chars) hits exactly that case (empty-text
+    gate finding)."""
     d = load(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
     toks = F.split("text", " ")
     return d.select(

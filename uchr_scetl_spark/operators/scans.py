@@ -282,9 +282,19 @@ def _binary_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     remove them at interpreter exit."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _binary_fixture_memo:
+        # zero-byte payloads are excluded ON BOTH SIDES: Spark's
+        # binaryFile source silently SKIPS empty files (an empty-text
+        # doc wrote a 0-byte .bin and vanished from the scan — found
+        # by the empty-text sweep), so the key's contract explicitly
+        # covers non-empty blobs only; a production pipeline routes
+        # truncated uploads through a DQ gate before this scan.
         docs = (
             load(spark, sf_dir, "documents")
-            .where((F.col("doc_id") < 32) & F.col("text").isNotNull())
+            .where(
+                (F.col("doc_id") < 32)
+                & F.col("text").isNotNull()
+                & (F.length("text") > 0)
+            )
             .select("doc_id", "text")
             .collect()
         )
@@ -302,7 +312,8 @@ def _binary_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     SELECT doc_id,
            sha256(text) AS content_sha,
            CAST(strlen(text) AS BIGINT) AS content_len
-    FROM documents WHERE doc_id < 32 AND text IS NOT NULL
+    FROM documents
+    WHERE doc_id < 32 AND text IS NOT NULL AND strlen(text) > 0
     """,
 )
 def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
