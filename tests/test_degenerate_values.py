@@ -23,7 +23,12 @@ exercised —
   Spark's binaryFile source silently SKIPS zero-byte files
   (scan_binary_files) — both contracts now explicit on both sides;
 - NULL langs: full-registry sweep came back clean (292 pass); the
-  lang-keyed cross-section is pinned here to keep it that way.
+  lang-keyed cross-section is pinned here to keep it that way (as did
+  unicode-source and whitespace-only-text sweeps — absorbed by the
+  existing fixes, not separately pinned);
+- extreme event values (negative ×1000 / positive ×100000): the sweep
+  found win_drawdown's ppm product crossing 2^63 — widened to
+  DECIMAL(38,0)/HUGEINT; the scaled-integer window family is pinned.
 
 The corpora are deterministic key-based rewrites of the smoke tables
 (the null/skew/corruption gate pattern).
@@ -250,6 +255,57 @@ def test_key_matches_oracle_with_empty_text(key, spark, empty_text_dir):
     try:
         spec = REGISTRY[key]
         sdf = spec.fn(spark, empty_text_dir).toPandas()
+        odf = con.sql(spec.oracle).df()
+        problems = compare(sdf, odf)
+        assert not problems, f"{key}: {'; '.join(problems)}"
+    finally:
+        con.close()
+
+
+EXTREME_VALUE_KEYS = [
+    # micro-quantized integer-algebra keys under negative and 5-orders
+    # -larger event values: the full-registry sweep at these
+    # magnitudes found win_drawdown's ppm product crossing 2^63
+    # (ANSI Spark threw where the widened form answers) — this
+    # cross-section keeps the whole scaled-integer family honest
+    "win_drawdown",
+    "events_cusum_alarm",
+    "win_rolling_ols_slope",
+    "events_anomaly_zscore",
+    "events_anomaly_mad",
+    "win_ewma",
+    "events_time_weighted_avg",
+    "agg_skew_salted",
+    "events_ohlc_resample",
+]
+
+
+@pytest.fixture(scope="module")
+def extreme_value_dir():
+    out = _variant_dir(
+        "uchr_extreme_value_corpus_",
+        "events",
+        """
+        COPY (
+          SELECT * REPLACE (
+            CASE WHEN event_id % 17 = 0 THEN -value * 1000
+                 WHEN event_id % 19 = 0 THEN value * 100000
+                 ELSE value END AS value)
+          FROM read_parquet('{src}')
+        ) TO '{dst}' (FORMAT PARQUET)
+        """,
+    )
+    yield out
+    clear_caches(out)
+    shutil.rmtree(out, ignore_errors=True)
+
+
+@pytest.mark.parametrize("key", EXTREME_VALUE_KEYS)
+def test_key_matches_oracle_with_extreme_values(key, spark, extreme_value_dir):
+    con = oracle_connection(extreme_value_dir)
+    try:
+        spec = REGISTRY[key]
+        sdf = spec.fn(spark, extreme_value_dir).toPandas()
         odf = con.sql(spec.oracle).df()
         problems = compare(sdf, odf)
         assert not problems, f"{key}: {'; '.join(problems)}"

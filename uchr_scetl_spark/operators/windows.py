@@ -538,7 +538,8 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            MAX(peak) AS peak_micro,
            MAX(drawdown) AS max_drawdown_micro,
-           CAST(MAX(drawdown) * 1000000 // GREATEST(MAX(peak), 1)
+           CAST(CAST(MAX(drawdown) AS HUGEINT) * 1000000
+                  // GREATEST(MAX(peak), 1)
              AS BIGINT) AS max_drawdown_ppm
     FROM r GROUP BY user_id
     """,
@@ -576,9 +577,13 @@ def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.groupBy("user_id").agg(
         F.max("peak").alias("peak_micro"),
         F.max("drawdown").alias("max_drawdown_micro"),
+        # the ppm product rides 128-bit algebra: drawdown_micro * 1e6
+        # crosses 2^63 at |value| ~ 9.2e6, where ANSI Spark throws and
+        # pre-widening keeps the answer correct instead (found by the
+        # extreme-value sweep; same class as the rolling-OLS widening)
         F.expr(
-            "CAST(MAX(drawdown) * 1000000 div GREATEST(MAX(peak), 1)"
-            " AS BIGINT)"
+            "CAST(CAST(MAX(drawdown) AS DECIMAL(38,0)) * 1000000"
+            " div GREATEST(MAX(peak), 1) AS BIGINT)"
         ).alias("max_drawdown_ppm"),
     )
 
