@@ -21,6 +21,18 @@ rounding of both engines agrees except on exact decimal ties (which
 binary doubles essentially never hit), and the final decimal→double
 cast is deterministic. Integral-valued doubles (quantities) and counts
 skip the detour: their double sums are exact anyway (< 2^53).
+
+DOMAIN BOUND (measured, round-8 big-money sweep): the final
+decimal→double renderings of the two engines agree bit-exactly only
+while the sum's SCALED MANTISSA (value·10^scale) stays under 2^53 —
+past it, DuckDB's conversion double-rounds (integer mantissa to
+double, then the 10^-scale division) where Spark's BigDecimal
+conversion rounds once, and the results diverge in the last ulp
+(measured: prices ×10⁴ push money sums to ~10¹⁷ scaled and ~10⁻⁶
+relative drift appears; the normal corpus is orders of magnitude
+inside the bound). At scale 6 the bound is ≈ $9·10⁹ per aggregate
+group — a pipeline summing beyond that emits cents BIGINTs or decimal
+STRINGS instead of doubles (the etl_publish_checksums idiom).
 """
 
 from __future__ import annotations
