@@ -311,3 +311,70 @@ def test_key_matches_oracle_with_extreme_values(key, spark, extreme_value_dir):
         assert not problems, f"{key}: {'; '.join(problems)}"
     finally:
         con.close()
+
+
+HOSTILE_NAME_KEYS = [
+    # c_name carrying '|', backslashes, and the literal backslash-N
+    # token — the exact shapes the publish-checksum canonicalization
+    # escapes; plus downstream keys that group/join/sort through the
+    # hostile strings
+    "etl_publish_checksums",
+    "join_inner_equi",
+    "agg_having",
+    "sort_multi",
+    "fn_string",
+]
+
+
+@pytest.fixture(scope="module")
+def hostile_name_dir():
+    out = _variant_dir(
+        "uchr_hostile_name_corpus_",
+        "customer",
+        """
+        COPY (
+          SELECT * REPLACE (
+            CASE WHEN c_custkey % 11 = 0
+                 THEN c_name || '|' || chr(92) || 'N'
+                 WHEN c_custkey % 13 = 0
+                 THEN chr(92) || c_name || '|x'
+                 ELSE c_name END AS c_name)
+          FROM read_parquet('{src}')
+        ) TO '{dst}' (FORMAT PARQUET)
+        """,
+    )
+    yield out
+    clear_caches(out)
+    shutil.rmtree(out, ignore_errors=True)
+
+
+@pytest.mark.parametrize("key", HOSTILE_NAME_KEYS)
+def test_key_matches_oracle_with_hostile_names(key, spark, hostile_name_dir):
+    con = oracle_connection(hostile_name_dir)
+    try:
+        spec = REGISTRY[key]
+        sdf = spec.fn(spark, hostile_name_dir).toPandas()
+        odf = con.sql(spec.oracle).df()
+        problems = compare(sdf, odf)
+        assert not problems, f"{key}: {'; '.join(problems)}"
+    finally:
+        con.close()
+
+
+def test_checksum_differs_from_clean_corpus(spark, hostile_name_dir):
+    """The customer checksum must actually CHANGE when names mutate —
+    a checksum that still matches the clean corpus' value would mean
+    the hostile characters escaped the canonicalization entirely."""
+    clean = {
+        r.table_name: r.checksum
+        for r in REGISTRY["etl_publish_checksums"].fn(spark, SF_SMOKE).collect()
+    }
+    hostile = {
+        r.table_name: r.checksum
+        for r in REGISTRY["etl_publish_checksums"]
+        .fn(spark, hostile_name_dir)
+        .collect()
+    }
+    assert hostile["customer"] != clean["customer"]
+    assert hostile["orders"] == clean["orders"]  # untouched tables stable
+    assert hostile["lineitem"] == clean["lineitem"]
