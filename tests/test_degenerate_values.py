@@ -28,7 +28,12 @@ exercised —
   existing fixes, not separately pinned);
 - extreme event values (negative ×1000 / positive ×100000): the sweep
   found win_drawdown's ppm product crossing 2^63 — widened to
-  DECIMAL(38,0)/HUGEINT; the scaled-integer window family is pinned.
+  DECIMAL(38,0)/HUGEINT; the scaled-integer window family is pinned;
+- extreme timestamps (−80 y / +150 y): the sweep found Spark's
+  floor(µs/1e6) and DuckDB's truncating // splitting by ±1 s on
+  NEGATIVE epochs (and one OHLC bucket by a whole hour) — all epoch
+  floor-divisions now share exprs.sql_floor_div, exact integer FLOOR
+  semantics on both engines; the epoch-arithmetic family is pinned.
 
 The corpora are deterministic key-based rewrites of the smoke tables
 (the null/skew/corruption gate pattern).
@@ -378,3 +383,51 @@ def test_checksum_differs_from_clean_corpus(spark, hostile_name_dir):
     assert hostile["customer"] != clean["customer"]
     assert hostile["orders"] == clean["orders"]  # untouched tables stable
     assert hostile["lineitem"] == clean["lineitem"]
+
+
+EXTREME_TS_KEYS = [
+    # epoch-arithmetic keys under pre-1970 and year-2170 timestamps:
+    # the sweep found Spark's floor(us/1e6) and DuckDB's truncating //
+    # splitting by one second (and one OHLC bucket by a whole hour) on
+    # NEGATIVE epochs — all three now share exprs.sql_floor_div
+    "events_time_weighted_avg",
+    "events_ohlc_resample",
+    "events_bot_burst_audit",
+    "events_sessionize",
+    "win_time_range",
+    "stream_tumbling_counts",
+    "events_peak_concurrency",
+]
+
+
+@pytest.fixture(scope="module")
+def extreme_ts_dir():
+    out = _variant_dir(
+        "uchr_extreme_ts_corpus_",
+        "events",
+        """
+        COPY (
+          SELECT * REPLACE (
+            CASE WHEN event_id % 11 = 0 THEN ts - INTERVAL 80 YEAR
+                 WHEN event_id % 13 = 0 THEN ts + INTERVAL 150 YEAR
+                 ELSE ts END AS ts)
+          FROM read_parquet('{src}')
+        ) TO '{dst}' (FORMAT PARQUET)
+        """,
+    )
+    yield out
+    clear_caches(out)
+    shutil.rmtree(out, ignore_errors=True)
+
+
+@pytest.mark.parametrize("key", EXTREME_TS_KEYS)
+def test_key_matches_oracle_with_extreme_timestamps(key, spark, extreme_ts_dir):
+    con = oracle_connection(extreme_ts_dir)
+    try:
+        spec = REGISTRY[key]
+        sdf = spec.fn(spark, extreme_ts_dir).toPandas()
+        odf = con.sql(spec.oracle).df()
+        problems = compare(sdf, odf)
+        assert not problems, f"{key}: {'; '.join(problems)}"
+    finally:
+        con.close()

@@ -74,3 +74,23 @@ CHARGE = "(l_extendedprice * (1 - l_discount)) * (1 + l_tax)"
 
 def revenue_col() -> Column:
     return F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+
+
+def sql_floor_div(x: str, d: int, idiv: str) -> str:
+    """Engine-portable FLOOR integer division of a BIGINT expression.
+
+    Both engines' integer division TRUNCATES toward zero (Spark
+    ``div``, DuckDB ``//``), and Spark's ``floor(x / d)`` detour
+    floors but runs through a double (inexact for |x| > 2^53 — epoch
+    MICROseconds cross that in year 2255). For negative operands the
+    two spellings differ by one — the extreme-timestamp sweep measured
+    exactly that on pre-1970 epochs (an hour-shifted OHLC bucket, ±1 s
+    interval durations). This form is pure integer algebra with FLOOR
+    semantics on any input: truncating division corrected by one when
+    the remainder is negative (both engines' ``%`` follows the
+    dividend's sign). Pass idiv='div' for Spark SQL, '//' for DuckDB.
+    """
+    return (
+        f"(({x}) {idiv} {d}"
+        f" - CASE WHEN ({x}) % {d} < 0 THEN 1 ELSE 0 END)"
+    )

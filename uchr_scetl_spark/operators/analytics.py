@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..exprs import sql_floor_div
 from ..io import load
 from ..registry import query
 
@@ -899,14 +900,19 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_time_weighted_avg",
-    oracle="""
-    WITH seq AS (
+    oracle=f"""
+    WITH us AS (
       SELECT event_type, value,
-             (epoch_us(lead(ts) OVER (PARTITION BY event_type, user_id
-                                      ORDER BY ts, event_id)) // 1000000)
-               - (epoch_us(ts) // 1000000) AS dur
+             epoch_us(lead(ts) OVER (PARTITION BY event_type, user_id
+                                     ORDER BY ts, event_id)) AS a_us,
+             epoch_us(ts) AS b_us
       FROM events
       WHERE ts IS NOT NULL AND value IS NOT NULL
+    ), seq AS (
+      SELECT event_type, value,
+             {sql_floor_div('a_us', 1_000_000, '//')}
+               - {sql_floor_div('b_us', 1_000_000, '//')} AS dur
+      FROM us
     )
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_intervals,
@@ -927,10 +933,11 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines.
 
     Engine-exactness: durations are whole-second differences of
-    FLOORED epoch marks (integer µs // 1e6 on both engines — epoch()
-    of an interval vs per-timestamp unix seconds truncate sub-second
-    components differently, measured 26s drift over 3.3e8) off a
-    deterministic (ts, event_id) order; value terminates at 2
+    FLOORED epoch marks — sql_floor_div on both engines: Spark's
+    floor(µs/1e6) floors but DuckDB's // truncates, which split by
+    ±1 s on pre-1970 epochs (extreme-timestamp sweep), and the double
+    detour is inexact past 2^53 µs anyway — off a deterministic
+    (ts, event_id) order; value terminates at 2
     decimals, so value·dur is exact at DECIMAL scale 2 (summed at
     (24,2) — magnitudes: |value| ≤ ~1e2, dur ≤ weeks ≈ 1e6 s, so
     per-row products stay ≤ 1e8 and corpus sums far under the
@@ -946,19 +953,21 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").isNotNull() & F.col("value").isNotNull()
     )
     w = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
-    seq = e.select(
+    # ntz→ltz cast is numerically a no-op under the session's
+    # pinned UTC (session.py) — unix_micros rejects ntz input
+    us = e.select(
         "event_type",
         "value",
-        (
-            F.floor(
-                F.unix_micros(F.lead("ts").over(w).cast("timestamp"))
-                / 1_000_000
-            )
-            # ntz→ltz cast is numerically a no-op under the session's
-            # pinned UTC (session.py) — unix_micros rejects ntz input
-            - F.floor(
-                F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000
-            )
+        F.unix_micros(F.lead("ts").over(w).cast("timestamp")).alias("a_us"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("b_us"),
+    )
+    seq = us.select(
+        "event_type",
+        "value",
+        F.expr(
+            sql_floor_div("a_us", 1_000_000, "div")
+            + " - "
+            + sql_floor_div("b_us", 1_000_000, "div")
         ).alias("dur"),
     ).where(F.col("dur").isNotNull() & (F.col("dur") > 0))
     return seq.groupBy("event_type").agg(
@@ -974,14 +983,18 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_ohlc_resample",
-    oracle="""
-    WITH q AS (
-      SELECT event_type,
-             ((epoch_us(ts) // 1000000) // 3600) * 3600 AS bucket_s,
-             ts, event_id,
-             CAST(floor(value * 1000000) AS BIGINT) AS qv
+    oracle=f"""
+    WITH us AS (
+      SELECT event_type, ts, event_id, value, epoch_us(ts) AS t_us
       FROM events
       WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+    ), q AS (
+      SELECT event_type,
+             {sql_floor_div(sql_floor_div('t_us', 1_000_000, '//'),
+                            3600, '//')} * 3600 AS bucket_s,
+             ts, event_id,
+             CAST(floor(value * 1000000) AS BIGINT) AS qv
+      FROM us
     ), r AS (
       SELECT *,
              row_number() OVER w AS rn,
@@ -1009,8 +1022,10 @@ def events_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     a plain AVG rollup erases.
 
     Exactness: values are micro-quantized bigints (identical floor on
-    both engines), buckets are integer epoch-hour marks (epoch µs //
-    1e6 // 3600 — no timestamp types cross the compare boundary), and
+    both engines), buckets are integer epoch-hour marks computed with
+    sql_floor_div on both engines (truncating // shifted a pre-1970
+    bucket a whole hour off Spark's floor — extreme-timestamp sweep;
+    no timestamp types cross the compare boundary), and
     open/close are rank-picked (first/last by (ts, event_id)) rather
     than arg-min'd, so ties are deterministic.
 
@@ -1025,12 +1040,20 @@ def events_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("value").isNotNull()
         & F.col("event_type").isNotNull()
     )
-    q = e.select(
+    us = e.select(
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+    )
+    q = us.select(
         "event_type",
         (
-            F.floor(
-                F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
-                / 3600
+            F.expr(
+                sql_floor_div(
+                    sql_floor_div("t_us", 1_000_000, "div"), 3600, "div"
+                )
             )
             * 3600
         ).cast("long").alias("bucket_s"),
@@ -1704,10 +1727,13 @@ BOT_RATE_PPM = 28  # >= this many events-per-second ppm -> rate flag
 @query(
     "events_bot_burst_audit",
     oracle=f"""
-    WITH q AS (
-      SELECT user_id, event_id,
-             epoch_us(ts) // 1000000 AS sec
+    WITH us AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t_us
       FROM events WHERE ts IS NOT NULL
+    ), q AS (
+      SELECT user_id, event_id,
+             {sql_floor_div('t_us', 1_000_000, '//')} AS sec
+      FROM us
     ), burst AS (
       SELECT user_id, event_id, sec,
              CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY sec
@@ -1738,11 +1764,12 @@ def events_bot_burst_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold trips the is_bot flag. Downstream keys anti-join the
     flagged users out.
 
-    Exactness: the RANGE frame is over integer epoch seconds
-    (identical truncation both engines — co-timestamped rows share a
-    frame, so row order inside a second cannot matter), rates are
-    truncating integer division, and the flag is pure boolean algebra
-    over those integers.
+    Exactness: the RANGE frame is over integer epoch seconds floored
+    identically on both engines (sql_floor_div — truncation drifted
+    ±1 s on pre-1970 epochs; co-timestamped rows share a frame, so
+    row order inside a second cannot matter), rates are truncating
+    integer division over non-negative operands, and the flag is pure
+    boolean algebra over those integers.
 
     Scale design: ONE user_id exchange shared by the burst window and
     the per-user aggregation (same partition key); the range frame is
@@ -1750,10 +1777,16 @@ def events_bot_burst_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output is one row per user — the relation the anti-join
     broadcasts or co-partitions at 100 TB."""
     e = load(spark, sf_dir, "events").where(F.col("ts").isNotNull())
-    sec = (
-        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
-    ).alias("sec")
-    q = e.select("user_id", "event_id", sec)
+    us = e.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+    )
+    q = us.select(
+        "user_id",
+        "event_id",
+        F.expr(sql_floor_div("t_us", 1_000_000, "div")).alias("sec"),
+    )
     wb = (
         Window.partitionBy("user_id")
         .orderBy("sec")
