@@ -33,7 +33,11 @@ exercised —
   floor(µs/1e6) and DuckDB's truncating // splitting by ±1 s on
   NEGATIVE epochs (and one OHLC bucket by a whole hour) — all epoch
   floor-divisions now share exprs.sql_floor_div, exact integer FLOOR
-  semantics on both engines; the epoch-arithmetic family is pinned.
+  semantics on both engines; the epoch-arithmetic family is pinned;
+- NaN/Inf values: OUT of the value-domain contract, and the sweep
+  confirmed every affected key fails LOUDLY on both engines (19 keys
+  raise, zero silent hash mismatches) — the loud-failure property is
+  pinned below; negative user_ids swept clean (292 pass).
 
 The corpora are deterministic key-based rewrites of the smoke tables
 (the null/skew/corruption gate pattern).
@@ -431,3 +435,40 @@ def test_key_matches_oracle_with_extreme_timestamps(key, spark, extreme_ts_dir):
         assert not problems, f"{key}: {'; '.join(problems)}"
     finally:
         con.close()
+
+
+@pytest.fixture(scope="module")
+def nan_value_dir():
+    out = _variant_dir(
+        "uchr_nan_value_corpus_",
+        "events",
+        """
+        COPY (
+          SELECT * REPLACE (
+            CASE WHEN event_id % 31 = 0 THEN CAST('nan' AS DOUBLE)
+                 WHEN event_id % 37 = 0 THEN CAST('inf' AS DOUBLE)
+                 ELSE value END AS value)
+          FROM read_parquet('{src}')
+        ) TO '{dst}' (FORMAT PARQUET)
+        """,
+    )
+    yield out
+    clear_caches(out)
+    shutil.rmtree(out, ignore_errors=True)
+
+
+@pytest.mark.parametrize(
+    "key", ["events_cusum_alarm", "win_ewma", "events_ohlc_resample"]
+)
+def test_nonfinite_values_fail_loudly_not_silently(key, spark, nan_value_dir):
+    """NaN/Inf event values are OUT OF the value-domain contract — and
+    the full-registry sweep confirmed the failure mode is the right
+    one: every affected key RAISES (Spark's ANSI cast/multiply on the
+    quantized NaN, DuckDB's equivalent on the oracle side) instead of
+    emitting plausible wrong numbers. This test pins the loud-failure
+    property for the scaled-integer family: if a future change makes a
+    NaN flow through floor(x*1e6) into a silent result, this fails.
+    A production pipeline screens non-finite payloads at ingest (the
+    DQ-gate layer); the engine's guarantee is no silent corruption."""
+    with pytest.raises(Exception):
+        REGISTRY[key].fn(spark, nan_value_dir).toPandas()
