@@ -39,6 +39,15 @@ exercised —
   raise, zero silent hash mismatches) — the loud-failure property is
   pinned below; negative user_ids swept clean (292 pass).
 
+Beyond-the-gate clean sweeps (run at round close, not separately
+pinned — all 292/292): 100%-one-user events (every window key on one
+giant stream), 100%-one-source documents (every per-source group is
+THE group — the source-cap and mix-plan degenerate to a single
+capped/planned group), and ALL-IDENTICAL-TEXT documents (every doc
+pair is an exact near-dup: the LSH banding, connected components,
+containment/contrastive df caps, and the poisoned-negative exclusion
+all hold oracle-exact at the degenerate extreme).
+
 The corpora are deterministic key-based rewrites of the smoke tables
 (the null/skew/corruption gate pattern).
 """
