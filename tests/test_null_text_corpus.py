@@ -63,6 +63,10 @@ KEYS = [
     # round 8: the df profile shares the shingle index — NULL texts
     # must drop out of the bands, not null the whole profile
     "dedup_shingle_df_profile",
+    # round 9: long_upper must canonicalize to '' symmetrically — a
+    # NULL text NULL-propagates through split/filter/transform on both
+    # engines, so both sides coalesce the joined string (ADVICE r9)
+    "fn_array_lambda",
 ]
 
 REGISTRY = load_registry()

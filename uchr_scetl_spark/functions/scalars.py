@@ -512,12 +512,15 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE doc_id % 5 = 0
     )
     SELECT doc_id,
-           coalesce(array_to_string(
-                list_transform(list_filter(toks, x -> len(x) > 3),
-                               x -> upper(x)), ' '), '') AS long_upper,
-           CAST(list_reduce(list_prepend(0,
-                list_transform(toks, x -> len(x))), (a, b) -> a + b)
-             AS BIGINT) AS total_chars,
+           CASE WHEN toks IS NULL THEN NULL
+                ELSE coalesce(array_to_string(
+                     list_transform(list_filter(toks, x -> len(x) > 3),
+                                    x -> upper(x)), ' '), '') END
+             AS long_upper,
+           CASE WHEN toks IS NULL THEN NULL
+                ELSE CAST(list_reduce(list_prepend(0,
+                     list_transform(toks, x -> len(x))), (a, b) -> a + b)
+                  AS BIGINT) END AS total_chars,
            CAST(len(list_filter(toks, x -> x LIKE '%e%')) AS BIGINT)
              AS n_with_e
     FROM t
@@ -529,11 +532,14 @@ def fn_array_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
     the zero-shuffle way to process nested data (the explode
     alternative multiplies rows through a Generate + later re-group).
 
-    The joined string is canonicalized to '' for an empty filtered
-    list on BOTH engines: Spark's array_join([]) is '' but DuckDB's
-    array_to_string([]) is NULL — an empty-text document (one '' token,
-    nothing longer than 3 chars) hits exactly that case (empty-text
-    gate finding)."""
+    Degenerate-input contract (empty-text gate + round-9 ADVICE):
+    an EMPTY filtered list joins to '' on both engines (Spark's
+    array_join([]) is '' natively; DuckDB's array_to_string([]) is
+    NULL, coalesced oracle-side), while a NULL text NULL-propagates
+    through every column on both engines — the oracle guards both its
+    coalesce AND its list_prepend(0, ...) reduce seed with an explicit
+    `toks IS NULL` arm, because DuckDB's list_prepend(0, NULL) is [0]
+    (reduces to 0) where Spark's aggregate(NULL, ...) is NULL."""
     d = load(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
     toks = F.split("text", " ")
     return d.select(

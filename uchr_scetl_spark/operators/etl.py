@@ -1413,8 +1413,8 @@ def etl_expectations_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS INT)
              AS snap,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(COUNT(CASE WHEN o_orderkey % 2 = 1
-                           THEN o_orderstatus END) AS BIGINT)
+           CAST(COUNT(CASE WHEN o_orderkey % 2 = 0 THEN NULL
+                           ELSE o_orderstatus END) AS BIGINT)
              AS n_status_nonnull,
            CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
                 AS BIGINT) AS sum_price_cents
@@ -1440,15 +1440,21 @@ def etl_schema_evolution_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     this key tests the semantics the metastore entry must encode).
     The snap column comes from hive partition-dir names, so snapshot
     pruning stays static; the audit is one partial+final aggregate
-    over the merged scan."""
+    over the merged scan.
+
+    The split is a TOTAL partition (round-9 ADVICE): snap 1 is
+    strictly-even keys, snap 2 is everything else — including negative
+    odd keys (whose `% 2` is -1 on both engines, so an `== 1` test
+    silently drops them) and NULL keys (whose `% 2` is NULL). Both
+    engines spell it as the complement of `% 2 == 0`, so every row is
+    classified identically."""
     from ..io import scratch_dir
 
     o = load(spark, sf_dir, "orders")
     out = scratch_dir("uchr_schema_evo_")
-    v1 = o.where(F.col("o_orderkey") % 2 == 0).select(
-        "o_orderkey", "o_custkey", "o_totalprice"
-    )
-    v2 = o.where(F.col("o_orderkey") % 2 == 1).select(
+    even = F.col("o_orderkey") % 2 == 0
+    v1 = o.where(even).select("o_orderkey", "o_custkey", "o_totalprice")
+    v2 = o.where(~F.coalesce(even, F.lit(False))).select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
     )
     v1.write.mode("overwrite").parquet(f"{out}/snap=1")

@@ -287,8 +287,13 @@ def _exactly_once_dir(spark: SparkSession, sf_dir: str) -> str:
         e = load(spark, sf_dir, "events").select(
             "event_id", "event_type", "value"
         )
-        b0 = e.where(F.col("event_id") % 2 == 0)
-        b1 = e.where(F.col("event_id") % 2 == 1)
+        # TOTAL partition (round-9 sweep): `% 2 == 1` silently drops
+        # negative-odd (remainder -1) and NULL event_ids from BOTH
+        # batches, losing rows the all-events oracle still counts —
+        # batch 1 is the complement of batch 0, so every row ships.
+        even = F.col("event_id") % 2 == 0
+        b0 = e.where(even)
+        b1 = e.where(~F.coalesce(even, F.lit(False)))
         sink(b0, 0)
         sink(b0, 0)  # redelivered batch — must be a no-op
         sink(b1, 1)
