@@ -3,12 +3,15 @@
 Every docstring in the repo that says "order-insensitive" or
 "bit-reproducible at any parallelism" makes the same promise: the
 result must not depend on how the data is partitioned. This test runs
-a cross-section of shuffle-heavy keys under a DIFFERENT
-spark.sql.shuffle.partitions (7 — coprime with the default, odd, and
-small enough to force multi-key partitions) and requires results
-bit-identical to the default-config run. Float sums that ride
-IEEE-addition would fail this; the decimal/integer formulations the
-engine uses must not."""
+a cross-section of shuffle-heavy keys under DIFFERENT
+spark.sql.shuffle.partitions values — 7 (coprime with the default,
+odd, and small enough to force multi-key partitions) and 1 (the
+degenerate everything-in-one-task layout, a distinct failure mode:
+code that accidentally relies on intra-partition arrival order can
+pass at 7 and diverge at 1, where EVERY row arrives in one scan
+order) — and requires results bit-identical to the default-config
+run. Float sums that ride IEEE-addition would fail this; the
+decimal/integer formulations the engine uses must not."""
 
 from __future__ import annotations
 
@@ -158,14 +161,26 @@ def _rows(spark, key):
     )
 
 
+# default-config rows per key, computed once and shared by the 7- and
+# 1-partition parametrizations (halves the sweep's Spark work)
+_baseline_cache: dict[str, list] = {}
+
+
+def _baseline(spark, key):
+    if key not in _baseline_cache:
+        _baseline_cache[key] = _rows(spark, key)
+    return _baseline_cache[key]
+
+
+@pytest.mark.parametrize("nparts", ["7", "1"])
 @pytest.mark.parametrize("key", KEYS)
-def test_result_invariant_under_partition_count(spark, key):
-    baseline = _rows(spark, key)
+def test_result_invariant_under_partition_count(spark, key, nparts):
+    baseline = _baseline(spark, key)
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        spark.conf.set("spark.sql.shuffle.partitions", nparts)
         assert _rows(spark, key) == baseline, (
-            f"{key} changed results under shuffle.partitions=7"
+            f"{key} changed results under shuffle.partitions={nparts}"
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)

@@ -1135,3 +1135,31 @@ def test_schema_evolution_merged_scan_is_one_pass(spark):
     assert "o_orderstatus" in plan, plan
     assert plan.count("HashAggregate") >= 2, plan
     assert "Join" not in plan, plan
+
+
+def test_observe_metrics_rides_the_single_scan(spark):
+    """etl_observe_metrics: the telemetry must be a CollectMetrics
+    node ON the load's one scan — zero extra scan, zero shuffle, no
+    aggregate operator (accumulator-based), with the status filter
+    still pushed into the scan beneath it."""
+    from uchr_scetl_spark.operators.etl import observed_orders_load
+
+    observed, _obs = observed_orders_load(spark, SF_SMOKE)
+    plan = observed._jdf.queryExecution().executedPlan().toString()
+    assert "CollectMetrics" in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Exchange" not in plan, plan
+    assert "HashAggregate" not in plan, plan
+    assert "PushedFilters" in plan, plan
+
+
+def test_sql_pipe_syntax_lowers_to_classic_plan(spark):
+    """sql_pipe_syntax: pipes are pure surface syntax — the chain must
+    lower to ONE partial+final aggregate over the pushed-down filtered
+    scan with a bounded TakeOrdered tail, exactly the classic form's
+    plan (no per-stage materialization, no extra exchange)."""
+    plan = plan_of(spark, "sql_pipe_syntax")
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert "PushedFilters" in plan, plan

@@ -1471,3 +1471,79 @@ def etl_schema_evolution_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
         ).alias("sum_price_cents"),
     )
+
+
+def observed_orders_load(spark: SparkSession, sf_dir: str):
+    """The observed single-pass load behind etl_observe_metrics,
+    exposed so the plan test can assert the CollectMetrics node sits
+    on the ONE scan. Returns (observed_df, Observation)."""
+    from pyspark.sql import Observation
+
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") != "P")
+    obs = Observation()
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("o_custkey").isNull()).alias("n_null_cust"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+        ).alias("sum_price_cents"),
+        F.count_if(F.col("o_totalprice") <= 0).alias("n_nonpositive"),
+    )
+    return observed, obs
+
+
+@query(
+    "etl_observe_metrics",
+    oracle="""
+    SELECT 'orders_load' AS pipeline,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+             AS n_null_cust,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_price_cents,
+           CAST(COUNT(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT)
+             AS n_nonpositive
+    FROM orders
+    WHERE o_orderstatus <> 'P'
+    """,
+)
+def etl_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass pipeline telemetry via ``df.observe`` — the production
+    observability surface the DQ keys (etl_dq_audit,
+    etl_expectations_suite) deliberately do NOT use: those recompute
+    their counters as a second aggregate over the source, while a real
+    load wants row counts / null counts / money totals harvested from
+    the SAME pass that writes the sink, for free. Here the observed
+    load writes the filtered orders to a parquet scratch sink (the
+    real action), the Observation rides that job's accumulators, and
+    the returned one-row DataFrame is built from the harvested values
+    — the oracle recomputes every metric from the source, so a metric
+    that missed rows (observe placed above the filter, a lost
+    accumulator update, a second scan drifting from the first) hash-
+    mismatches.
+
+    Scale notes: CollectMetrics is accumulator-based — zero extra
+    scan, zero shuffle, constant driver memory (one struct per task),
+    which is why observe beats a recompute at 100 TB where the second
+    pass would double the job's IO. The sink write is the pipeline's
+    own action, not instrumentation overhead."""
+    observed, obs = observed_orders_load(spark, sf_dir)
+    out = scratch_dir("uchr_observe_")
+    observed.write.mode("overwrite").parquet(out)
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                "orders_load",
+                m["n_rows"],
+                m["n_null_cust"],
+                m["sum_price_cents"],
+                m["n_nonpositive"],
+            )
+        ],
+        schema=(
+            "pipeline string, n_rows bigint, n_null_cust bigint, "
+            "sum_price_cents bigint, n_nonpositive bigint"
+        ),
+    )

@@ -159,3 +159,55 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     here is the one to copy."""
     load(spark, sf_dir, "part").createOrReplaceTempView("sql_part")
     return spark.sql(_RECURSIVE_SQL.format(part="sql_part"))
+
+
+# Spark 4.1 SQL pipe syntax (SPARK-49555): each |> stage is one
+# relational operator applied to the previous result, in reading
+# order. DuckDB has no pipe operator, so the oracle is the equivalent
+# UNPIPED text — the key checks that the piped plan computes exactly
+# the classic-SQL semantics (WHERE → EXTEND → AGGREGATE..GROUP BY →
+# post-aggregate WHERE (the HAVING position) → ORDER BY → LIMIT).
+_PIPE_SQL = """
+FROM {orders}
+|> WHERE o_orderstatus <> 'P'
+|> EXTEND CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+|> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(price_cents) AS BIGINT) AS cents
+   GROUP BY o_orderpriority
+|> WHERE n_orders > 1
+|> ORDER BY o_orderpriority
+|> LIMIT 3
+"""
+
+_PIPE_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents
+FROM orders
+WHERE o_orderstatus <> 'P'
+GROUP BY o_orderpriority
+HAVING COUNT(*) > 1
+ORDER BY o_orderpriority
+LIMIT 3
+"""
+
+
+@query("sql_pipe_syntax", oracle=_PIPE_ORACLE)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax through ``spark.sql`` — Spark 4.1's linear
+    query form (availability probed live in this image: 4.1.2 parses
+    and runs `FROM t |> WHERE … |> AGGREGATE …`). The oracle is the
+    same query in classic SQL, so the key pins the semantic identity
+    piped-stage-chain == WHERE/GROUP BY/HAVING/ORDER BY/LIMIT — the
+    contract an analyst migrating queries between the two forms
+    relies on.
+
+    Scale notes: pipes are pure surface syntax — Catalyst lowers each
+    stage onto the same logical operators as the classic form, so the
+    plan is one partial+final aggregate over the filtered scan with
+    the status predicate pushed down; the money sum rides exact
+    integer cents (the floor+0.5 quantization every decimal sum in
+    the repo uses)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("sql_pipe_orders")
+    return spark.sql(_PIPE_SQL.format(orders="sql_pipe_orders"))
