@@ -904,7 +904,7 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH us AS (
       SELECT event_type, value,
              epoch_us(lead(ts) OVER (PARTITION BY event_type, user_id
-                                     ORDER BY ts, event_id)) AS a_us,
+                                     ORDER BY ts, event_id, value)) AS a_us,
              epoch_us(ts) AS b_us
       FROM events
       WHERE ts IS NOT NULL AND value IS NOT NULL
@@ -942,7 +942,11 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (24,2) — magnitudes: |value| ≤ ~1e2, dur ≤ weeks ≈ 1e6 s, so
     per-row products stay ≤ 1e8 and corpus sums far under the
     decimal→double 2^53 exactness edge); one deterministic double
-    division at the end.
+    division at the end. The stream order tiebreaks on (ts, event_id,
+    value): duplicated event_ids sharing one ts (at-least-once
+    ingestion, round-9 sweep) otherwise leave WHICH payload carries
+    the interval engine-dependent — with value in the key the order
+    is total, and rows identical in all three are interchangeable.
 
     Scale design: one shuffle on (event_type, user_id) for the lead
     window (per-stream ordering — the partition key every event-time
@@ -952,7 +956,9 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").where(
         F.col("ts").isNotNull() & F.col("value").isNotNull()
     )
-    w = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("event_type", "user_id").orderBy(
+        "ts", "event_id", "value"
+    )
     # ntz→ltz cast is numerically a no-op under the session's
     # pinned UTC (session.py) — unix_micros rejects ntz input
     us = e.select(
@@ -1001,7 +1007,7 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
              COUNT(*) OVER (PARTITION BY event_type, bucket_s) AS n_part
       FROM q
       WINDOW w AS (PARTITION BY event_type, bucket_s
-                   ORDER BY ts, event_id)
+                   ORDER BY ts, event_id, qv)
     )
     SELECT event_type, bucket_s,
            MAX(CASE WHEN rn = 1 THEN qv END) AS open_micro,
@@ -1026,8 +1032,11 @@ def events_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql_floor_div on both engines (truncating // shifted a pre-1970
     bucket a whole hour off Spark's floor — extreme-timestamp sweep;
     no timestamp types cross the compare boundary), and
-    open/close are rank-picked (first/last by (ts, event_id)) rather
-    than arg-min'd, so ties are deterministic.
+    open/close are rank-picked (first/last by (ts, event_id, qv))
+    rather than arg-min'd, so ties are deterministic — including the
+    duplicated-event shape (same event_id AND ts, different payload:
+    round-9 sweep) where the (ts, event_id) prefix alone left the
+    open/close pick engine-dependent.
 
     Scale design: ONE exchange on (event_type, bucket_s) — the
     row_number and partition-count windows and the final aggregation
@@ -1061,7 +1070,9 @@ def events_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.floor(F.col("value") * 1_000_000).cast("long").alias("qv"),
     )
-    w = Window.partitionBy("event_type", "bucket_s").orderBy("ts", "event_id")
+    w = Window.partitionBy("event_type", "bucket_s").orderBy(
+        "ts", "event_id", "qv"
+    )
     wp = Window.partitionBy("event_type", "bucket_s")
     r = q.select(
         "event_type",
@@ -2680,16 +2691,16 @@ CUSUM_H_MULT = 16  # alarm threshold = 16·S (in the 4n-scaled units
              CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
       FROM e
     ), p AS (
-      SELECT user_id, ts, event_id, s, n,
+      SELECT user_id, ts, event_id, x, s, n,
              SUM(4 * n * x - 5 * s) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id) AS pi,
+               PARTITION BY user_id ORDER BY ts, event_id, x) AS pi,
              row_number() OVER (
-               PARTITION BY user_id ORDER BY ts, event_id) AS rn
+               PARTITION BY user_id ORDER BY ts, event_id, x) AS rn
       FROM st
     ), c AS (
       SELECT user_id, n, rn,
              pi - LEAST(0, MIN(pi) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id)) AS ci,
+               PARTITION BY user_id ORDER BY ts, event_id, x)) AS ci,
              {CUSUM_H_MULT} * s AS h
       FROM p
     )
@@ -2728,13 +2739,18 @@ def events_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     first_alarm_rn is the stream-order row number of the earliest
     alarm (NULL for quiet streams) — rank, not event_id, so the
-    output is deterministic under ts ties."""
+    output is deterministic under ts ties. Stream order tiebreaks on
+    (ts, event_id, x): duplicated event_ids sharing one ts (round-9
+    sweep) otherwise made the whole prefix-sum sequence — and so the
+    alarm set — depend on which payload the engine happened to order
+    first; rows identical in all three are interchangeable (equal
+    terms commute inside the prefix sum)."""
     e = load(spark, sf_dir, "events").where(F.col("value").isNotNull()).select(
         "user_id", "ts", "event_id",
         F.expr("CAST(floor(value * 1000000) AS BIGINT)").alias("x"),
     )
     part = Window.partitionBy("user_id")
-    ordered = part.orderBy("ts", "event_id")
+    ordered = part.orderBy("ts", "event_id", "x")
     run = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     st = e.select(
         "user_id", "ts", "event_id", "x",
@@ -2757,7 +2773,7 @@ def events_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).over(run).alias("pi"),
         F.row_number().over(ordered).alias("rn"),
-        "ts", "event_id",
+        "ts", "event_id", "x",
     )
     c = p.select(
         "user_id", "n", "rn",

@@ -128,12 +128,23 @@ def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
            lead(event_type) OVER w AS next_type,
            value - lag(value) OVER w AS delta
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY ts, event_id,
+                          value NULLS FIRST, event_type NULLS FIRST)
     """,
 )
 def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream order tiebreaks through the full payload the window
+    reads (ts, event_id, value, event_type — NULLS FIRST on both
+    engines, Spark's ASC default): duplicated event_ids sharing one
+    ts (at-least-once ingestion, round-9 sweep) otherwise leave
+    lag/lead assignment engine-dependent; rows identical in all four
+    are interchangeable in the output multiset."""
     e = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        "ts", "event_id", F.col("value").asc_nulls_first(),
+        F.col("event_type").asc_nulls_first(),
+    )
     return e.select(
         "user_id",
         "event_id",
@@ -393,7 +404,8 @@ def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id, event_id, value,
            median(value) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id
+             PARTITION BY user_id
+             ORDER BY ts, event_id, value NULLS FIRST
              ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS med5
     FROM events
     """,
@@ -410,9 +422,12 @@ def win_median_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelism; even-count frames (partition edges) interpolate the
     two middle values identically in both engines."""
     e = load(spark, sf_dir, "events")
+    # value joins the tiebreak (NULLS FIRST both engines): under a
+    # duplicated (ts, event_id) pair the ±2 frame each dup row sees
+    # otherwise depends on which one the engine ordered first
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy("ts", "event_id", F.col("value").asc_nulls_first())
         .rowsBetween(-2, 2)
     )
     vals = F.array_sort(F.collect_list("value").over(w))
@@ -455,7 +470,8 @@ def _ewma_oracle() -> str:
                 THEN CAST(({num}) // ({den}) AS BIGINT)
            END AS ewma_micro
     FROM q
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY ts, event_id, qv NULLS FIRST)
     """
 
 
@@ -485,7 +501,12 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").withColumn(
         "qv", F.floor(F.col("value") * 1000000).cast("bigint")
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # qv joins the tiebreak (NULLS FIRST both engines) so duplicated
+    # (ts, event_id) rows with different payloads enter the lag frame
+    # in a defined order (round-9 duplicate-event sweep)
+    w = Window.partitionBy("user_id").orderBy(
+        "ts", "event_id", F.col("qv").asc_nulls_first()
+    )
     num = sum(
         (
             F.coalesce(F.lag("qv", i).over(w) * F.lit(wt), F.lit(0))
@@ -527,10 +548,12 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE value IS NOT NULL
     ), r AS (
       SELECT user_id, event_id, qv,
-             MAX(qv) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             MAX(qv) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id, qv
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS peak,
-             MAX(qv) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             MAX(qv) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id, qv
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - qv
                AS drawdown
       FROM q
@@ -564,9 +587,12 @@ def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.floor(F.col("value") * 1_000_000).cast("long").alias("qv"),
     )
+    # qv joins the tiebreak: under a duplicated (ts, event_id) pair
+    # each dup row's RUNNING peak otherwise depends on engine order
+    # (round-9 duplicate-event sweep); value is filtered non-null here
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy("ts", "event_id", "qv")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     r = q.select(
@@ -602,7 +628,8 @@ ROLL_OLS_SCALE = 1000  # slope unit: milli-micro-value per stream step
     ), r AS (
       SELECT user_id, ts, event_id, y,
              CAST(row_number() OVER (
-               PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS x
+               PARTITION BY user_id ORDER BY ts, event_id, y)
+               AS BIGINT) AS x
       FROM e
     ), s AS (
       SELECT user_id, x, event_id,
@@ -612,7 +639,7 @@ ROLL_OLS_SCALE = 1000  # slope unit: milli-micro-value per stream step
              CAST(SUM(x * y) OVER w AS BIGINT)    AS sxy,
              CAST(SUM(x * x) OVER w AS BIGINT)    AS sxx
       FROM r
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id, y
                    ROWS BETWEEN {ROLL_OLS_W - 1} PRECEDING AND CURRENT ROW)
     )
     SELECT user_id, x AS rn, event_id,
@@ -659,7 +686,11 @@ def win_rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_id",
         F.expr("CAST(floor(value * 1000000) AS BIGINT)").alias("y"),
     )
-    ordered = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # y joins the tiebreak: duplicated (ts, event_id) rows otherwise
+    # take engine-dependent stream positions x, moving every rolling
+    # sufficient statistic (round-9 duplicate-event sweep); y is
+    # non-null here (value filtered)
+    ordered = Window.partitionBy("user_id").orderBy("ts", "event_id", "y")
     r = e.select(
         "user_id", "ts", "event_id", "y",
         F.row_number().over(ordered).cast("bigint").alias("x"),

@@ -149,22 +149,40 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stream_dedup",
     oracle="""
-    SELECT DISTINCT event_id, ts, user_id, event_type, value
-    FROM (SELECT event_id, ts, user_id, event_type, value FROM events
-          UNION ALL
-          SELECT event_id, ts, user_id, event_type, value FROM events)
+    SELECT event_id, ts, user_id, event_type, value FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY event_id
+        ORDER BY ts NULLS FIRST, user_id NULLS FIRST,
+                 event_type NULLS FIRST, value NULLS FIRST) AS rn
+      FROM (SELECT event_id, ts, user_id, event_type, value FROM events
+            UNION ALL
+            SELECT event_id, ts, user_id, event_type, value FROM events)
+    ) WHERE rn = 1
     """,
 )
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-event elimination: a doubled stream collapses back to
-    one row per event_id (full-row duplicates, so dropDuplicates is
-    value-deterministic). Streaming mirror:
-    ``dropDuplicatesWithinWatermark``."""
+    one row per event_id. The survivor pick is the lexicographic
+    struct-MIN over the payload (NULL fields smallest, probed equal to
+    the oracle's NULLS FIRST row_number) — NOT dropDuplicates, whose
+    pick is arrival-order nondeterministic the moment two rows share
+    an event_id but differ in payload (the at-least-once reality the
+    round-9 duplicate-event sweep planted: same event_id, same ts,
+    different value — dropDuplicates returned whichever landed first).
+    Streaming mirror: ``dropDuplicatesWithinWatermark``.
+
+    Scale notes: min(struct) is an ordinary aggregate — partial
+    (map-side) combine then one exchange on event_id, same shuffle
+    shape as dropDuplicates but with a defined winner."""
     e = load(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
     doubled = e.unionByName(e)
-    return doubled.dropDuplicates(["event_id"])
+    return (
+        doubled.groupBy("event_id")
+        .agg(F.min(F.struct("ts", "user_id", "event_type", "value")).alias("s"))
+        .select("event_id", "s.ts", "s.user_id", "s.event_type", "s.value")
+    )
 
 
 @query(
