@@ -963,9 +963,22 @@ def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouping and equality that ignore case WITHOUT rewriting every
     expression through lower() — the collation travels with the type,
     so comparisons, joins and aggregations all honor it. DuckDB has
-    no column collations, so the oracle expresses the identical
-    semantics via lower(); the output normalises the group key to
-    lowercase for cross-engine comparability."""
+    no column collations, so the oracle expresses the semantics via
+    lower(); the output normalises the group key to lowercase for
+    cross-engine comparability.
+
+    Contract scope (round-9 unicode-fold sweep, pinned in
+    tests/test_unicode_fold_corpus.py): the oracle equality holds for
+    SIMPLE-FOLD text — ASCII and accented Latin, where both engines'
+    lower() agree — which covers every driver corpus. Outside it the
+    engines' case mappings genuinely differ and no DuckDB built-in
+    bridges them: UTF8_LCASE lowercases İ (U+0130) to i+combining-dot
+    so İstanbul ≠ istanbul, while DuckDB's lower() maps İ → i and
+    MERGES the pair; Spark's lower() applies the contextual final-ς
+    rule, DuckDB's does not; and neither side full-case-folds (ß stays
+    apart from SS on both — consistent). The hazard classes are pinned
+    as Spark-side semantic assertions plus an explicit divergence
+    tripwire in the gate."""
     c = load(spark, sf_dir, "customer")
     ci = F.expr("c_mktsegment COLLATE UTF8_LCASE")
     return (
