@@ -112,6 +112,11 @@ def test_dq_audit_counters_all_fire_and_match(spark, corrupted_dir, corrupted_or
         # table carries real violations (NULLs, negatives, duplicates)
         "etl_upsert_snapshot",
         "etl_schema_evolution_audit",
+        # round 9: observe-metrics must count the corrupted rows the
+        # same way the oracle recomputes them (NULL custkeys hit the
+        # null counter, negative prices the nonpositive counter)
+        "etl_observe_metrics",
+        "sql_pipe_syntax",
         "etl_snapshot_diff",
         "agg_groupby",
         "join_left_outer",

@@ -146,6 +146,10 @@ KEYS = [
     # round 8 (cont.): merged-schema snapshot audit — cents sums and
     # NULL-fill must not depend on file/partition layout
     "etl_schema_evolution_audit",
+    # round 9: observe-metrics accumulators must sum to the same
+    # values whatever the task layout; the piped aggregate likewise
+    "etl_observe_metrics",
+    "sql_pipe_syntax",
 ]
 
 

@@ -463,15 +463,27 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS t FROM documents
     ),
+    words AS (
+      -- parallel UNNESTs zip; a correlated t[i] / list-slice per
+      -- unnested row copies the WHOLE list per gram (O(len²) per doc:
+      -- 216 s for one 100k-token document, round-9 giant-doc sweep) —
+      -- the window form is linear
+      SELECT doc_id, UNNEST(t) AS w,
+             UNNEST(generate_series(1, len(t))) AS i
+      FROM toks
+    ),
     grams AS (
-      SELECT doc_id, array_to_string(t[i.i : i.i + 2], ' ') AS g
-      FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS i(i)
+      SELECT doc_id,
+             w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+               AS g
+      FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY i)
     ),
     bench AS (
-      SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0
+      SELECT DISTINCT g FROM grams WHERE g IS NOT NULL AND doc_id % 50 = 0
     ),
     corp AS (
-      SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 50 <> 0
+      SELECT DISTINCT doc_id, g FROM grams
+      WHERE g IS NOT NULL AND doc_id % 50 <> 0
     )
     SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
     FROM corp c JOIN bench b ON c.g = b.g
@@ -526,9 +538,19 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
       SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), words AS (
+      -- linear gram build (parallel UNNEST + lead window); the
+      -- correlated t[g.i] form copies the list per row, O(len²) per
+      -- doc (round-9 giant-doc sweep)
+      SELECT doc_id, UNNEST(t) AS w,
+             UNNEST(generate_series(1, len(t))) AS i
+      FROM t
     ), pairs AS (
-      SELECT doc_id, t[g.i] AS w1, t[g.i + 1] AS w2
-      FROM t, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+      SELECT doc_id, w1, w2 FROM (
+        SELECT doc_id, w AS w1,
+               lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+        FROM words
+      ) WHERE w2 IS NOT NULL
     ), cb AS (
       SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb FROM pairs GROUP BY 1, 2
     ), cu AS (
@@ -675,8 +697,12 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS t FROM documents
     ), grams AS (
+      -- single-index concat, NOT array_to_string(t[i : i+2]): a list
+      -- SLICE inside the comprehension copies O(len) per element —
+      -- quadratic per doc, 227 s for one 100k-token document in the
+      -- round-9 giant-doc sweep; t[i] element access is O(1)
       SELECT doc_id,
-             [array_to_string(t[i : i + 2], ' ')
+             [t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
               for i in generate_series(1, len(t) - 2)] AS g
       FROM toks WHERE len(t) >= 3
     )
@@ -718,9 +744,13 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.size("g") - F.size(F.array_distinct("g")))
             .cast("bigint")
             .alias("n_dup_grams"),
+            # the dup count must widen BEFORE the ppm multiply:
+            # size() is INT, and one ~100k-gram document (round-9
+            # giant-doc sweep) pushes dup·1e6 past 2^31 — ANSI Spark
+            # threw where DuckDB's BIGINT len() answered
             F.expr(
-                "CAST(((size(g) - size(array_distinct(g))) * 1000000)"
-                " DIV size(g) AS BIGINT)"
+                "CAST((CAST(size(g) - size(array_distinct(g)) AS BIGINT)"
+                " * 1000000) DIV size(g) AS BIGINT)"
             ).alias("dup_ppm"),
         )
     )
@@ -736,11 +766,18 @@ SPAN_W = 3  # tokens per non-overlapping span
       SELECT doc_id, string_split(text, ' ') AS t,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n
       FROM documents
+    ), words AS (
+      -- linear span build (parallel UNNEST + ordered string_agg per
+      -- span index); the correlated list-slice form copies the list
+      -- per span, O(len²) per doc (round-9 giant-doc sweep)
+      SELECT doc_id, n, UNNEST(t) AS w,
+             UNNEST(generate_series(1, n)) AS i
+      FROM t
     ), spans AS (
-      SELECT doc_id, n,
-             array_to_string(
-               t[(s.i - 1) * {SPAN_W} + 1 : s.i * {SPAN_W}], ' ') AS span
-      FROM t, UNNEST(generate_series(1, n // {SPAN_W})) AS s(i)
+      SELECT doc_id, n, string_agg(w, ' ' ORDER BY i) AS span
+      FROM words
+      WHERE i <= (n // {SPAN_W}) * {SPAN_W}
+      GROUP BY doc_id, n, (i - 1) // {SPAN_W}
     ), df AS (
       SELECT span, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
       FROM spans GROUP BY span
@@ -1194,11 +1231,22 @@ COOC_TOPK = 50
              CAST(generate_subscripts(ts, 1) AS INT) AS i
       FROM toks
     ),
+    probes AS (
+      SELECT doc_id, tok, i + ds.d AS j
+      FROM pos
+      CROSS JOIN (SELECT UNNEST(generate_series(1, {COOC_WINDOW})) AS d) ds
+    ),
     pairs AS (
+      -- plain-column composite equi-join on (doc_id, j=i): the
+      -- i-window form hash-joins on doc_id alone and post-filters,
+      -- pairing each doc with itself first — quadratic per doc (one
+      -- 100k-token document makes 10^10 candidates; 42 s, and 349 s
+      -- when the offset is computed INSIDE the join condition —
+      -- round-9 giant-doc sweep); materialising j makes it a linear
+      -- tokens x window probe (0.5 s)
       SELECT least(p1.tok, p2.tok) AS a, greatest(p1.tok, p2.tok) AS b
-      FROM pos p1 JOIN pos p2
-        ON p1.doc_id = p2.doc_id
-       AND p2.i > p1.i AND p2.i <= p1.i + {COOC_WINDOW}
+      FROM probes p1 JOIN pos p2
+        ON p1.doc_id = p2.doc_id AND p2.i = p1.j
     ),
     counted AS (
       SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_cooc FROM pairs GROUP BY a, b
@@ -1339,10 +1387,15 @@ def text_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE len(string_split(text, ' ')) >= 3
     ),
     grams AS (
+      -- single-index concat, NOT array_to_string(toks[i:i+2]): the
+      -- in-lambda list SLICE copies O(len) per gram — quadratic per
+      -- doc, 467 s for one 100k-token document (round-9 giant-doc
+      -- sweep); element access is O(1)
       SELECT doc_id,
              unnest(list_distinct(list_transform(
                range(1, len(toks) - 1),
-               i -> array_to_string(toks[i:i+2], ' ')))) AS g
+               i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])))
+               AS g
       FROM t
     ),
     firsts AS (SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g)
