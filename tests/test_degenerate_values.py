@@ -481,3 +481,71 @@ def test_nonfinite_values_fail_loudly_not_silently(key, spark, nan_value_dir):
     DQ-gate layer); the engine's guarantee is no silent corruption."""
     with pytest.raises(Exception):
         REGISTRY[key].fn(spark, nan_value_dir).toPandas()
+
+
+NEGATIVE_KEY_KEYS = [
+    # round-9 negative-key sweep (odd o_orderkey/l_orderkey negated
+    # consistently across the FK, odd event_ids negated): the sweep
+    # found scan_text_lines' unsigned \d+ regex rejecting "-123|..."
+    # lines with ANSI cast('') then THROWING — pinned here with the
+    # parity-split keys the round-9 ADVICE flagged (remainder -1 vs 1)
+    # and a join/window/agg cross-section over the negated keys
+    "scan_text_lines",
+    "etl_schema_evolution_audit",
+    "stream_exactly_once_sink",
+    "tpch_q3",
+    "join_inner_equi",
+    "agg_groupby",
+    "win_lag_lead",
+    "events_sessionize",
+    "etl_upsert_snapshot",
+]
+
+
+@pytest.fixture(scope="module")
+def negative_key_dir():
+    import duckdb
+
+    out = tempfile.mkdtemp(prefix="uchr_negative_key_corpus_")
+    reps = {
+        "orders": (
+            "CASE WHEN o_orderkey % 2 = 1 THEN -o_orderkey "
+            "ELSE o_orderkey END AS o_orderkey"
+        ),
+        "lineitem": (
+            "CASE WHEN l_orderkey % 2 = 1 THEN -l_orderkey "
+            "ELSE l_orderkey END AS l_orderkey"
+        ),
+        "events": (
+            "CASE WHEN event_id % 2 = 1 THEN -event_id "
+            "ELSE event_id END AS event_id"
+        ),
+    }
+    con = duckdb.connect()
+    for t in TABLES:
+        src = f"{SF_SMOKE}/{t}.parquet"
+        dst = f"{out}/{t}.parquet"
+        if t in reps:
+            con.execute(
+                f"COPY (SELECT * REPLACE ({reps[t]}) "
+                f"FROM read_parquet('{src}')) TO '{dst}' (FORMAT PARQUET)"
+            )
+        else:
+            shutil.copyfile(src, dst)
+    con.close()
+    yield out
+    clear_caches(out)
+    shutil.rmtree(out, ignore_errors=True)
+
+
+@pytest.mark.parametrize("key", NEGATIVE_KEY_KEYS)
+def test_key_matches_oracle_with_negative_keys(key, spark, negative_key_dir):
+    con = oracle_connection(negative_key_dir)
+    try:
+        spec = REGISTRY[key]
+        sdf = spec.fn(spark, negative_key_dir).toPandas()
+        odf = con.sql(spec.oracle).df()
+        problems = compare(sdf, odf)
+        assert not problems, f"{key}: {'; '.join(problems)}"
+    finally:
+        con.close()

@@ -584,6 +584,13 @@ AUDITS: dict[str, tuple[str, list[str]]] = {
         "join.",
         [r"Scan parquet", r"HashAggregate"],
     ),
+    "sql_pipe_syntax": (
+        "SQL pipe syntax: the |> chain lowers to the classic form's "
+        "plan - one partial+final aggregate over the pushed-down "
+        "filtered scan with a bounded TakeOrdered tail; pipes add "
+        "zero physical operators.",
+        [r"HashAggregate", r"TakeOrderedAndProject", r"PushedFilters"],
+    ),
 }
 
 

@@ -380,12 +380,24 @@ def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = scratch_dir("uchr_textlines_")
     src.write.mode("overwrite").text(out)
     lines = spark.read.text(out)
-    pat = r"^(\d+)\|(\d+)\|([A-Z])\|([0-9.]+)$"
+    # sign-aware pattern (round-9 negative-key sweep: an unsigned \d+
+    # rejected "-123|..." lines, and ANSI cast('') then THREW — a log
+    # parser must accept signed ids); nullif('') keeps a genuinely
+    # malformed line NULL-quarantined instead of failing the job
+    pat = r"^(-?\d+)\|(-?\d+)\|([A-Z])\|(-?[0-9.]+)$"
     return lines.select(
-        F.regexp_extract("value", pat, 1).cast("bigint").alias("o_orderkey"),
-        F.regexp_extract("value", pat, 2).cast("bigint").alias("o_custkey"),
-        F.regexp_extract("value", pat, 3).alias("o_orderstatus"),
-        F.regexp_extract("value", pat, 4).cast("double").alias("o_totalprice"),
+        F.nullif(F.regexp_extract("value", pat, 1), F.lit(""))
+        .cast("bigint")
+        .alias("o_orderkey"),
+        F.nullif(F.regexp_extract("value", pat, 2), F.lit(""))
+        .cast("bigint")
+        .alias("o_custkey"),
+        F.nullif(F.regexp_extract("value", pat, 3), F.lit("")).alias(
+            "o_orderstatus"
+        ),
+        F.nullif(F.regexp_extract("value", pat, 4), F.lit(""))
+        .cast("double")
+        .alias("o_totalprice"),
     )
 
 
