@@ -150,6 +150,8 @@ KEYS = [
     # values whatever the task layout; the piped aggregate likewise
     "etl_observe_metrics",
     "sql_pipe_syntax",
+    # round 9 (cont.): the struct-MIN survivor pick must be layout-free
+    "dedup_doc_ids",
 ]
 
 

@@ -1163,3 +1163,18 @@ def test_sql_pipe_syntax_lowers_to_classic_plan(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert plan.count("Scan parquet") == 1, plan
     assert "PushedFilters" in plan, plan
+
+
+def test_dedup_doc_ids_is_a_partial_aggregate(spark):
+    """dedup_doc_ids: the struct-MIN survivor pick must be an ordinary
+    partial+final aggregate on doc_id — a map-side partial_min, ONE
+    exchange, and no Window (a row_number pick would rank-sort whole
+    partitions and cannot combine map-side). Struct min lowers to
+    SortAggregate (struct comparisons aren't hash-aggregatable); its
+    Sort nodes are per-partition key sorts feeding the combine, not a
+    global sort."""
+    plan = plan_of(spark, "dedup_doc_ids")
+    assert "partial_min" in plan, plan
+    assert plan.count("SortAggregate") >= 2, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" not in plan, plan

@@ -1290,3 +1290,43 @@ def dedup_shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_pair_candidates"),
         F.max("df").cast("bigint").alias("max_df"),
     )
+
+
+@query(
+    "dedup_doc_ids",
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id
+        ORDER BY text NULLS FIRST, lang NULLS FIRST,
+                 source NULLS FIRST, n_chars NULLS FIRST) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def dedup_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-ID dedup — the documents twin of stream_dedup and the
+    declared INGEST step for corpora that violate the doc_id key
+    contract (re-crawls and shard overlaps re-emit an id with changed
+    text; the round-9 duplicate-doc_id sweep showed 9 downstream keys
+    — the whole shingle-index family plus per-doc aggregates — split
+    between engines once two different texts share one id, because
+    "a document" stops being well-defined). One row per doc_id
+    survives, picked by lexicographic struct-MIN over the payload
+    (NULL fields smallest on both engines — the probed stream_dedup
+    idiom), so the survivor is deterministic, not arrival-order.
+    tests/test_duplicate_docid_corpus.py proves the documented
+    two-step pipeline end-to-end: this key is hash-exact on the
+    violating corpus, and the divergent downstream keys are hash-exact
+    again on its output.
+
+    Scale notes: min(struct) is an ordinary aggregate — partial
+    map-side combine, ONE exchange on doc_id, no window sort; at
+    100 TB this is the cheapest possible id-level dedup (same shuffle
+    as the groupBys every downstream key already does)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy("doc_id")
+        .agg(F.min(F.struct("text", "lang", "source", "n_chars")).alias("s"))
+        .select("doc_id", "s.text", "s.lang", "s.source", "s.n_chars")
+    )
