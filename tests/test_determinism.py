@@ -150,8 +150,9 @@ KEYS = [
     # values whatever the task layout; the piped aggregate likewise
     "etl_observe_metrics",
     "sql_pipe_syntax",
-    # round 9 (cont.): the struct-MIN survivor pick must be layout-free
+    # round 9 (cont.): the struct-MIN survivor picks must be layout-free
     "dedup_doc_ids",
+    "dedup_vec_ids",
 ]
 
 

@@ -1178,3 +1178,14 @@ def test_dedup_doc_ids_is_a_partial_aggregate(spark):
     assert plan.count("SortAggregate") >= 2, plan
     assert plan.count("Exchange") == 1, plan
     assert "Window" not in plan, plan
+
+
+def test_dedup_vec_ids_is_a_partial_aggregate(spark):
+    """dedup_vec_ids: same contract as dedup_doc_ids — map-side
+    partial_min, ONE exchange, no Window; the embedding array rides
+    the aggregation buffer, never an explode."""
+    plan = plan_of(spark, "dedup_vec_ids")
+    assert "partial_min" in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" not in plan, plan
+    assert "Generate" not in plan, plan

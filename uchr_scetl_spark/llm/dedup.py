@@ -1330,3 +1330,38 @@ def dedup_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(F.struct("text", "lang", "source", "n_chars")).alias("s"))
         .select("doc_id", "s.text", "s.lang", "s.source", "s.n_chars")
     )
+
+
+@query(
+    "dedup_vec_ids",
+    oracle="""
+    SELECT vec_id, embedding, label FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY vec_id
+        ORDER BY embedding NULLS FIRST, label NULLS FIRST) AS rn
+      FROM embeddings
+    ) WHERE rn = 1
+    """,
+)
+def dedup_vec_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-ID dedup — the embeddings twin of dedup_doc_ids /
+    stream_dedup, and the declared ingest step for embedding tables
+    that violate the vec_id key contract (a re-run encoder job
+    re-emits an id with a different vector; the round-9 duplicate-
+    vec_id sweep split 4 similarity keys — pairwise thresholds,
+    kNN, k-means assignment, embedding dedup — because 'a vector'
+    stops being well-defined). One row per vec_id survives, picked by
+    lexicographic struct-MIN over (embedding, label): array<float>
+    compares element-wise identically on both engines (same parquet
+    FLOAT bytes, same lexicographic rule), so the survivor is
+    deterministic, not arrival-order.
+
+    Scale notes: same shape as dedup_doc_ids — partial map-side
+    combine, ONE exchange on vec_id, no window sort; the embedding
+    array rides the aggregation buffer once, never exploded."""
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        e.groupBy("vec_id")
+        .agg(F.min(F.struct("embedding", "label")).alias("s"))
+        .select("vec_id", "s.embedding", "s.label")
+    )
