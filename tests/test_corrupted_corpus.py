@@ -246,3 +246,17 @@ def test_poisoned_corpus_still_matches_oracle(spark, poisoned_dir):
         assert not problems, f"poisoned: {'; '.join(problems)}"
     finally:
         con.close()
+
+
+def test_observe_metrics_counters_fire_on_corruption(spark, corrupted_dir):
+    """Anti-vacuity for etl_observe_metrics (round-9 VACUITY flag):
+    on clean corpora both violation counters are 0 by construction,
+    so this gate proves each arm actually FIRES where the corruption
+    exists — NULL prices (%97 class) hit n_null_price, negative/zero
+    prices (%89 classes) hit n_nonpositive — while the key still
+    oracle-matches (checked in the parametrized sweep above)."""
+    row = (
+        REGISTRY["etl_observe_metrics"].fn(spark, corrupted_dir).collect()[0]
+    )
+    assert row.n_null_price > 0, row
+    assert row.n_nonpositive > 0, row

@@ -39,6 +39,21 @@ exercised —
   raise, zero silent hash mismatches) — the loud-failure property is
   pinned below; negative user_ids swept clean (292 pass).
 
+Round-9 finding, pinned below:
+
+- NEGATIVE KEYS (odd o_orderkey/l_orderkey negated consistently
+  across the FK, odd event_ids negated): the sweep found ONE
+  divergence in 294 checked keys — scan_text_lines' unsigned \\d+
+  regex rejected "-123|..." lines and ANSI cast('') then THREW (a
+  Spark-only loud failure; the oracle answered) — fixed sign-aware
+  with NULL-quarantine for malformed lines, and the parity-split
+  keys the round-9 ADVICE flagged (`% 2 == 1` silently dropping
+  remainder −1 rows) ride the same cross-section. The round-9
+  duplicate-event / unicode-fold / giant-document / duplicate-id
+  axes have their own gate files (test_duplicate_event_corpus,
+  test_unicode_fold_corpus, test_giant_document_corpus,
+  test_duplicate_docid_corpus, test_duplicate_vecid_corpus).
+
 Beyond-the-gate clean sweeps (run at round close, not separately
 pinned — all 292/292): 100%-one-user events (every window key on one
 giant stream), 100%-one-source documents (every per-source group is

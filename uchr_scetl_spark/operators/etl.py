@@ -1484,7 +1484,7 @@ def observed_orders_load(spark: SparkSession, sf_dir: str):
     observed = o.observe(
         obs,
         F.count(F.lit(1)).alias("n_rows"),
-        F.count_if(F.col("o_custkey").isNull()).alias("n_null_cust"),
+        F.count_if(F.col("o_totalprice").isNull()).alias("n_null_price"),
         F.sum(
             F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
         ).alias("sum_price_cents"),
@@ -1498,8 +1498,8 @@ def observed_orders_load(spark: SparkSession, sf_dir: str):
     oracle="""
     SELECT 'orders_load' AS pipeline,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
-             AS n_null_cust,
+           CAST(COUNT(*) FILTER (WHERE o_totalprice IS NULL) AS BIGINT)
+             AS n_null_price,
            CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
                 AS BIGINT) AS sum_price_cents,
            CAST(COUNT(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT)
@@ -1514,7 +1514,12 @@ def etl_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     etl_expectations_suite) deliberately do NOT use: those recompute
     their counters as a second aggregate over the source, while a real
     load wants row counts / null counts / money totals harvested from
-    the SAME pass that writes the sink, for free. Here the observed
+    the SAME pass that writes the sink, for free. The null and
+    nonpositive counters are keyed to o_totalprice because the
+    corrupted-orders gate plants exactly those violations — both arms
+    provably FIRE there (anti-vacuity assertion in
+    tests/test_corrupted_corpus.py; on clean corpora they are 0 by
+    construction, same as etl_dq_audit's counters). Here the observed
     load writes the filtered orders to a parquet scratch sink (the
     real action), the Observation rides that job's accumulators, and
     the returned one-row DataFrame is built from the harvested values
@@ -1537,13 +1542,13 @@ def etl_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 "orders_load",
                 m["n_rows"],
-                m["n_null_cust"],
+                m["n_null_price"],
                 m["sum_price_cents"],
                 m["n_nonpositive"],
             )
         ],
         schema=(
-            "pipeline string, n_rows bigint, n_null_cust bigint, "
+            "pipeline string, n_rows bigint, n_null_price bigint, "
             "sum_price_cents bigint, n_nonpositive bigint"
         ),
     )
