@@ -53,6 +53,17 @@ Round-9 finding, pinned below:
   axes have their own gate files (test_duplicate_event_corpus,
   test_unicode_fold_corpus, test_giant_document_corpus,
   test_duplicate_docid_corpus, test_duplicate_vecid_corpus).
+- EXTREME EMBEDDING MAGNITUDES (×10⁷ — a broken encoder): the sweep
+  found the ONE hole in the loud-failure property — numpy's int64
+  matmul in embeddings_gram_matrix WRAPPED SILENTLY (negative gram
+  cells, Spark side only) while ANSI Spark / DuckDB HUGEINT raised
+  everywhere else; the mapInPandas batch now enforces its domain
+  bound itself and all four micro-quantized embedding keys RAISE —
+  pinned below.
+- CONSTANT EVENT VALUES (zero variance: MAD = 0, σ = 0, all-tied
+  medians and ranks): full-registry sweep came back CLEAN (296
+  pass) — both engines resolve every degenerate denominator and tie
+  identically; recorded here, not separately pinned.
 
 Beyond-the-gate clean sweeps (run at round close, not separately
 pinned — all 292/292): 100%-one-user events (every window key on one
@@ -564,3 +575,51 @@ def test_key_matches_oracle_with_negative_keys(key, spark, negative_key_dir):
         assert not problems, f"{key}: {'; '.join(problems)}"
     finally:
         con.close()
+
+
+@pytest.fixture(scope="module")
+def extreme_emb_value_dir():
+    out = _variant_dir(
+        "uchr_extreme_emb_value_corpus_",
+        "embeddings",
+        """
+        COPY (
+          SELECT * REPLACE (
+            CASE WHEN vec_id % 13 = 0
+                 THEN list_transform(embedding,
+                        x -> CAST(x * 10000000.0 AS FLOAT))
+                 ELSE embedding END AS embedding)
+          FROM read_parquet('{src}')
+        ) TO '{dst}' (FORMAT PARQUET)
+        """,
+    )
+    yield out
+    clear_caches(out)
+    shutil.rmtree(out, ignore_errors=True)
+
+
+@pytest.mark.parametrize(
+    "key",
+    [
+        "embeddings_gram_matrix",
+        "embeddings_pq_assign",
+        "sim_kmeans_assign",
+        "sim_topk_pq",
+    ],
+)
+def test_extreme_embedding_magnitudes_fail_loudly(
+    key, spark, extreme_emb_value_dir
+):
+    """Extreme embedding magnitudes (×10⁷ — a broken encoder) are OUT
+    of the value-domain contract, and the round-9 sweep found the one
+    place the loud-failure property did NOT hold: numpy's int64 matmul
+    in embeddings_gram_matrix WRAPPED SILENTLY (negative gram cells on
+    the Spark side only) while ANSI Spark and DuckDB HUGEINT raised
+    everywhere else. The mapInPandas batch now enforces the domain
+    bound itself, so all four micro-quantized embedding keys RAISE —
+    zero silent corruptions, matching the NaN/Inf contract."""
+    from uchr_scetl_spark.llm.similarity import clear_similarity_caches
+
+    clear_similarity_caches(extreme_emb_value_dir)
+    with pytest.raises(Exception):
+        REGISTRY[key].fn(spark, extreme_emb_value_dir).toPandas()

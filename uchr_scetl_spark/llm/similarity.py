@@ -1287,7 +1287,13 @@ def embeddings_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     components — the dense d×d summary under distributed PCA /
     covariance / linear-probe fitting: compute the small summary with
     one pass over the corpus, solve the d×d problem on the driver,
-    broadcast the projection back.
+    broadcast the projection back. The int64 no-overflow claim is
+    ENFORCED, not assumed: each batch checks max|q|²·rows against
+    2⁶³ and RAISES on violation — numpy wraps silently where the
+    oracle's HUGEINT raises, so an unguarded extreme component
+    (round-9 extreme-embedding sweep: ×10⁷ vectors produced NEGATIVE
+    gram cells on the Spark side only) would be the exact
+    silent-corruption the engine promises never to emit.
 
     Scale design — the vectorized partial-aggregation pattern: each
     Arrow batch computes its d×d integer Gram with one numpy matmul
@@ -1318,6 +1324,17 @@ def embeddings_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             if len(pdf) == 0:
                 continue
             X = _np.array([_np.asarray(v) for v in pdf["qv"]], dtype=_np.int64)
+            # loud value-domain guard: numpy int64 matmul WRAPS on
+            # overflow (no ANSI there) — refuse batches whose worst
+            # accumulated product could cross 2^63
+            qmax = int(_np.abs(X).max(initial=0))
+            if qmax and qmax * qmax >= (2**63) // max(len(pdf), 1):
+                raise ValueError(
+                    "embeddings_gram_matrix: quantized component "
+                    f"|q|={qmax} overflows the int64 Gram domain for "
+                    f"a {len(pdf)}-row batch; screen embedding "
+                    "magnitudes at ingest (value-domain contract)"
+                )
             G = X.T @ X
             iu = _np.triu_indices(G.shape[0])
             yield _pd.DataFrame(
