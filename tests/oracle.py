@@ -29,8 +29,12 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
             if getattr(ser.dt, "tz", None) is not None:
                 ser = ser.dt.tz_convert("UTC").dt.tz_localize(None)
             df[c] = ser.astype("datetime64[us]")
-    key = df.apply(lambda r: tuple(str(x) for x in r), axis=1)
-    return df.iloc[key.argsort(kind="stable").to_numpy()].reset_index(drop=True)
+    # Driver-parity sort: column-wise sort_values, not row-stringify —
+    # must die on driver-unsortable (array) cells exactly like the
+    # driver's canonicalizer does (round-9 dedup_vec_ids lesson).
+    if len(df.columns) and len(df):
+        df = df.sort_values(by=list(df.columns), kind="stable")
+    return df.reset_index(drop=True)
 
 
 def compare(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:

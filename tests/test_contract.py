@@ -42,6 +42,35 @@ def test_entry_smoke(spark):
     assert {"r_name", "n_name", "l_returnflag", "revenue"} <= set(df.columns)
 
 
+def test_checked_outputs_carry_scalar_columns_only(spark):
+    """Registry-wide canonicalizer contract: every CHECKED (oracle-
+    bearing) key's output schema must contain only scalar columns —
+    no Array/Map/Struct. The driver's order-insensitive hasher
+    column-sorts the pandas frame before hashing and dies on ndarray
+    cells (round-9: dedup_vec_ids rode a raw array<float> into its
+    checked output and was the first driver ERR in seven rounds; the
+    repo's own rule at operators/aggregates.py said so all along).
+    Rows-only keys are exempt — no hash is taken for them, and nested
+    payloads (LSH signature arrays etc.) are their point."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from .conftest import SF_SMOKE
+
+    offenders = []
+    for key, spec in sorted(load_registry().items()):
+        if spec.rows_only:
+            continue
+        schema = spec.fn(spark, SF_SMOKE).schema
+        bad = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if bad:
+            offenders.append(f"{key}: {bad}")
+    assert not offenders, "; ".join(offenders)
+
+
 def test_bucketed_join_has_no_shuffle(spark):
     """The join of the two bucketed tables must read co-located buckets:
     no Exchange may appear between the table scans and the join."""

@@ -623,3 +623,45 @@ def test_extreme_embedding_magnitudes_fail_loudly(
     clear_similarity_caches(extreme_emb_value_dir)
     with pytest.raises(Exception):
         REGISTRY[key].fn(spark, extreme_emb_value_dir).toPandas()
+
+
+@pytest.fixture(scope="module")
+def null_element_emb_dir():
+    out = _variant_dir(
+        "uchr_null_elem_emb_corpus_",
+        "embeddings",
+        """
+        COPY (
+          SELECT * REPLACE (
+            CASE WHEN vec_id % 37 = 0
+                 THEN list_append(embedding[:len(embedding)-1],
+                                  CAST(NULL AS FLOAT))
+                 ELSE embedding END AS embedding)
+          FROM read_parquet('{src}')
+        ) TO '{dst}' (FORMAT PARQUET)
+        """,
+    )
+    yield out
+    clear_caches(out)
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_null_embedding_components_fail_loudly_in_vec_dedup(
+    spark, null_element_emb_dir
+):
+    """NULL components INSIDE an embedding (a partially-failed encoder
+    write) are OUT of the value-domain contract for dedup_vec_ids:
+    Spark orders NULL array elements SMALLEST in the struct-MIN
+    survivor pick while DuckDB's nested comparison orders them
+    LARGEST (round-10 ADVICE), so the two engines would silently pick
+    DIFFERENT survivors. Both sides therefore guard before the pick
+    and RAISE — the NaN/Inf loud-failure contract, not a silent
+    divergence."""
+    with pytest.raises(Exception, match="NULL embedding component"):
+        REGISTRY["dedup_vec_ids"].fn(spark, null_element_emb_dir).toPandas()
+    con = oracle_connection(null_element_emb_dir)
+    try:
+        with pytest.raises(Exception, match="NULL embedding component"):
+            con.sql(REGISTRY["dedup_vec_ids"].oracle).df()
+    finally:
+        con.close()

@@ -28,6 +28,7 @@ import tempfile
 import pytest
 
 from uchr_scetl_spark import clear_caches, load_registry
+from uchr_scetl_spark.llm.dedup import DEDUP_VEC_SURVIVOR_SQL
 
 from .conftest import SF_SMOKE
 from .oracle import compare, oracle_connection
@@ -80,9 +81,11 @@ def dup_vec_dir():
 
 @pytest.fixture(scope="module")
 def deduped_dir(dup_vec_dir):
-    """The documented remediation, materialised via the key's ORACLE
-    SQL (hash-proven equal to the Spark side on this corpus) so the
-    deduped parquet keeps the exact FLOAT[] physical type."""
+    """The documented remediation, materialised via the key's raw
+    survivor SQL (the checked oracle wraps the same relation — the
+    checked output renders the embedding as a scalar, but the
+    remediation needs the exact FLOAT[] physical type, hence the
+    split constant)."""
     import duckdb
 
     out = tempfile.mkdtemp(prefix="uchr_deduped_vecid_corpus_")
@@ -95,7 +98,7 @@ def deduped_dir(dup_vec_dir):
         f"read_parquet('{dup_vec_dir}/embeddings.parquet')"
     )
     con.execute(
-        f"COPY ({REGISTRY['dedup_vec_ids'].oracle}) "
+        f"COPY ({DEDUP_VEC_SURVIVOR_SQL}) "
         f"TO '{out}/embeddings.parquet' (FORMAT PARQUET)"
     )
     con.close()

@@ -58,8 +58,15 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = ser.astype("datetime64[us]")
         elif s.dtype == object:
             df[c] = s.map(lambda v: None if v is None else v)
-    key = df.apply(lambda r: tuple(str(x) for x in r), axis=1)
-    return df.iloc[key.argsort(kind="stable").to_numpy()].reset_index(drop=True)
+    # Driver-parity sort: column-wise pandas sort_values over ALL
+    # columns — NOT row-stringify. The driver's canonicalizer dies on
+    # unsortable cells (array/ndarray columns factorize-fail inside
+    # lexsort_indexer), and so must this one: the round-9 dedup_vec_ids
+    # driver ERR passed every local gate precisely because the old
+    # row-stringify here was MORE LENIENT than the driver's sort.
+    if len(df.columns) and len(df):
+        df = df.sort_values(by=list(df.columns), kind="stable")
+    return df.reset_index(drop=True)
 
 
 def compare(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:

@@ -1332,15 +1332,48 @@ def dedup_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_vec_ids",
-    oracle="""
+# The survivor subquery in isolation (raw FLOAT[] output) — the
+# remediation pipeline materialises THIS via DuckDB COPY so the
+# deduped parquet keeps the exact FLOAT[] physical type
+# (tests/test_duplicate_vecid_corpus.py); the checked oracle below
+# wraps it with the scalar rendering. The NULL-element guard runs
+# BEFORE the survivor pick because that pick is where engines
+# diverge: Spark orders NULL array elements smallest, DuckDB's
+# nested comparison orders them largest — so a NULL component is
+# outside the value domain and must fail LOUDLY on both sides, never
+# silently pick different survivors.
+DEDUP_VEC_SURVIVOR_SQL = """
     SELECT vec_id, embedding, label FROM (
       SELECT *, row_number() OVER (
         PARTITION BY vec_id
         ORDER BY embedding NULLS FIRST, label NULLS FIRST) AS rn
-      FROM embeddings
+      FROM (
+        SELECT vec_id,
+               CASE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0
+                    THEN error('dedup_vec_ids: NULL embedding component'
+                               || ' (value-domain contract: engines order'
+                               || ' NULL array elements differently)')
+                    ELSE embedding END AS embedding,
+               label
+        FROM embeddings
+      )
     ) WHERE rn = 1
+"""
+
+
+@query(
+    "dedup_vec_ids",
+    oracle=f"""
+    WITH survivors AS ({DEDUP_VEC_SURVIVOR_SQL})
+    SELECT vec_id,
+           CASE WHEN embedding IS NULL THEN NULL
+                ELSE coalesce(array_to_string(list_transform(
+                       CAST(embedding AS DOUBLE[]),
+                       x -> CAST(CAST(floor(x * 1000000.0) AS BIGINT)
+                                 AS VARCHAR)), ','), '')
+           END AS embedding_q,
+           label
+    FROM survivors
     """,
 )
 def dedup_vec_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1356,12 +1389,50 @@ def dedup_vec_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     FLOAT bytes, same lexicographic rule), so the survivor is
     deterministic, not arrival-order.
 
+    The CHECKED output renders the survivor's embedding as a scalar —
+    comma-joined micro-quantized components (floor at 1e-6, the
+    repo-wide float idiom) — because checked results carry scalar
+    columns only (operators/aggregates.py contract): the driver's
+    order-insensitive canonicalizer column-sorts the frame and cannot
+    sort ndarray cells (the round-9 driver ERR on this very key).
+    Downstream consumers of the remediation use the raw-FLOAT[]
+    survivor relation (DEDUP_VEC_SURVIVOR_SQL), not the rendering.
+    NULL components fail loudly on both engines before the survivor
+    pick (see DEDUP_VEC_SURVIVOR_SQL comment); array_join/
+    array_to_string empty-vs-NULL divergence is coalesced oracle-side
+    under an IS NULL arm, the probed idiom.
+
     Scale notes: same shape as dedup_doc_ids — partial map-side
     combine, ONE exchange on vec_id, no window sort; the embedding
-    array rides the aggregation buffer once, never exploded."""
-    e = load(spark, sf_dir, "embeddings")
-    return (
-        e.groupBy("vec_id")
-        .agg(F.min(F.struct("embedding", "label")).alias("s"))
-        .select("vec_id", "s.embedding", "s.label")
+    array rides the aggregation buffer once, never exploded; the
+    rendering is a post-aggregate projection."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.when(
+            F.exists("embedding", lambda x: x.isNull()),
+            F.raise_error(
+                F.lit(
+                    "dedup_vec_ids: NULL embedding component "
+                    "(value-domain contract: engines order NULL "
+                    "array elements differently)"
+                )
+            ).cast("array<float>"),
+        )
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+        "label",
+    )
+    s = e.groupBy("vec_id").agg(
+        F.min(F.struct("embedding", "label")).alias("s")
+    )
+    return s.select(
+        "vec_id",
+        F.array_join(
+            F.transform(
+                F.col("s.embedding").cast("array<double>"),
+                lambda x: F.floor(x * 1000000.0).cast("bigint").cast("string"),
+            ),
+            ",",
+        ).alias("embedding_q"),
+        F.col("s.label").alias("label"),
     )
