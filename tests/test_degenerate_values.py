@@ -665,3 +665,43 @@ def test_null_embedding_components_fail_loudly_in_vec_dedup(
             con.sql(REGISTRY["dedup_vec_ids"].oracle).df()
     finally:
         con.close()
+
+
+def test_malformed_price_tokens_quarantine_not_throw(spark):
+    """Round-10 ADVICE: the old price group -?[0-9.]+ matched
+    non-numeric tokens like '.' and '1.2.3', so the ANSI double cast
+    THREW mid-scan instead of NULL-quarantining the line — defeating
+    the parser's documented contract. The tightened -?\\d+(\\.\\d+)?
+    pattern makes every malformed numeric fail the WHOLE regex, so
+    all four groups come back '' -> NULL (the quarantine row), while
+    well-formed signed/decimal lines still parse."""
+    from uchr_scetl_spark.operators.scans import parse_order_lines
+
+    lines = spark.createDataFrame(
+        [
+            ("1|2|F|123.45",),   # well-formed
+            ("-3|-4|O|-99",),    # signed ids + signed integer price
+            ("5|6|F|.",),        # bare dot — old pattern matched this
+            ("7|8|F|1.2.3",),    # double dot — old pattern matched
+            ("9|10|F|",),        # empty price
+            ("garbage",),        # unstructured line
+        ],
+        "value string",
+    )
+    rows = {
+        r.o_orderkey: r
+        for r in parse_order_lines(lines).collect()
+    }
+    assert rows[1].o_totalprice == 123.45
+    assert rows[-3].o_totalprice == -99.0 and rows[-3].o_custkey == -4
+    # every malformed line is one all-NULL quarantine row, no throw
+    assert None in rows
+    null_rows = [r for r in parse_order_lines(lines).collect()
+                 if r.o_orderkey is None]
+    assert len(null_rows) == 4
+    assert all(
+        r.o_custkey is None
+        and r.o_orderstatus is None
+        and r.o_totalprice is None
+        for r in null_rows
+    )

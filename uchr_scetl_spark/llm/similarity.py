@@ -20,6 +20,8 @@ only the bucket-assignment expression.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1261,6 +1263,15 @@ def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 GRAM_SCALE = 1000  # component quantization for exact integer products
+# Layout-independent int64 domain for the per-batch Gram matmul
+# (round-10 ADVICE): the raise/no-raise boundary must not depend on
+# Arrow batch size or shuffle layout, so the guard checks |q| alone
+# against a bound derived from a FIXED batch-row ceiling far above any
+# real Arrow batch (spark.sql.execution.arrow.maxRecordsPerBatch
+# defaults to 10k; we allow 2^20). Any batch larger than the ceiling
+# raises too, so the pair of checks is sufficient for every layout.
+GRAM_BATCH_ROW_BOUND = 2**20
+GRAM_QMAX_BOUND = math.isqrt((2**63 - 1) // GRAM_BATCH_ROW_BOUND)
 
 
 @query(
@@ -1288,12 +1299,19 @@ def embeddings_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     covariance / linear-probe fitting: compute the small summary with
     one pass over the corpus, solve the d×d problem on the driver,
     broadcast the projection back. The int64 no-overflow claim is
-    ENFORCED, not assumed: each batch checks max|q|²·rows against
-    2⁶³ and RAISES on violation — numpy wraps silently where the
-    oracle's HUGEINT raises, so an unguarded extreme component
-    (round-9 extreme-embedding sweep: ×10⁷ vectors produced NEGATIVE
-    gram cells on the Spark side only) would be the exact
-    silent-corruption the engine promises never to emit.
+    ENFORCED, not assumed: each batch checks max|q| against the
+    LAYOUT-INDEPENDENT bound ``GRAM_QMAX_BOUND`` (isqrt(2⁶³ /
+    ``GRAM_BATCH_ROW_BOUND``), with the row ceiling itself asserted
+    per batch) and RAISES on violation — the raise/no-raise boundary
+    cannot drift with arrow.maxRecordsPerBatch or shuffle layout
+    (round-10 ADVICE). numpy wraps silently where the oracle's
+    HUGEINT raises, so an unguarded extreme component (round-9
+    extreme-embedding sweep: ×10⁷ vectors produced NEGATIVE gram
+    cells on the Spark side only) would be the exact silent
+    corruption the engine promises never to emit. Cross-BATCH
+    accumulation is protected downstream: the final groupBy SUM runs
+    under ANSI and raises on long overflow (and the oracle's HUGEINT
+    sum → BIGINT cast raises identically).
 
     Scale design — the vectorized partial-aggregation pattern: each
     Arrow batch computes its d×d integer Gram with one numpy matmul
@@ -1327,13 +1345,21 @@ def embeddings_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             # loud value-domain guard: numpy int64 matmul WRAPS on
             # overflow (no ANSI there) — refuse batches whose worst
             # accumulated product could cross 2^63
+            if len(pdf) > GRAM_BATCH_ROW_BOUND:
+                raise ValueError(
+                    "embeddings_gram_matrix: Arrow batch of "
+                    f"{len(pdf)} rows exceeds the fixed "
+                    f"{GRAM_BATCH_ROW_BOUND}-row Gram domain ceiling"
+                )
             qmax = int(_np.abs(X).max(initial=0))
-            if qmax and qmax * qmax >= (2**63) // max(len(pdf), 1):
+            if qmax > GRAM_QMAX_BOUND:
                 raise ValueError(
                     "embeddings_gram_matrix: quantized component "
-                    f"|q|={qmax} overflows the int64 Gram domain for "
-                    f"a {len(pdf)}-row batch; screen embedding "
-                    "magnitudes at ingest (value-domain contract)"
+                    f"|q|={qmax} exceeds the layout-independent "
+                    f"int64 Gram bound {GRAM_QMAX_BOUND} "
+                    f"(= isqrt(2^63 / {GRAM_BATCH_ROW_BOUND})); "
+                    "screen embedding magnitudes at ingest "
+                    "(value-domain contract)"
                 )
             G = X.T @ X
             iu = _np.triu_indices(G.shape[0])

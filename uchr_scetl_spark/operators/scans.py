@@ -347,6 +347,39 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# sign-aware pattern (round-9 negative-key sweep: an unsigned \d+
+# rejected "-123|..." lines, and ANSI cast('') then THREW — a log
+# parser must accept signed ids); nullif('') keeps a genuinely
+# malformed line NULL-quarantined instead of failing the job.
+# The price group is a strict decimal literal -?\d+(\.\d+)?
+# (round-10 ADVICE: the looser -?[0-9.]+ admitted '.' / '1.2.3',
+# which the ANSI double cast then THREW on instead of
+# NULL-quarantining — the whole malformed line must fail the
+# regex so every group comes back '' → NULL)
+ORDER_LINE_PAT = r"^(-?\d+)\|(-?\d+)\|([A-Z])\|(-?\d+(?:\.\d+)?)$"
+
+
+def parse_order_lines(lines: DataFrame) -> DataFrame:
+    """Carve pipe-delimited order log lines into typed columns; any
+    line that fails ``ORDER_LINE_PAT`` (including a structurally-valid
+    line with a malformed price token) comes back as an all-NULL row
+    instead of throwing under ANSI."""
+    return lines.select(
+        F.nullif(F.regexp_extract("value", ORDER_LINE_PAT, 1), F.lit(""))
+        .cast("bigint")
+        .alias("o_orderkey"),
+        F.nullif(F.regexp_extract("value", ORDER_LINE_PAT, 2), F.lit(""))
+        .cast("bigint")
+        .alias("o_custkey"),
+        F.nullif(
+            F.regexp_extract("value", ORDER_LINE_PAT, 3), F.lit("")
+        ).alias("o_orderstatus"),
+        F.nullif(F.regexp_extract("value", ORDER_LINE_PAT, 4), F.lit(""))
+        .cast("double")
+        .alias("o_totalprice"),
+    )
+
+
 @query(
     "scan_text_lines",
     oracle="""
@@ -379,26 +412,7 @@ def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = scratch_dir("uchr_textlines_")
     src.write.mode("overwrite").text(out)
-    lines = spark.read.text(out)
-    # sign-aware pattern (round-9 negative-key sweep: an unsigned \d+
-    # rejected "-123|..." lines, and ANSI cast('') then THREW — a log
-    # parser must accept signed ids); nullif('') keeps a genuinely
-    # malformed line NULL-quarantined instead of failing the job
-    pat = r"^(-?\d+)\|(-?\d+)\|([A-Z])\|(-?[0-9.]+)$"
-    return lines.select(
-        F.nullif(F.regexp_extract("value", pat, 1), F.lit(""))
-        .cast("bigint")
-        .alias("o_orderkey"),
-        F.nullif(F.regexp_extract("value", pat, 2), F.lit(""))
-        .cast("bigint")
-        .alias("o_custkey"),
-        F.nullif(F.regexp_extract("value", pat, 3), F.lit("")).alias(
-            "o_orderstatus"
-        ),
-        F.nullif(F.regexp_extract("value", pat, 4), F.lit(""))
-        .cast("double")
-        .alias("o_totalprice"),
-    )
+    return parse_order_lines(spark.read.text(out))
 
 
 @query(

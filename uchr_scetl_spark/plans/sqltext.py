@@ -175,7 +175,7 @@ FROM {orders}
              CAST(SUM(price_cents) AS BIGINT) AS cents
    GROUP BY o_orderpriority
 |> WHERE n_orders > 1
-|> ORDER BY o_orderpriority
+|> ORDER BY o_orderpriority NULLS FIRST
 |> LIMIT 3
 """
 
@@ -188,7 +188,7 @@ FROM orders
 WHERE o_orderstatus <> 'P'
 GROUP BY o_orderpriority
 HAVING COUNT(*) > 1
-ORDER BY o_orderpriority
+ORDER BY o_orderpriority NULLS FIRST
 LIMIT 3
 """
 
