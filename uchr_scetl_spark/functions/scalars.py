@@ -239,12 +239,16 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            concat('k=',
-                  coalesce(CAST(CAST(json_extract_string(props, '$.k') AS BIGINT)
-                                AS VARCHAR), 'null'),
+                  coalesce(CAST(TRY_CAST(
+                      CASE WHEN props IS NOT NULL AND json_valid(props)
+                           THEN json_extract_string(props, '$.k') END
+                      AS BIGINT) AS VARCHAR), 'null'),
                   ',uid=', coalesce(CAST(user_id AS VARCHAR), 'null')
            ) AS props_map,
            'k,uid' AS keys,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+           TRY_CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
+                         THEN json_extract_string(props, '$.k') END
+                    AS BIGINT) AS k_val
     FROM events
     """,
 )
@@ -260,7 +264,12 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions, CollapseProject inlines the whole map construction —
     including the get_json_object JSON parse — into every reference
     (measured 2.4 s → 1.6 s cold at sf0.1 from eliminating the ~6×
-    re-parse per row)."""
+    re-parse per row).
+
+    The k value is ``try_cast`` (round-10 hostile-props sweep: a
+    mistyped payload value threw mid-scan under ANSI) and the oracle
+    guards with ``json_valid`` — the same quarantine contract as
+    fn_json."""
     e = load(spark, sf_dir, "events")
     return e.select(
         "event_id",
@@ -269,8 +278,8 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             transform(
               array(map_from_entries(array(
                 named_struct('key', 'k',
-                             'value', CAST(get_json_object(props, '$.k')
-                                           AS BIGINT)),
+                             'value', try_cast(get_json_object(props, '$.k')
+                                               AS BIGINT)),
                 named_struct('key', 'uid', 'value', user_id)))),
               m -> struct(
                 array_join(
@@ -289,19 +298,45 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_json",
     oracle="""
     SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
-           json_extract_string(props, '$.k')                 AS k_str,
-           CAST(json_extract_string(props, '$.missing') AS BIGINT) AS k_missing
+           TRY_CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
+                         THEN json_extract_string(props, '$.k') END
+                    AS BIGINT) AS k_num,
+           CASE WHEN props IS NOT NULL AND json_valid(props)
+                THEN json_extract_string(props, '$.k') END AS k_str,
+           TRY_CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
+                         THEN json_extract_string(props, '$.missing') END
+                    AS BIGINT) AS k_missing
     FROM events
     """,
 )
 def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction with NULL-quarantine semantics, the
+    schema-on-read contract event payloads need: ``get_json_object``
+    already returns NULL for malformed JSON / non-object roots /
+    missing paths, and the numeric casts are ``try_cast`` so a
+    mistyped value (``"k": true``, ``"k": "12abc"``, an integer past
+    int64) quarantines to NULL instead of throwing mid-scan under
+    ANSI — the round-10 hostile-props sweep found the plain cast
+    KILLING the job on one boolean payload. The oracle guards every
+    extraction with ``json_valid`` because DuckDB's json_* RAISE on
+    malformed input where get_json_object is lenient. Value-domain
+    notes (hostile-props sweep, pinned in
+    tests/test_hostile_props_corpus.py): duplicate JSON keys resolve
+    to the FIRST occurrence on both engines; integer literals beyond
+    uint64 (and float literals) have engine-specific ``k_str``
+    renderings — Spark preserves the lexical token while DuckDB's
+    JSON reader normalises through double — so they are outside the
+    checked string-rendering domain (tripwire-pinned)."""
     e = load(spark, sf_dir, "events")
     return e.select(
         "event_id",
-        F.get_json_object("props", "$.k").cast("bigint").alias("k_num"),
+        F.get_json_object("props", "$.k")
+        .try_cast("bigint")
+        .alias("k_num"),
         F.get_json_object("props", "$.k").alias("k_str"),
-        F.get_json_object("props", "$.missing").cast("bigint").alias("k_missing"),
+        F.get_json_object("props", "$.missing")
+        .try_cast("bigint")
+        .alias("k_missing"),
     )
 
 
@@ -564,29 +599,65 @@ def fn_array_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "fn_variant",
     oracle="""
-    SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS BIGINT)           AS k_num,
-           CAST(json_extract_string(props, '$.k') AS DOUBLE) + value   AS k_plus_value,
-           CAST(json_extract_string(props, '$.missing') AS BIGINT)     AS k_missing
-    FROM events
-    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+    WITH v AS (
+      SELECT event_id, value,
+             CASE WHEN props IS NOT NULL AND json_valid(props)
+                       AND len(json_keys(props)) =
+                           len(list_distinct(json_keys(props)))
+                  THEN props END AS jp
+      FROM events
+    ),
+    x AS (
+      SELECT event_id, value,
+             json_type(jp, '$.k')           AS k_type,
+             json_extract_string(jp, '$.k') AS k_raw
+      FROM v
+    ),
+    typed AS (
+      SELECT event_id, value,
+             CASE WHEN k_type = 'BOOLEAN'
+                  THEN CASE WHEN k_raw = 'true' THEN 1 ELSE 0 END
+                  ELSE TRY_CAST(k_raw AS BIGINT) END AS k_num,
+             CASE WHEN k_type = 'BOOLEAN'
+                  THEN CASE WHEN k_raw = 'true' THEN 1.0 ELSE 0.0 END
+                  ELSE TRY_CAST(k_raw AS DOUBLE) END AS k_dbl
+      FROM x
+    )
+    SELECT event_id, k_num, k_dbl + value AS k_plus_value,
+           CAST(NULL AS BIGINT) AS k_missing
+    FROM typed WHERE k_num >= 50
     """,
 )
 def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark 4 VARIANT path for semi-structured data: ``parse_json``
-    ONCE into a binary variant column, then typed ``variant_get``
-    extractions. Unlike ``get_json_object`` (fn_json), which re-parses
-    the JSON string per access, the variant encoding is parsed once
-    and each extraction is a cheap binary probe — the difference
-    between O(fields × parse) and O(parse + fields) per row, which at
-    100 TB of event payloads is the dominant cost of the ingest scan.
-    ``try_variant_get`` returns NULL for missing paths instead of
-    erroring."""
-    e = load(spark, sf_dir, "events").withColumn("pv", F.parse_json("props"))
+    """Spark 4 VARIANT path for semi-structured data:
+    ``try_parse_json`` ONCE into a binary variant column, then typed
+    ``try_variant_get`` extractions. Unlike ``get_json_object``
+    (fn_json), which re-parses the JSON string per access, the
+    variant encoding is parsed once and each extraction is a cheap
+    binary probe — the difference between O(fields × parse) and
+    O(parse + fields) per row, which at 100 TB of event payloads is
+    the dominant cost of the ingest scan.
+
+    Quarantine semantics (round-10 hostile-props sweep): the try_
+    variants return NULL for malformed JSON, missing paths, and
+    un-castable values instead of erroring — ``parse_json`` proper
+    KILLED the scan on the first truncated payload. Variant typing
+    is mirrored in the oracle, because a JSON-string oracle is
+    untyped where variant is typed: (a) a BOOLEAN k casts to 1/0
+    under variant rules while TRY_CAST('true' AS BIGINT) is NULL —
+    the oracle switches on ``json_type``; (b) Spark's variant parser
+    REJECTS duplicate object keys (try_parse_json → NULL variant)
+    while DuckDB keeps the first — the oracle quarantines rows whose
+    top-level ``json_keys`` contain duplicates (top-level scope
+    matches the swept corpus; nested duplicate keys are outside the
+    checked domain)."""
+    e = load(spark, sf_dir, "events").withColumn(
+        "pv", F.try_parse_json("props")
+    )
     return e.select(
         "event_id",
-        F.variant_get("pv", "$.k", "bigint").alias("k_num"),
-        (F.variant_get("pv", "$.k", "double") + F.col("value")).alias(
+        F.try_variant_get("pv", "$.k", "bigint").alias("k_num"),
+        (F.try_variant_get("pv", "$.k", "double") + F.col("value")).alias(
             "k_plus_value"
         ),
         F.try_variant_get("pv", "$.missing", "bigint").alias("k_missing"),
