@@ -153,6 +153,9 @@ KEYS = [
     # round 9 (cont.): the struct-MIN survivor picks must be layout-free
     "dedup_doc_ids",
     "dedup_vec_ids",
+    # round 10: the model-space admission slice — pure filter + in-row
+    # integer-quantized norm fold, layout-free by construction
+    "embeddings_dim_conform",
 ]
 
 

@@ -1189,3 +1189,15 @@ def test_dedup_vec_ids_is_a_partial_aggregate(spark):
     assert plan.count("Exchange") == 1, plan
     assert "Window" not in plan, plan
     assert "Generate" not in plan, plan
+
+
+def test_embeddings_dim_conform_is_one_pushed_scan(spark):
+    """embeddings_dim_conform: admission filter + in-row norm fold —
+    one parquet scan with the IS NOT NULL guard pushed down, zero
+    exchanges, zero windows; the size()=64 predicate evaluates
+    scan-side inside the same codegen stage."""
+    plan = plan_of(spark, "embeddings_dim_conform")
+    assert "Scan parquet" in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "PushedFilters: [IsNotNull(embedding)]" in plan, plan

@@ -84,7 +84,7 @@ def multimodal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH e AS (
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-      WHERE embedding IS NOT NULL
+      WHERE embedding IS NOT NULL AND len(embedding) = 64
     ), langs AS (
       SELECT d.lang, d.doc_id, e.v
       FROM documents d JOIN e ON d.doc_id = e.vec_id
@@ -113,10 +113,10 @@ def multimodal_crossmodal_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-pair cosine evaluates, so values stay bit-equal."""
     from pyspark.sql import Window
 
-    from .similarity import dot_expr
+    from .similarity import dot_expr, emb_conform
 
     d = load(spark, sf_dir, "documents")
-    e = load(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull()).withColumn(
+    e = load(spark, sf_dir, "embeddings").where(emb_conform()).withColumn(
         "v", F.col("embedding").cast("array<double>")
     )
     langs = d.join(e, d.doc_id == e.vec_id).select(

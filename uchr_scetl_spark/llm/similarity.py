@@ -35,6 +35,31 @@ N_PROBES = 5  # probe set: vec_id < 5
 TOP_K = 3
 N_HYPERPLANES = 8  # 256 LSH buckets
 
+# The embeddings table's model-dimension contract. Every operator
+# that works IN the fixed-dimension model space (cosine/dot scoring,
+# centroids, k-means, PQ subspaces, LSH hyperplanes, the d×d Gram,
+# the 64→16 random projection) quarantines vectors of any other
+# width at its load point — a re-run encoder at a different width is
+# the same at-least-once ingest reality as the duplicate-id axes,
+# and the round-10 mixed-dimension sweep showed the alternatives are
+# all worse: ragged numpy batches crash, DuckDB's list_dot_product
+# raises on length mismatch, and two keys silently mis-indexed.
+# Quarantined rows stay observable via embeddings_vector_qa's
+# n_wrong_dim counter and recoverable via embeddings_dim_conform.
+# Dim-AGNOSTIC keys (per-dimension stats, per-vector quantize/
+# truncate/QA) deliberately do NOT conform — mixed input is
+# well-defined for them and the sweep proved them engine-exact raw.
+EMB_DIM = 64
+EMB_CONFORM_SQL = f"embedding IS NOT NULL AND len(embedding) = {EMB_DIM}"
+
+
+def emb_conform() -> F.Column:
+    """Spark mirror of ``EMB_CONFORM_SQL`` — the model-space
+    admission predicate."""
+    return F.col("embedding").isNotNull() & (
+        F.size("embedding") == EMB_DIM
+    )
+
 _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
 
 
@@ -68,7 +93,7 @@ def sql_cosine(a: str, b: str) -> str:
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
              sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                    CAST(embedding AS DOUBLE[]))) AS nrm
-      FROM embeddings WHERE embedding IS NOT NULL
+      FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64
     ), probes AS (
       SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm
       FROM e WHERE vec_id < {N_PROBES}
@@ -89,7 +114,7 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The probe side is broadcast, so the corpus is scanned once with no
     shuffle; the per-probe top-k is a bounded window over ≤|corpus|
     rows per probe."""
-    e = load(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull()).withColumn(
+    e = load(spark, sf_dir, "embeddings").where(emb_conform()).withColumn(
         "v", F.col("embedding").cast("array<double>")
     ).withColumn("nrm", F.sqrt(dot_expr("v", "v")))
     probes = e.where(F.col("vec_id") < N_PROBES).select(
@@ -119,7 +144,7 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _normed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        load(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
+        load(spark, sf_dir, "embeddings").where(emb_conform())
         .withColumn("v", F.col("embedding").cast("array<double>"))
         .withColumn("nrm", F.sqrt(dot_expr("v", "v")))
     )
@@ -172,7 +197,7 @@ def _pair_candidates(e: DataFrame, tau: float) -> DataFrame:
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
              sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                    CAST(embedding AS DOUBLE[]))) AS nrm
-      FROM embeddings WHERE embedding IS NOT NULL
+      FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64
     )
     SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label,
            (list_dot_product(a.v, b.v) / (a.nrm * b.nrm)) AS cosine
@@ -215,7 +240,7 @@ def sim_pairwise_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
              sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                    CAST(embedding AS DOUBLE[]))) AS nrm
-      FROM embeddings WHERE embedding IS NOT NULL
+      FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64
     ), dup_pairs AS (
       SELECT b.vec_id AS b_id
       FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
@@ -283,7 +308,7 @@ def _ivf_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _build() -> DataFrame:
         return (
             load(spark, sf_dir, "embeddings")
-            .where(F.col("embedding").isNotNull())
+            .where(emb_conform())
             .withColumn("v", F.col("embedding").cast("array<double>"))
             .withColumn("nrm", F.sqrt(dot_expr("v", "v")))
             .select(
@@ -496,7 +521,7 @@ def _lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deduped (probe_id, neighbor_id) LSH candidate pairs — the
     recall/cost-defining stage, exposed for the recall test to measure
     candidate volume directly."""
-    e = load(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull()).withColumn(
+    e = load(spark, sf_dir, "embeddings").where(emb_conform()).withColumn(
         "v", F.col("embedding").cast("array<double>")
     )
     planes = _hyperplanes(n=LSH_TABLES * LSH_BITS)
@@ -583,7 +608,7 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (table,bucket) int key — never a pairwise product; the multiprobe
     fan-out rides the tiny probe side only; candidate dedup is a
     groupBy on the (probe, neighbor) int pair."""
-    e = load(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull()).withColumn(
+    e = load(spark, sf_dir, "embeddings").where(emb_conform()).withColumn(
         "v", F.col("embedding").cast("array<double>")
     )
     candidates = _lsh_candidates(spark, sf_dir)
@@ -630,7 +655,7 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                           AS BIGINT)) AS DOUBLE)
               / 1000000.0 / COUNT(*)) AS centroid
     FROM embeddings, generate_series(1, 64) g(i)
-    WHERE embedding IS NOT NULL AND len(embedding) > 0
+    WHERE embedding IS NOT NULL AND len(embedding) = 64
     GROUP BY label, i
     """,
 )
@@ -645,13 +670,14 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     floats are dyadic rationals whose exact decimal expansions can
     terminate with a trailing 5 at ANY decimal-cast scale, where Spark
     (HALF_UP) and DuckDB (HALF_EVEN) disagree — floor of the same
-    double is tie-free and bit-identical in both engines. EMPTY
-    (non-NULL) arrays are filtered on both sides: posexplode emits
-    nothing for them while the oracle's generate_series cross join
-    emits 64 NULL components, so an unfiltered COUNT diverges — the
-    failed-encode row shape the degenerate-values gate pins."""
+    double is tie-free and bit-identical in both engines. Admission
+    is the shared ``emb_conform`` model-space predicate on both
+    sides (round-10 mixed-dimension gate): empty arrays made the
+    COUNT diverge (posexplode emits nothing vs generate_series' 64
+    NULL components — degenerate-values gate) and off-width vectors
+    made per-label means ill-defined."""
     e = load(spark, sf_dir, "embeddings").where(
-        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+        emb_conform()
     )
     return (
         e.select(
@@ -848,6 +874,42 @@ def embeddings_vector_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "embeddings_dim_conform",
+    oracle=f"""
+    SELECT vec_id, label,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           CAST(floor(sqrt(list_dot_product(
+                  CAST(embedding AS DOUBLE[]),
+                  CAST(embedding AS DOUBLE[]))) * 1000000) AS BIGINT)
+             AS norm_micro
+    FROM embeddings WHERE {EMB_CONFORM_SQL}
+    """,
+)
+def embeddings_dim_conform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The model-space admission step made first-class (round-10
+    mixed-dimension axis): the conforming slice of the embeddings
+    table — exactly the rows every fixed-dimension operator admits
+    via ``emb_conform`` — with each survivor's dimension and
+    micro-quantized L2 norm as the checked scalar rendering. A re-run
+    encoder at a different width (the duplicate-id class of ingest
+    reality) quarantines HERE, observable via embeddings_vector_qa's
+    n_dim_mismatch counter; downstream model-space keys then see one
+    consistent d={EMB_DIM} space. Plain pushed-down filter + in-row
+    fold: one scan, zero shuffles, trivially partition-parallel."""
+    e = load(spark, sf_dir, "embeddings").where(emb_conform()).withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("v").alias("dim"),
+        F.floor(F.sqrt(dot_expr("v", "v")) * 1e6)
+        .cast("bigint")
+        .alias("norm_micro"),
+    )
+
+
 KNN_K = 3
 
 
@@ -858,7 +920,7 @@ KNN_K = 3
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
              sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                    CAST(embedding AS DOUBLE[]))) AS nrm
-      FROM embeddings WHERE embedding IS NOT NULL
+      FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64
     ), probes AS (
       SELECT vec_id AS probe_id, label AS true_label, v AS pv, nrm AS pnrm
       FROM e WHERE vec_id < {N_PROBES}
@@ -958,7 +1020,7 @@ HIST_BUCKETS_PER_UNIT = 20  # bucket width 0.05 in cosine space
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
              sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                    CAST(embedding AS DOUBLE[]))) AS nrm
-      FROM embeddings WHERE embedding IS NOT NULL
+      FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64
     ), panel AS (
       SELECT vec_id AS p_id, v AS pv, nrm AS pnrm FROM e
       ORDER BY md5('hist:' || CAST(vec_id AS VARCHAR)), vec_id
@@ -1049,7 +1111,7 @@ def _kmeans_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
 
     def _build() -> DataFrame:
-        e = load(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
+        e = load(spark, sf_dir, "embeddings").where(emb_conform())
         return e.select(
             "vec_id",
             F.transform(
@@ -1155,7 +1217,7 @@ def _kmeans_oracle() -> str:
       SELECT vec_id,
              list_transform(CAST(embedding AS DOUBLE[]),
                             x -> CAST(floor(x * {scale}.0) AS BIGINT)) AS qv
-      FROM embeddings WHERE embedding IS NOT NULL
+      FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64
     ),
     dims AS (SELECT CAST(r.range AS INT) AS pos FROM range(1, {dim + 1}) r),
     seeds AS (
@@ -1282,7 +1344,7 @@ GRAM_QMAX_BOUND = math.isqrt((2**63 - 1) // GRAM_BATCH_ROW_BOUND)
                             x -> CAST(floor(x * {GRAM_SCALE}.0) AS BIGINT))
                AS qv
       FROM embeddings
-      WHERE embedding IS NOT NULL AND len(embedding) > 0
+      WHERE embedding IS NOT NULL AND len(embedding) = 64
     ),
     dims AS (SELECT CAST(r.range AS INT) AS pos
              FROM range(1, {KMEANS_ASSIGN_DIM + 1}) r)
@@ -1321,11 +1383,13 @@ def embeddings_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors. int64 throughout: |q| ≤ {GRAM_SCALE}·max|x|, so per-batch
     products cannot overflow and cross-engine sums are exact (at
     extreme corpus sizes the final SUM would need decimal(38,0), noted
-    rather than silently widened). Zero-length (non-NULL) arrays are
-    filtered on both sides — a ragged batch would crash the numpy
-    matmul outright (degenerate-values gate)."""
+    rather than silently widened). Admission is the shared
+    ``emb_conform`` model-space predicate on both sides: a
+    zero-length or off-width vector would make the numpy batch
+    ragged and crash the matmul outright (degenerate-values and
+    mixed-dimension gates)."""
     e = load(spark, sf_dir, "embeddings").where(
-        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+        emb_conform()
     )
     qdf = e.select(
         F.transform(
@@ -1421,7 +1485,7 @@ def _rp_oracle() -> str:
                             x -> CAST(floor(x * {RP_SCALE}.0) AS BIGINT))
                AS qv
       FROM embeddings
-      WHERE embedding IS NOT NULL AND len(embedding) > 0
+      WHERE embedding IS NOT NULL AND len(embedding) = 64
     ),
     m(out_dim, signs) AS (VALUES {rows})
     SELECT q.vec_id, CAST(m.out_dim AS INT) AS out_dim,
@@ -1453,14 +1517,15 @@ def embeddings_random_projection(
     Scale design: the matrix is a compile-time literal embedded in
     the plan — no broadcast, no join, no shuffle; one codegen map
     pass over the corpus (zip_with·aggregate per output dim),
-    exactly how a 100 TB projection should run. NULL and zero-length
-    embeddings are filtered symmetrically on both sides (zip_with
-    NULL-pads a short array, so an empty vector would project to NULL
-    rows on Spark but error/zero in the oracle — degenerate-values
-    gate)."""
+    exactly how a 100 TB projection should run. Admission is the
+    shared ``emb_conform`` model-space predicate on both sides:
+    zip_with NULL-pads a short array, so an empty OR off-width
+    vector would project to NULL rows on Spark while the oracle's
+    list_dot_product errors (degenerate-values and mixed-dimension
+    gates)."""
     e = (
         load(spark, sf_dir, "embeddings")
-        .where(F.col("embedding").isNotNull() & (F.size("embedding") > 0))
+        .where(emb_conform())
         .withColumn(
             "qv",
             F.expr(
@@ -1491,7 +1556,7 @@ def embeddings_random_projection(
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
              sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                    CAST(embedding AS DOUBLE[]))) AS nrm
-      FROM embeddings WHERE embedding IS NOT NULL
+      FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64
     ), probes AS (
       SELECT vec_id AS probe_id, label AS true_label, v AS pv, nrm AS pnrm
       FROM e WHERE vec_id < {N_PROBES}
@@ -1617,7 +1682,7 @@ def _pq_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic downstream is exact integers."""
     return (
         load(spark, sf_dir, "embeddings")
-        .where(F.col("embedding").isNotNull())
+        .where(emb_conform())
         .select(
             "vec_id",
             F.expr(
@@ -1676,7 +1741,7 @@ def _pq_best(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_transform(embedding,
                x -> CAST(floor(CAST(x AS DOUBLE) * {PQ_SCALE}) AS BIGINT))
                AS qv
-      FROM embeddings WHERE embedding IS NOT NULL
+      FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64
     ),
     seeds AS (
       SELECT qv AS sv,
@@ -1759,7 +1824,7 @@ PQ_TOPK = 10
              list_transform(embedding,
                x -> CAST(floor(CAST(x AS DOUBLE) * {PQ_SCALE}) AS BIGINT))
                AS qv
-      FROM embeddings WHERE embedding IS NOT NULL
+      FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64
     ),
     seeds AS (
       SELECT qv AS sv,
