@@ -591,6 +591,36 @@ AUDITS: dict[str, tuple[str, list[str]]] = {
         "zero physical operators.",
         [r"HashAggregate", r"TakeOrderedAndProject", r"PushedFilters"],
     ),
+    "etl_observe_metrics": (
+        "Pipeline telemetry rides the write job itself: a CollectMetrics "
+        "node on the ONE scan that feeds the sink - no second scan, no "
+        "exchange, no aggregate operator for the metrics (the audited "
+        "plan is the observed load relation; the registered key returns "
+        "the harvested metrics rows).",
+        [r"CollectMetrics", r"Scan parquet", r"PushedFilters"],
+    ),
+    "dedup_doc_ids": (
+        "ID-contract remediation is an ordinary partial+final aggregate: "
+        "map-side partial_min(struct(...)) per doc_id, ONE exchange, no "
+        "window sort - the cheapest shape that exists for keyed "
+        "survivor-pick dedup (struct min lowers to SortAggregate; its "
+        "Sort nodes are per-partition combine sorts, not a global sort).",
+        [r"partial_min", r"SortAggregate", r"Exchange"],
+    ),
+    "dedup_vec_ids": (
+        "Same partial-aggregate shape as dedup_doc_ids with the embedding "
+        "array riding the aggregation buffer (never exploded); the "
+        "checked output renders the survivor vector as a quantized "
+        "scalar string - a projection, adding no operator.",
+        [r"partial_min", r"SortAggregate", r"Exchange"],
+    ),
+    "embeddings_dim_conform": (
+        "Model-space admission is a pushed-down scan-side filter plus an "
+        "in-row norm fold: one parquet scan with IsNotNull pushed, zero "
+        "exchanges, zero windows - quarantining off-width vectors costs "
+        "nothing beyond the scan every consumer already pays.",
+        [r"PushedFilters", r"Scan parquet"],
+    ),
 }
 
 
@@ -613,8 +643,18 @@ def main() -> int:
         "runtime, never add.\n",
     ]
 
+    # keys whose load-bearing plan is an INTERMEDIATE relation, not
+    # the registered key's returned frame (the CollectMetrics node
+    # rides the observed load; the harvest result is metrics rows)
+    def _observed_load(spark, sf_dir):
+        from uchr_scetl_spark.operators.etl import observed_orders_load
+
+        return observed_orders_load(spark, sf_dir)[0]
+
+    SPECIAL = {"etl_observe_metrics": _observed_load}
+
     for key, (claim, patterns) in AUDITS.items():
-        df = registry[key].fn(spark, sf_dir)
+        df = SPECIAL.get(key, registry[key].fn)(spark, sf_dir)
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain("formatted")
