@@ -74,6 +74,17 @@ pair is an exact near-dup: the LSH banding, connected components,
 containment/contrastive df caps, and the poisoned-negative exclusion
 all hold oracle-exact at the degenerate extreme).
 
+Round-10 clean sweeps (297/297 each): FK ORPHANS (every 53rd order
+and 59th customer deleted — partial-ingest referential breakage;
+inner/semi/anti joins drop orphans and outer joins NULL-extend them
+identically on both engines, and no key assumes parent existence),
+and DUPLICATED LINEITEM PRIMARY KEYS (every 61st (l_orderkey,
+l_linenumber) re-emitted with changed quantity/price — the
+redelivered-shard shape on the FACT table; lineitems are facts, not
+keys, so duplicates flow through sums/joins/windows identically —
+unlike the doc_id/vec_id/event_id KEY columns, which have their own
+gates and remediation keys).
+
 The corpora are deterministic key-based rewrites of the smoke tables
 (the null/skew/corruption gate pattern).
 """

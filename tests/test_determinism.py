@@ -156,6 +156,11 @@ KEYS = [
     # round 10: the model-space admission slice — pure filter + in-row
     # integer-quantized norm fold, layout-free by construction
     "embeddings_dim_conform",
+    # round 10 (cont.): the LOCF running fill (order-sensitive frame
+    # under the full payload tiebreak) and the decorrelated LATERAL
+    # top-k (per-key rank ties broken on linenumber)
+    "win_gap_fill_locf",
+    "join_lateral_topk",
 ]
 
 

@@ -73,6 +73,9 @@ KEYS = [
     "win_median_sliding",
     "win_drawdown",
     "win_rolling_ols_slope",
+    # round 10: LOCF fill — order-sensitive running frame, born with
+    # the full (ts, event_id, value) tiebreak
+    "win_gap_fill_locf",
     # order-free-under-ties keys, pinned to stay that way
     "events_sessionize",
     "stream_session_windows",

@@ -1201,3 +1201,41 @@ def test_embeddings_dim_conform_is_one_pushed_scan(spark):
     assert "Exchange" not in plan, plan
     assert "Window" not in plan, plan
     assert "PushedFilters: [IsNotNull(embedding)]" in plan, plan
+
+
+def test_join_lateral_topk_decorrelates_to_window_join(spark):
+    """join_lateral_topk: the correlated LATERAL ... ORDER BY ...
+    LIMIT 2 must DECORRELATE — a partitioned window (rank ≤ 2 per
+    order key) feeding one equi-join, never a nested-loop re-scan
+    per outer row."""
+    plan = plan_of(spark, "join_lateral_topk")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Window" in plan, plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan), plan
+
+
+def test_sql_parameterized_pushes_bound_predicates(spark):
+    """sql_parameterized: named parameters resolve before
+    optimization, so the bound price/status predicates must reach the
+    parquet scan exactly like literals."""
+    plan = plan_of(spark, "sql_parameterized")
+    assert "PushedFilters" in plan, plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("o_totalprice" in ln and "o_orderstatus" in ln for ln in pushed), pushed
+
+
+def test_win_gap_fill_locf_single_exchange_bounded_frame(spark):
+    """win_gap_fill_locf: one hash exchange on user_id serves the
+    single running ROWS frame; no extra shuffle, no global sort."""
+    plan = plan_of(spark, "win_gap_fill_locf")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" in plan, plan
+
+
+def test_sql_group_by_all_is_plain_two_phase_aggregate(spark):
+    """sql_group_by_all: GROUP BY ALL resolves at analysis time to
+    the explicit grouping list — partial+final hash aggregate over
+    the pushed-down filtered scan, zero extra operators."""
+    plan = plan_of(spark, "sql_group_by_all")
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "PushedFilters" in plan, plan

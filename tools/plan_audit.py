@@ -621,6 +621,30 @@ AUDITS: dict[str, tuple[str, list[str]]] = {
         "nothing beyond the scan every consumer already pays.",
         [r"PushedFilters", r"Scan parquet"],
     ),
+    "join_lateral_topk": (
+        "Correlated LATERAL ... ORDER BY ... LIMIT decorrelates: a "
+        "partitioned rank window feeding ONE equi-join - never a "
+        "nested-loop re-scan per outer row.",
+        [r"Window", r"SortMergeJoin|BroadcastHashJoin"],
+    ),
+    "win_gap_fill_locf": (
+        "LOCF gap fill: one hash exchange on user_id serves the single "
+        "running ROWS frame (last IGNORE NULLS) - O(1) state per row, "
+        "no global sort.",
+        [r"Window", r"Exchange hashpartitioning"],
+    ),
+    "sql_parameterized": (
+        "Named parameters resolve before optimization: the bound "
+        "price/status predicates reach the parquet scan exactly like "
+        "literals.",
+        [r"PushedFilters"],
+    ),
+    "sql_group_by_all": (
+        "GROUP BY ALL resolves at analysis time to the explicit grouping "
+        "list - the identical partial+final hash aggregate over the "
+        "pushed-down filtered scan.",
+        [r"HashAggregate", r"PushedFilters"],
+    ),
 }
 
 

@@ -752,3 +752,52 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_us"),
         )
     )
+
+
+_LATERAL_SQL = """
+SELECT o.o_orderkey,
+       l.l_linenumber,
+       l.cents
+FROM {orders} o,
+LATERAL (
+  SELECT li.l_linenumber,
+         CAST(floor(li.l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM {lineitem} li
+  WHERE li.l_orderkey = o.o_orderkey
+  ORDER BY li.l_extendedprice DESC, li.l_linenumber
+  LIMIT 2
+) l
+"""
+
+
+@query(
+    "join_lateral_topk",
+    oracle=_LATERAL_SQL.format(orders="orders", lineitem="lineitem"),
+)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery join — "for each order, its top-2
+    line items by price" written the way SQL analysts write it
+    (Spark 4 lateral-join support; the IDENTICAL text is the oracle,
+    so the key checks LATERAL dialect parity like sql_cte_pipeline).
+    Ties break on (l_extendedprice DESC, l_linenumber), total per
+    order.
+
+    Scale notes: a naive reading is a correlated per-order subquery —
+    O(|orders|) scans. Catalyst DECORRELATES it: the lateral LIMIT
+    over the correlated filter rewrites to a partitioned window
+    (rank ≤ 2 per l_orderkey) feeding ONE equi-join on the order key,
+    so the physical plan is the same shape as win_topk_per_group +
+    join_inner_equi — per-key shuffles, no per-row re-scan, exactly
+    what the syntax must lower to for 100 TB viability
+    (plan-asserted: no nested-loop, bounded window)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView(
+        "lateral_orders"
+    )
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lateral_lineitem"
+    )
+    return spark.sql(
+        _LATERAL_SQL.format(
+            orders="lateral_orders", lineitem="lateral_lineitem"
+        )
+    )

@@ -723,3 +723,50 @@ def win_rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" AS BIGINT)"
         )).alias("slope_milli"),
     )
+
+
+@query(
+    "win_gap_fill_locf",
+    oracle="""
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+           CASE WHEN event_id % 7 = 0 THEN value END AS observed,
+           last_value(CASE WHEN event_id % 7 = 0 THEN value END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id, value NULLS FIRST
+                   ROWS UNBOUNDED PRECEDING) AS filled
+    FROM events
+    """,
+)
+def win_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward gap fill — the feature-
+    pipeline staple for sparse sensors/signals: only every 7th event
+    carries an observation (the sparse rendering; residue ``= 0`` is
+    negative-key-safe where ``= 1`` parity splits are not), and each
+    row is filled with the most recent non-NULL observation in its
+    user stream via ``last(..., ignorenulls=True)`` over a running
+    ROWS frame — DuckDB's ``last_value(... IGNORE NULLS)`` is the
+    exact mirror. Stream order tiebreaks through every payload column
+    the window reads (ts, event_id, value — the round-9
+    duplicate-event totality rule); rows tied in all three carry
+    equal observations, so the fill is layout-free.
+
+    Scale: one exchange on user_id serves the single running frame;
+    the frame is ROWS-bounded so state is O(1) per row — at 100 TB
+    this is the cheapest possible per-stream scan, and the same
+    expression works incrementally under Structured Streaming with
+    applyInPandasWithState holding the last-seen value."""
+    e = load(spark, sf_dir, "events")
+    observed = F.when(F.col("event_id") % 7 == 0, F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id", F.col("value").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        observed.alias("observed"),
+        F.last(observed, ignorenulls=True).over(w).alias("filled"),
+    )

@@ -211,3 +211,87 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     the repo uses)."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("sql_pipe_orders")
     return spark.sql(_PIPE_SQL.format(orders="sql_pipe_orders"))
+
+
+_GBA_SQL = """
+SELECT o_orderpriority,
+       o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents
+FROM {orders}
+WHERE o_orderstatus <> 'P'
+GROUP BY ALL
+"""
+
+
+@query(
+    "sql_group_by_all",
+    oracle="""
+    SELECT o_orderpriority,
+           o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders
+    WHERE o_orderstatus <> 'P'
+    GROUP BY o_orderpriority, o_orderstatus
+    """,
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` — the analyst shorthand that groups by every
+    non-aggregate select item (Spark 3.4+/4.x; DuckDB pioneered it).
+    The oracle is the EXPLICIT grouping list, so the key pins the
+    semantic mapping "ALL == every non-aggregate output column" —
+    the contract that makes the shorthand safe to migrate.
+
+    Plan-wise the keyword resolves at analysis time: the same
+    partial+final hash aggregate over the pushed-down filtered scan
+    as the explicit form, zero physical difference."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("sql_gba_orders")
+    return spark.sql(_GBA_SQL.format(orders="sql_gba_orders"))
+
+
+# the named-parameter surface: the SAME text runs with :markers bound
+# via spark.sql(args=...) — the injection-safe path for user-supplied
+# constants (quoting/escaping is the engine's job, not string paste)
+_PARAM_SQL = """
+SELECT o_orderkey,
+       o_custkey,
+       o_orderstatus,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+FROM {orders}
+WHERE o_totalprice > :min_price AND o_orderstatus = :status
+"""
+
+_PARAM_MIN_PRICE = 250000.0
+_PARAM_STATUS = "F"
+
+
+@query(
+    "sql_parameterized",
+    oracle=f"""
+    SELECT o_orderkey,
+           o_custkey,
+           o_orderstatus,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM orders
+    WHERE o_totalprice > {_PARAM_MIN_PRICE} AND o_orderstatus = '{_PARAM_STATUS}'
+    """,
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (Spark 3.4+/4.x ``spark.sql(text,
+    args={{...}})``): the ``:marker`` placeholders bind typed Python
+    values engine-side — the injection-safe alternative to string
+    interpolation every ad-hoc pipeline needs. The oracle inlines the
+    same constants, pinning bind == inline semantics (a double bound
+    via args must filter exactly like the literal).
+
+    Parameters resolve before optimization, so the bound predicate
+    pushes into the parquet scan like any literal (plan-asserted) —
+    parameterization costs nothing at any scale."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("sql_param_orders")
+    return spark.sql(
+        _PARAM_SQL.format(orders="sql_param_orders"),
+        args={"min_price": _PARAM_MIN_PRICE, "status": _PARAM_STATUS},
+    )
