@@ -1239,3 +1239,13 @@ def test_sql_group_by_all_is_plain_two_phase_aggregate(spark):
     plan = plan_of(spark, "sql_group_by_all")
     assert plan.count("HashAggregate") >= 2, plan
     assert "PushedFilters" in plan, plan
+
+
+def test_scan_xml_reads_with_explicit_schema(spark):
+    """scan_xml: the re-read must be a native xml FileScan bound to
+    the EXPLICIT 4-column schema (no inference pass), reading only
+    the projected columns."""
+    plan = plan_of(spark, "scan_xml")
+    assert "xml" in plan.lower(), plan
+    for c in ("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"):
+        assert c in plan, (c, plan)

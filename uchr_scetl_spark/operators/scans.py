@@ -783,3 +783,45 @@ def scan_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_mktsegment"
         ),
     )
+
+
+@query(
+    "scan_xml",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_totalprice > 200000
+    """,
+)
+def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in XML source/sink (native in Spark 4 — no spark-xml
+    jar): render an orders slice as <row> elements, read it back with
+    an EXPLICIT schema (inference would widen int-valued doubles and
+    is a second full pass at scale), and round-trip typed values —
+    the legacy-feed format path next to scan_text_lines' regex
+    carving and scan_fixed_width. DuckDB has no XML reader, so the
+    oracle checks the round-trip against the source slice, the same
+    contract as the text-lines key (doubles survive because Spark
+    renders shortest-round-trip decimal strings).
+
+    Scale notes: XML files split per-FILE (a row-spanning tag can't
+    be split mid-file safely), so at 100 TB the writer must emit
+    many files (it does: one per task) and readers parallelise
+    per-file; oversized single documents belong in the binaryFile +
+    mapInPandas path instead."""
+    src = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 200000)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
+    out = scratch_dir("uchr_xml_")
+    (
+        src.write.format("xml")
+        .option("rootTag", "orders")
+        .option("rowTag", "order")
+        .mode("overwrite")
+        .save(out)
+    )
+    return spark.read.format("xml").option("rowTag", "order").schema(
+        "o_orderkey bigint, o_custkey bigint, "
+        "o_orderstatus string, o_totalprice double"
+    ).load(out)
