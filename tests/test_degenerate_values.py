@@ -78,12 +78,17 @@ Round-10 clean sweeps (297/297 each): FK ORPHANS (every 53rd order
 and 59th customer deleted — partial-ingest referential breakage;
 inner/semi/anti joins drop orphans and outer joins NULL-extend them
 identically on both engines, and no key assumes parent existence),
-and DUPLICATED LINEITEM PRIMARY KEYS (every 61st (l_orderkey,
+DUPLICATED LINEITEM PRIMARY KEYS (every 61st (l_orderkey,
 l_linenumber) re-emitted with changed quantity/price — the
 redelivered-shard shape on the FACT table; lineitems are facts, not
 keys, so duplicates flow through sums/joins/windows identically —
 unlike the doc_id/vec_id/event_id KEY columns, which have their own
-gates and remediation keys).
+gates and remediation keys), and DUPLICATED ORDERS PRIMARY KEYS
+(every 67th o_orderkey re-emitted with changed price/status — the
+PARENT-key violation; 301/301 because every orders consumer either
+aggregates over rows, joins one-to-many symmetrically, or picks
+survivors deterministically — etl_upsert_snapshot/etl_scd2's change
+detection is content-keyed, not arrival-keyed).
 
 The corpora are deterministic key-based rewrites of the smoke tables
 (the null/skew/corruption gate pattern).
