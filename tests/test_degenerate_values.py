@@ -83,12 +83,17 @@ l_linenumber) re-emitted with changed quantity/price — the
 redelivered-shard shape on the FACT table; lineitems are facts, not
 keys, so duplicates flow through sums/joins/windows identically —
 unlike the doc_id/vec_id/event_id KEY columns, which have their own
-gates and remediation keys), and DUPLICATED ORDERS PRIMARY KEYS
+gates and remediation keys), DUPLICATED ORDERS PRIMARY KEYS
 (every 67th o_orderkey re-emitted with changed price/status — the
 PARENT-key violation; 301/301 because every orders consumer either
 aggregates over rows, joins one-to-many symmetrically, or picks
 survivors deterministically — etl_upsert_snapshot/etl_scd2's change
-detection is content-keyed, not arrival-keyed).
+detection is content-keyed, not arrival-keyed), and STUCK CLOCK
+(every event at the SAME timestamp — a frozen ingest clock; 302/302
+because the round-9 tiebreak discipline made every window order
+total through its payload columns, so lag/lead/running frames,
+sessionization (all gaps zero → one session per user), OHLC buckets
+and watermark logic all survive with ts carrying zero information).
 
 The corpora are deterministic key-based rewrites of the smoke tables
 (the null/skew/corruption gate pattern).
