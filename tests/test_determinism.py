@@ -161,6 +161,9 @@ KEYS = [
     # top-k (per-key rank ties broken on linenumber)
     "win_gap_fill_locf",
     "join_lateral_topk",
+    # round 10 (cont. 2): the LOCF converged state — struct-argmax
+    # over (ts, event_id, value), total by construction
+    "stream_locf_state",
 ]
 
 

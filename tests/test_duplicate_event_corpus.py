@@ -92,6 +92,9 @@ KEYS = [
     "events_bot_burst_audit",
     "join_interval_overlap",
     "agg_topk_per_group_salted",
+    # round 10: the LOCF converged-state pick is a struct-argmax with
+    # value in the comparison — total under payload-divergent dups
+    "stream_locf_state",
 ]
 
 REGISTRY = load_registry()

@@ -1249,3 +1249,14 @@ def test_scan_xml_reads_with_explicit_schema(spark):
     assert "xml" in plan.lower(), plan
     for c in ("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"):
         assert c in plan, (c, plan)
+
+
+def test_stream_locf_state_is_a_partial_aggregate(spark):
+    """stream_locf_state: counters + struct-argmax carried value must
+    be one ordinary partial+final aggregate on user_id — ONE
+    exchange, no window sort (struct max lowers to SortAggregate like
+    the dedup_doc_ids struct-min)."""
+    plan = plan_of(spark, "stream_locf_state")
+    assert "partial_" in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" not in plan, plan

@@ -22,6 +22,7 @@ from uchr_scetl_spark.streaming.streams import (
     run_to_memory,
     session_windows_stream,
     tumbling_counts_stream,
+    user_locf_state_stream,
     user_running_state_stream,
 )
 
@@ -630,3 +631,42 @@ def test_outer_interval_join_emits_null_completed_rows(spark, tmp_path):
     assert got_null == want_null
     # the withheld set really was withheld before the flush proved it
     assert withheld_at_tail < len(want_null)
+
+
+def test_user_locf_state_converges_to_batch_key(spark, events_dir):
+    """The stateful LOCF carrier through multiple micro-batches must
+    converge to exactly the values the registered batch key
+    stream_locf_state computes over the same events — counts AND the
+    struct-argmax carried value (the batch/stream parity contract of
+    this module's docstring, applied to the round-10 key)."""
+    stream = user_locf_state_stream(
+        read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    )
+    run_to_memory(stream, "t_locf", output_mode="update")
+    final = (
+        spark.table("t_locf")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_rows").alias("n_rows"),
+            F.max("n_observed").alias("n_observed"),
+            F.max_by("last_observed_value", "n_rows").alias(
+                "last_observed_value"
+            ),
+        )
+    )
+    got = {
+        r.user_id: (r.n_rows, r.n_observed, r.last_observed_value)
+        for r in final.collect()
+    }
+    from uchr_scetl_spark import load_registry
+
+    # events_dir is a re-layout of SF_SMOKE's events rows, so the
+    # batch key over SF_SMOKE is the exact expected convergence
+    want_rows = (
+        load_registry()["stream_locf_state"].fn(spark, SF_SMOKE).collect()
+    )
+    expect = {
+        r.user_id: (r.n_rows, r.n_observed, r.last_observed_value)
+        for r in want_rows
+    }
+    assert got == expect

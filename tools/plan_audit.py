@@ -645,6 +645,13 @@ AUDITS: dict[str, tuple[str, list[str]]] = {
         "pushed-down filtered scan.",
         [r"HashAggregate", r"PushedFilters"],
     ),
+    "stream_locf_state": (
+        "The LOCF converged state is an ordinary partial+final aggregate "
+        "on user_id: counters plus a struct-ARGMAX carried value (the "
+        "dedup_doc_ids shape mirrored) - one exchange, no window sort; "
+        "the streaming twin holds the identical tuple in GroupState.",
+        [r"partial_", r"Exchange"],
+    ),
 }
 
 

@@ -286,6 +286,47 @@ def stream_user_running_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_locf_state",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(count_if(event_id % 7 = 0 AND value IS NOT NULL)
+                AS BIGINT) AS n_observed,
+           max(CASE WHEN event_id % 7 = 0 AND value IS NOT NULL
+                    THEN {'ts': ts, 'event_id': event_id, 'value': value}
+               END).value AS last_observed_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_locf_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-checkable form of the STATEFUL LOCF operator
+    (streams.py user_locf_state_stream, applyInPandasWithState) — the
+    converged per-user fill state once every event is processed: row
+    and observation counts plus the value the fill is carrying at
+    stream end. "An observation" matches win_gap_fill_locf's sparse
+    rendering (event_id % 7 = 0) and must be non-NULL (LOCF skips
+    NULL readings). The carried value is picked by struct-MAX over
+    (ts, event_id, value) — the argmax twin of the dedup_doc_ids
+    struct-MIN survivor: partial-aggregatable (ONE exchange, no
+    window sort), NULL-skipping and field-wise-ordered identically
+    on both engines, and total under duplicated (ts, event_id) rows
+    because value joins the comparison. tests/test_streaming.py
+    proves the incremental GroupState path converges to these exact
+    values through micro-batches."""
+    e = load(spark, sf_dir, "events")
+    obs = F.when(
+        (F.col("event_id") % 7 == 0) & F.col("value").isNotNull(),
+        F.struct("ts", "event_id", "value"),
+    )
+    return e.groupBy("user_id").agg(
+        F.count("*").alias("n_rows"),
+        F.count(obs).alias("n_observed"),
+        F.max(obs).getField("value").alias("last_observed_value"),
+    )
+
+
 _exactly_once_memo: dict[tuple[str, str], str] = {}
 
 

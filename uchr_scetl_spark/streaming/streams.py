@@ -153,6 +153,85 @@ def user_running_state_stream(events: DataFrame) -> DataFrame:
     )
 
 
+_LOCF_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_rows", LongType()),
+        StructField("n_observed", LongType()),
+        StructField("last_observed_value", DoubleType()),
+    ]
+)
+# carried state: counters + the argmax (ts_ns, event_id, value) tuple
+_LOCF_STATE_SCHEMA = StructType(
+    [
+        StructField("n_rows", LongType()),
+        StructField("n_observed", LongType()),
+        StructField("best_ts_ns", LongType()),
+        StructField("best_event_id", LongType()),
+        StructField("best_value", DoubleType()),
+    ]
+)
+
+
+def _update_locf_state(key, pdfs, state: GroupState):
+    """Incremental LOCF fill state: counters plus the lexicographic
+    max (ts, event_id, value) OBSERVATION seen so far — the same
+    total order the batch key's struct-MAX uses, so micro-batch
+    arrival order cannot change the converged pick."""
+    if state.exists:
+        n_rows, n_obs, bts, beid, bval = state.get
+    else:
+        n_rows, n_obs, bts, beid, bval = 0, 0, None, None, None
+    best = None if bts is None else (bts, beid, bval)
+    for pdf in pdfs:
+        n_rows += len(pdf)
+        m = pdf["event_id"].astype("int64") % 7 == 0
+        obs = pdf[m & pdf["value"].notna()]
+        n_obs += len(obs)
+        for ts, eid, val in zip(
+            obs["ts"].astype("int64"),  # datetime64[ns/us] -> int
+            obs["event_id"].astype("int64"),
+            obs["value"].astype("float64"),
+        ):
+            cand = (int(ts), int(eid), float(val))
+            if best is None or cand > best:
+                best = cand
+    state.update(
+        (n_rows, n_obs)
+        + (best if best is not None else (None, None, None))
+    )
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_rows": [n_rows],
+            "n_observed": [n_obs],
+            "last_observed_value": [
+                best[2] if best is not None else None
+            ],
+        }
+    )
+
+
+def user_locf_state_stream(events: DataFrame) -> DataFrame:
+    """Stateful LOCF carrier (applyInPandasWithState, update mode):
+    per user, the running fill state stream_locf_state checks in
+    batch form. Same NoTimeout lifetime note as
+    user_running_state_stream — the fill must survive arbitrarily
+    long observation gaps, so production bounds the KEY set, not the
+    state TTL."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_locf_state,
+            outputStructType=_LOCF_OUT_SCHEMA,
+            stateStructType=_LOCF_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_to_memory(
     sdf: DataFrame, name: str, output_mode: str = "append"
 ) -> None:
