@@ -931,7 +931,7 @@ def _bpe_cte_chain() -> tuple[str, str, list[str]]:
     string replace, IDENTICAL semantics in both engines, and the
     double separator means adjacent occurrences never share matched
     characters (['a','a','a'] merges to ['aa','a'], leftmost-first)."""
-    wrap = "regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31), 'g')"
+    wrap = "regexp_replace(w, '(?s)(.)', chr(31) || '\\1' || chr(31), 'g')"
     syms = "list_filter(string_split(s, chr(31)), x -> x <> '')"
     sql = f"""
     WITH words AS (
@@ -1064,8 +1064,14 @@ def _bpe_train(
         )
         return vocab.select(
             "wc",
+            # (?s): Java's `.` excludes EVERY Unicode line terminator
+            # (\r, \u0085, \u2028, \u2029) while RE2's excludes only
+            # \n, so a control character inside a token silently
+            # DROPPED from the Spark-side symbol sequence but not the
+            # oracle's (round-10 control-chars sweep) — DOTALL makes
+            # both engines wrap every character
             F.regexp_replace(
-                "w", "(.)", _BPE_SEP + "$1" + _BPE_SEP
+                "w", "(?s)(.)", _BPE_SEP + "$1" + _BPE_SEP
             ).alias("s"),
         ).cache()
 

@@ -41,18 +41,30 @@ from .registry import query
 @pandas_udf(StringType())
 def normalize_text(s: pd.Series) -> pd.Series:
     """Vectorized normalize: lower, strip, collapse internal runs of
-    whitespace to single spaces."""
+    whitespace to single spaces. "Whitespace" is PYTHON's Unicode set
+    (str.strip / re \\s: ASCII controls \\t\\n\\v\\f\\r, the
+    \\x1c-\\x1f separators, NEL \\x85, and the Zs/Zl/Zp categories
+    incl. NBSP and U+2028) — the round-10 control-chars sweep caught
+    the oracle's RE2 \\s matching ASCII only, so the oracle now
+    spells the identical class explicitly:
+    [\\t\\n\\x0b\\x0c\\r\\x1c-\\x1f\\x{0085}\\p{Z}]."""
     return s.str.lower().str.strip().str.replace(r"\s+", " ", regex=True)
 
 
 @query(
     "udf_pandas_scalar",
     oracle="""
-    SELECT doc_id,
-           regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm_text,
-           CAST(length(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
-                AS BIGINT) AS norm_len
-    FROM documents
+    WITH n AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(lower(text),
+                 '^[\\t\\n\\x0b\\x0c\\r\\x1c-\\x1f\\x{0085}\\p{Z}]+|[\\t\\n\\x0b\\x0c\\r\\x1c-\\x1f\\x{0085}\\p{Z}]+$', '', 'g'),
+               '[\\t\\n\\x0b\\x0c\\r\\x1c-\\x1f\\x{0085}\\p{Z}]+', ' ', 'g') AS norm_text
+      FROM documents
+    )
+    SELECT doc_id, norm_text,
+           CAST(length(norm_text) AS BIGINT) AS norm_len
+    FROM n
     """,
 )
 def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
