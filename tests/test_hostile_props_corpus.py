@@ -38,6 +38,22 @@ keys; only the three direct props consumers split):
   literals beyond uint64 and float literals are OUTSIDE the checked
   string-rendering domain. The swept corpus therefore probes the
   >2^53 cast path with a 17-digit int64 (lexical on both engines).
+
+Round-11 additions (fractional-k axis, per ADVICE): residues 15-18
+plant fractional doubles (50.7 / -50.7), a string-typed fractional
+("50.7"), and a string-typed beyond-int64 integer
+("99999999999999999999"). The divergence triangle, pinned below:
+Spark's string try_cast NULLs any non-pure-integer token, Spark's
+variant double→bigint TRUNCATES toward zero (overflow → NULL), and
+DuckDB's TRY_CAST ROUNDS — so fn_json/fn_map regexp-guard the cast
+to the Spark integer-token domain (JSON_K_BIGINT_SQL) and
+fn_variant's oracle adds trunc-through-DOUBLE and VARCHAR-regexp
+arms. Rendering note: decimal fractional tokens ('50.7', '-50.7')
+and string values are lexically stable on both engines, so k_str
+stays checked on residues 15-18; e-notation doubles are NOT — Spark
+re-renders through Java Double.toString ('1e30' → '1.0E30') while
+DuckDB keeps the lexical token — so e-notation joins beyond-uint64
+integers in the out-of-rendering-domain tripwire below.
 """
 
 from __future__ import annotations
@@ -83,6 +99,10 @@ CASE event_id % 29
   WHEN 12 THEN '{{"k": 1, "k": 2}}'
   WHEN 13 THEN '{{ "k" : 17 }}'
   WHEN 14 THEN '{{"k": "12abc"}}'
+  WHEN 15 THEN '{{"k": 50.7}}'
+  WHEN 16 THEN '{{"k": -50.7}}'
+  WHEN 17 THEN '{{"k": "50.7"}}'
+  WHEN 18 THEN '{{"k": "99999999999999999999"}}'
   ELSE props
 END AS props"""
 
@@ -194,6 +214,55 @@ def test_variant_boolean_casts_typed_while_string_oracle_nulls(spark):
     assert all(r.s is None for r in rows)
 
 
+def test_fractional_k_cast_triangle(spark):
+    """The round-11 divergence triangle on '50.7', pinned from both
+    engines: Spark string try_cast → NULL, Spark variant
+    double→bigint → 50 (truncation toward zero, overflow → NULL),
+    DuckDB TRY_CAST → 51 (rounds). If any vertex moves on an engine
+    upgrade, JSON_K_BIGINT_SQL and fn_variant's typed arms must be
+    revisited."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    row = (
+        spark.createDataFrame(
+            [('{"k": 50.7}', '{"k": -50.7}')], "p1 string, p2 string"
+        )
+        .select(
+            F.expr(
+                "try_cast(get_json_object(p1, '$.k') AS BIGINT)"
+            ).alias("str_cast"),
+            F.try_variant_get(
+                F.try_parse_json("p1"), "$.k", "bigint"
+            ).alias("var_pos"),
+            F.try_variant_get(
+                F.try_parse_json("p2"), "$.k", "bigint"
+            ).alias("var_neg"),
+            F.try_variant_get(
+                F.try_parse_json(F.lit('{"k": 1e30}')), "$.k", "bigint"
+            ).alias("var_overflow"),
+            F.try_variant_get(
+                F.try_parse_json(F.lit('{"k": "50.7"}')), "$.k", "bigint"
+            ).alias("var_str_frac"),
+        )
+        .first()
+    )
+    assert row.str_cast is None
+    assert row.var_pos == 50 and row.var_neg == -50
+    assert row.var_overflow is None and row.var_str_frac is None
+
+    con = duckdb.connect()
+    try:
+        duck_round, duck_trunc = con.sql(
+            "SELECT TRY_CAST('50.7' AS BIGINT), "
+            "TRY_CAST(trunc(TRY_CAST('50.7' AS DOUBLE)) AS BIGINT)"
+        ).fetchone()
+    finally:
+        con.close()
+    assert duck_round == 51 and duck_trunc == 50
+
+
 def test_beyond_uint64_number_rendering_is_engine_specific(spark):
     """Tripwire for the documented out-of-domain axis: Spark's
     get_json_object preserves the lexical integer token while
@@ -205,19 +274,28 @@ def test_beyond_uint64_number_rendering_is_engine_specific(spark):
     from pyspark.sql import functions as F
 
     big = '{"k": 123456789012345678901234567890}'
-    spark_str = (
-        spark.createDataFrame([(big,)], "props string")
-        .select(F.get_json_object("props", "$.k").alias("k"))
+    enot = '{"k": 1e30}'
+    row = (
+        spark.createDataFrame([(big, enot)], "p1 string, p2 string")
+        .select(
+            F.get_json_object("p1", "$.k").alias("k_big"),
+            F.get_json_object("p2", "$.k").alias("k_enot"),
+        )
         .first()
-        .k
     )
     con = duckdb.connect()
     try:
-        (duck_str,) = con.sql(
-            f"SELECT json_extract_string('{big}', '$.k')"
+        duck_big, duck_enot = con.sql(
+            f"SELECT json_extract_string('{big}', '$.k'), "
+            f"json_extract_string('{enot}', '$.k')"
         ).fetchone()
     finally:
         con.close()
-    assert spark_str == "123456789012345678901234567890"
-    assert duck_str == "1.2345678901234568e29"
-    assert spark_str != duck_str
+    assert row.k_big == "123456789012345678901234567890"
+    assert duck_big == "1.2345678901234568e29"
+    assert row.k_big != duck_big
+    # e-notation doubles: Spark re-renders through Java
+    # Double.toString while DuckDB keeps the lexical token
+    assert row.k_enot == "1.0E30"
+    assert duck_enot == "1e30"
+    assert row.k_enot != duck_enot

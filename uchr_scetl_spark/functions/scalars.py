@@ -24,6 +24,22 @@ from pyspark.sql import functions as F
 from ..io import load
 from ..registry import query
 
+# DuckDB mirror of Spark's string→BIGINT try_cast for the JSON '$.k'
+# extraction: Spark accepts only optional-sign pure-digit tokens
+# (after trim) and quarantines everything else to NULL — including
+# fractional renderings like '50.7' / '50.0', which DuckDB's bare
+# TRY_CAST would ROUND ('50.7' → 51) instead. The regexp guard pins
+# the Spark domain so a fractional payload is one NULL cell on both
+# engines (round-11 fractional-k axis; empirically:
+# Spark try_cast('50.7' AS BIGINT) IS NULL, DuckDB = 51).
+JSON_K_BIGINT_SQL = """TRY_CAST(
+             CASE WHEN props IS NOT NULL AND json_valid(props)
+                       AND regexp_matches(
+                             trim(json_extract_string(props, '$.k')),
+                             '^[+-]?[0-9]+$')
+                  THEN json_extract_string(props, '$.k') END
+             AS BIGINT)"""
+
 
 @query(
     "fn_string",
@@ -236,19 +252,14 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "fn_map",
-    oracle="""
+    oracle=f"""
     SELECT event_id,
            concat('k=',
-                  coalesce(CAST(TRY_CAST(
-                      CASE WHEN props IS NOT NULL AND json_valid(props)
-                           THEN json_extract_string(props, '$.k') END
-                      AS BIGINT) AS VARCHAR), 'null'),
+                  coalesce(CAST({JSON_K_BIGINT_SQL} AS VARCHAR), 'null'),
                   ',uid=', coalesce(CAST(user_id AS VARCHAR), 'null')
            ) AS props_map,
            'k,uid' AS keys,
-           TRY_CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
-                         THEN json_extract_string(props, '$.k') END
-                    AS BIGINT) AS k_val
+           {JSON_K_BIGINT_SQL} AS k_val
     FROM events
     """,
 )
@@ -296,11 +307,9 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "fn_json",
-    oracle="""
+    oracle=f"""
     SELECT event_id,
-           TRY_CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
-                         THEN json_extract_string(props, '$.k') END
-                    AS BIGINT) AS k_num,
+           {JSON_K_BIGINT_SQL} AS k_num,
            CASE WHEN props IS NOT NULL AND json_valid(props)
                 THEN json_extract_string(props, '$.k') END AS k_str,
            TRY_CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
@@ -326,7 +335,12 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     uint64 (and float literals) have engine-specific ``k_str``
     renderings — Spark preserves the lexical token while DuckDB's
     JSON reader normalises through double — so they are outside the
-    checked string-rendering domain (tripwire-pinned)."""
+    checked string-rendering domain (tripwire-pinned). The k_num
+    cast domain IS checked for fractional payloads (round-11 axis):
+    Spark's string try_cast NULLs any non-pure-integer token
+    ('50.7', '50.0') where DuckDB's TRY_CAST rounds ('50.7' → 51),
+    so the oracle's ``JSON_K_BIGINT_SQL`` regexp-guards the cast to
+    the Spark-accepted integer-token domain."""
     e = load(spark, sf_dir, "events")
     return e.select(
         "event_id",
@@ -617,6 +631,13 @@ def fn_array_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_id, value,
              CASE WHEN k_type = 'BOOLEAN'
                   THEN CASE WHEN k_raw = 'true' THEN 1 ELSE 0 END
+                  WHEN k_type = 'DOUBLE'
+                  THEN TRY_CAST(trunc(TRY_CAST(k_raw AS DOUBLE))
+                                AS BIGINT)
+                  WHEN k_type = 'VARCHAR'
+                       AND NOT regexp_matches(trim(k_raw),
+                                              '^[+-]?[0-9]+$')
+                  THEN NULL
                   ELSE TRY_CAST(k_raw AS BIGINT) END AS k_num,
              CASE WHEN k_type = 'BOOLEAN'
                   THEN CASE WHEN k_raw = 'true' THEN 1.0 ELSE 0.0 END
@@ -650,7 +671,15 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     while DuckDB keeps the first — the oracle quarantines rows whose
     top-level ``json_keys`` contain duplicates (top-level scope
     matches the swept corpus; nested duplicate keys are outside the
-    checked domain)."""
+    checked domain); (c) a DOUBLE k casts to BIGINT by TRUNCATION
+    toward zero under variant rules (50.7 → 50, -50.7 → -50,
+    overflow → NULL) while DuckDB's TRY_CAST of the string rendering
+    ROUNDS ('50.7' → 51) — the oracle adds a ``trunc``-through-DOUBLE
+    arm; and a VARCHAR k that is not a pure optional-sign integer
+    token ('50.7') is NULL under variant string→bigint rules while
+    DuckDB rounds — the oracle regexp-guards the VARCHAR arm
+    (round-11 fractional-k axis, pinned in
+    tests/test_hostile_props_corpus.py)."""
     e = load(spark, sf_dir, "events").withColumn(
         "pv", F.try_parse_json("props")
     )

@@ -37,7 +37,7 @@ from pyspark.sql.types import (
 
 from ..io import load
 from ..registry import query
-from .similarity import cosine_expr, sql_cosine
+from .similarity import EMB_CONFORM_SQL, cosine_expr, sql_cosine
 
 
 @query(
@@ -84,7 +84,7 @@ def multimodal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH e AS (
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-      WHERE embedding IS NOT NULL AND len(embedding) = 64
+      WHERE {EMB_CONFORM_SQL}
     ), langs AS (
       SELECT d.lang, d.doc_id, e.v
       FROM documents d JOIN e ON d.doc_id = e.vec_id

@@ -45,7 +45,7 @@ N_HYPERPLANES = 8  # 256 LSH buckets
 # all worse: ragged numpy batches crash, DuckDB's list_dot_product
 # raises on length mismatch, and two keys silently mis-indexed.
 # Quarantined rows stay observable via embeddings_vector_qa's
-# n_wrong_dim counter and recoverable via embeddings_dim_conform.
+# n_dim_mismatch counter and recoverable via embeddings_dim_conform.
 # Dim-AGNOSTIC keys (per-dimension stats, per-vector quantize/
 # truncate/QA) deliberately do NOT conform — mixed input is
 # well-defined for them and the sweep proved them engine-exact raw.
@@ -93,7 +93,7 @@ def sql_cosine(a: str, b: str) -> str:
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
              sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                    CAST(embedding AS DOUBLE[]))) AS nrm
-      FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64
+      FROM embeddings WHERE {EMB_CONFORM_SQL}
     ), probes AS (
       SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm
       FROM e WHERE vec_id < {N_PROBES}
@@ -192,12 +192,12 @@ def _pair_candidates(e: DataFrame, tau: float) -> DataFrame:
 
 @query(
     "sim_pairwise_threshold",
-    oracle="""
+    oracle=f"""
     WITH e AS (
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
              sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                    CAST(embedding AS DOUBLE[]))) AS nrm
-      FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64
+      FROM embeddings WHERE {EMB_CONFORM_SQL}
     )
     SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label,
            (list_dot_product(a.v, b.v) / (a.nrm * b.nrm)) AS cosine
@@ -235,12 +235,12 @@ def sim_pairwise_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_embedding",
-    oracle="""
+    oracle=f"""
     WITH e AS (
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
              sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                    CAST(embedding AS DOUBLE[]))) AS nrm
-      FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64
+      FROM embeddings WHERE {EMB_CONFORM_SQL}
     ), dup_pairs AS (
       SELECT b.vec_id AS b_id
       FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
@@ -649,13 +649,13 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sim_label_centroids",
-    oracle="""
+    oracle=f"""
     SELECT label, CAST(i AS INTEGER) AS pos,
            (CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0)
                           AS BIGINT)) AS DOUBLE)
               / 1000000.0 / COUNT(*)) AS centroid
-    FROM embeddings, generate_series(1, 64) g(i)
-    WHERE embedding IS NOT NULL AND len(embedding) = 64
+    FROM embeddings, generate_series(1, {EMB_DIM}) g(i)
+    WHERE {EMB_CONFORM_SQL}
     GROUP BY label, i
     """,
 )
@@ -887,7 +887,7 @@ def embeddings_vector_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embeddings_dim_conform(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The model-space admission step made first-class (round-10
+    f"""The model-space admission step made first-class (round-10
     mixed-dimension axis): the conforming slice of the embeddings
     table — exactly the rows every fixed-dimension operator admits
     via ``emb_conform`` — with each survivor's dimension and
@@ -920,7 +920,7 @@ KNN_K = 3
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
              sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                    CAST(embedding AS DOUBLE[]))) AS nrm
-      FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64
+      FROM embeddings WHERE {EMB_CONFORM_SQL}
     ), probes AS (
       SELECT vec_id AS probe_id, label AS true_label, v AS pv, nrm AS pnrm
       FROM e WHERE vec_id < {N_PROBES}
@@ -1020,7 +1020,7 @@ HIST_BUCKETS_PER_UNIT = 20  # bucket width 0.05 in cosine space
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
              sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                    CAST(embedding AS DOUBLE[]))) AS nrm
-      FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64
+      FROM embeddings WHERE {EMB_CONFORM_SQL}
     ), panel AS (
       SELECT vec_id AS p_id, v AS pv, nrm AS pnrm FROM e
       ORDER BY md5('hist:' || CAST(vec_id AS VARCHAR)), vec_id
@@ -1217,7 +1217,7 @@ def _kmeans_oracle() -> str:
       SELECT vec_id,
              list_transform(CAST(embedding AS DOUBLE[]),
                             x -> CAST(floor(x * {scale}.0) AS BIGINT)) AS qv
-      FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64
+      FROM embeddings WHERE {EMB_CONFORM_SQL}
     ),
     dims AS (SELECT CAST(r.range AS INT) AS pos FROM range(1, {dim + 1}) r),
     seeds AS (
@@ -1344,7 +1344,7 @@ GRAM_QMAX_BOUND = math.isqrt((2**63 - 1) // GRAM_BATCH_ROW_BOUND)
                             x -> CAST(floor(x * {GRAM_SCALE}.0) AS BIGINT))
                AS qv
       FROM embeddings
-      WHERE embedding IS NOT NULL AND len(embedding) = 64
+      WHERE {EMB_CONFORM_SQL}
     ),
     dims AS (SELECT CAST(r.range AS INT) AS pos
              FROM range(1, {KMEANS_ASSIGN_DIM + 1}) r)
@@ -1485,7 +1485,7 @@ def _rp_oracle() -> str:
                             x -> CAST(floor(x * {RP_SCALE}.0) AS BIGINT))
                AS qv
       FROM embeddings
-      WHERE embedding IS NOT NULL AND len(embedding) = 64
+      WHERE {EMB_CONFORM_SQL}
     ),
     m(out_dim, signs) AS (VALUES {rows})
     SELECT q.vec_id, CAST(m.out_dim AS INT) AS out_dim,
@@ -1556,7 +1556,7 @@ def embeddings_random_projection(
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
              sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                    CAST(embedding AS DOUBLE[]))) AS nrm
-      FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64
+      FROM embeddings WHERE {EMB_CONFORM_SQL}
     ), probes AS (
       SELECT vec_id AS probe_id, label AS true_label, v AS pv, nrm AS pnrm
       FROM e WHERE vec_id < {N_PROBES}
@@ -1741,7 +1741,7 @@ def _pq_best(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_transform(embedding,
                x -> CAST(floor(CAST(x AS DOUBLE) * {PQ_SCALE}) AS BIGINT))
                AS qv
-      FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64
+      FROM embeddings WHERE {EMB_CONFORM_SQL}
     ),
     seeds AS (
       SELECT qv AS sv,
@@ -1824,7 +1824,7 @@ PQ_TOPK = 10
              list_transform(embedding,
                x -> CAST(floor(CAST(x AS DOUBLE) * {PQ_SCALE}) AS BIGINT))
                AS qv
-      FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64
+      FROM embeddings WHERE {EMB_CONFORM_SQL}
     ),
     seeds AS (
       SELECT qv AS sv,

@@ -733,7 +733,8 @@ def win_rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
            last_value(CASE WHEN event_id % 7 = 0 THEN value END
                       IGNORE NULLS)
              OVER (PARTITION BY user_id
-                   ORDER BY ts, event_id, value NULLS FIRST
+                   ORDER BY ts NULLS FIRST, event_id NULLS FIRST,
+                            value NULLS FIRST
                    ROWS UNBOUNDED PRECEDING) AS filled
     FROM events
     """,
