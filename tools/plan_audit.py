@@ -652,6 +652,14 @@ AUDITS: dict[str, tuple[str, list[str]]] = {
         "the streaming twin holds the identical tuple in GroupState.",
         [r"partial_", r"Exchange"],
     ),
+    "scan_xml": (
+        "Native XML re-read binds the EXPLICIT 4-column schema (no "
+        "inference pass = no second read of the data) and scans "
+        "per-file in parallel; the writer emits one file per task so "
+        "the round-trip stays splittable at the file level - XML rows "
+        "cannot split mid-file, so file count IS the parallelism.",
+        [r"(?i)xml", r"ReadSchema"],
+    ),
 }
 
 
