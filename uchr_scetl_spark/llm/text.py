@@ -915,9 +915,25 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BPE_MERGE_ROUNDS = 3
 # ASCII unit separator: symbol-list delimiter for the merge loop's
-# string-encoded segmentations. Can never appear inside a symbol
-# (symbols are built from whitespace-split token characters + merges).
+# string-encoded segmentations. RESERVED: a token that itself
+# contains U+001F is the classic in-band-delimiter collision — the
+# wrapped char would read back as empty symbols and silently vanish
+# from pair counts and token totals ON BOTH ENGINES (hash-green but
+# value-wrong). Both sides therefore reject it loudly at the vocab
+# build (the dedup_vec_ids NULL-component pattern): real corpora
+# pre-normalize C0 separator controls to whitespace (udf_pandas_scalar
+# treats \x1c-\x1f as whitespace, Python's Unicode \s model), so a
+# surviving U+001F means the corpus skipped normalization — fail the
+# job, never mis-tokenize. The neighboring separators chr(28)-chr(30)
+# are NOT reserved: they flow through as ordinary one-char symbols,
+# engine-exact (round-11 in-band-delimiter sweep).
 _BPE_SEP = chr(31)
+_BPE_SEP_ERR = (
+    "text_bpe: reserved U+001F unit separator inside a token "
+    "(value-domain contract: the chr(31)-encoded segmentation "
+    "would silently drop it — pre-normalize control separators "
+    "to whitespace before BPE training)"
+)
 
 
 def _bpe_cte_chain() -> tuple[str, str, list[str]]:
@@ -931,7 +947,11 @@ def _bpe_cte_chain() -> tuple[str, str, list[str]]:
     string replace, IDENTICAL semantics in both engines, and the
     double separator means adjacent occurrences never share matched
     characters (['a','a','a'] merges to ['aa','a'], leftmost-first)."""
-    wrap = "regexp_replace(w, '(?s)(.)', chr(31) || '\\1' || chr(31), 'g')"
+    wrap = (
+        "CASE WHEN contains(w, chr(31)) THEN error('" + _BPE_SEP_ERR
+        + "') ELSE regexp_replace(w, '(?s)(.)',"
+        " chr(31) || '\\1' || chr(31), 'g') END"
+    )
     syms = "list_filter(string_split(s, chr(31)), x -> x <> '')"
     sql = f"""
     WITH words AS (
@@ -1064,15 +1084,25 @@ def _bpe_train(
         )
         return vocab.select(
             "wc",
+            # In-band-delimiter guard first (see _BPE_SEP): a token
+            # containing the reserved U+001F would silently vanish
+            # from the encoded segmentation on BOTH engines. Then
             # (?s): Java's `.` excludes EVERY Unicode line terminator
             # (\r, \u0085, \u2028, \u2029) while RE2's excludes only
             # \n, so a control character inside a token silently
             # DROPPED from the Spark-side symbol sequence but not the
             # oracle's (round-10 control-chars sweep) — DOTALL makes
             # both engines wrap every character
-            F.regexp_replace(
-                "w", "(?s)(.)", _BPE_SEP + "$1" + _BPE_SEP
-            ).alias("s"),
+            F.when(
+                F.contains("w", F.lit(_BPE_SEP)),
+                F.raise_error(F.lit(_BPE_SEP_ERR)).cast("string"),
+            )
+            .otherwise(
+                F.regexp_replace(
+                    "w", "(?s)(.)", _BPE_SEP + "$1" + _BPE_SEP
+                )
+            )
+            .alias("s"),
         ).cache()
 
     v = memo_get(_bpe_vocab_memo, key, _build)
