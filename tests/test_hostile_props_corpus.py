@@ -54,6 +54,19 @@ stays checked on residues 15-18; e-notation doubles are NOT — Spark
 re-renders through Java Double.toString ('1e30' → '1.0E30') while
 DuckDB keeps the lexical token — so e-notation joins beyond-uint64
 integers in the out-of-rendering-domain tripwire below.
+
+Round-11 duplicate-key extension (verdict task): residues 19-22 plant
+NESTED duplicate keys, type-conflicting duplicates ({"k":1,"k":"x"}),
+a duplicate whose second value is null, and a triple duplicate. The
+pinned matrix: get_json_object takes the FIRST occurrence at every
+depth (matching DuckDB json_extract); from_json with an explicit
+schema takes the LAST (why the engine's schema-on-read keys use
+get_json_object/variant, never from_json, for payloads that may carry
+duplicates); try_parse_json rejects duplicates at ANY depth — so
+fn_variant's oracle quarantine now checks json_keys at the top level
+AND one object level down (depth ≤ 2 = the swept corpus; deeper or
+array-wrapped duplicates remain out of the checked domain,
+tripwire-pinned).
 """
 
 from __future__ import annotations
@@ -103,6 +116,10 @@ CASE event_id % 29
   WHEN 16 THEN '{{"k": -50.7}}'
   WHEN 17 THEN '{{"k": "50.7"}}'
   WHEN 18 THEN '{{"k": "99999999999999999999"}}'
+  WHEN 19 THEN '{{"a": {{"k": 1, "k": 2}}, "k": 9}}'
+  WHEN 20 THEN '{{"k": 1, "k": "x"}}'
+  WHEN 21 THEN '{{"k": 5, "k": null}}'
+  WHEN 22 THEN '{{"k": 1, "k": 2, "k": 3}}'
   ELSE props
 END AS props"""
 
@@ -212,6 +229,57 @@ def test_variant_boolean_casts_typed_while_string_oracle_nulls(spark):
     )
     assert sorted(r.v for r in rows) == [0, 1]
     assert all(r.s is None for r in rows)
+
+
+def test_duplicate_key_resolution_matrix(spark):
+    """Round-11 duplicate-key matrix, pinned from both engines:
+    get_json_object = FIRST occurrence at every depth (= DuckDB),
+    from_json = LAST occurrence (why the engine never uses from_json
+    on duplicate-capable payloads), try_parse_json = NULL variant for
+    duplicates at ANY depth — including nested and array-wrapped
+    ones, the latter beyond the oracle's depth-2 quarantine and
+    therefore out of the checked domain."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    nested = '{"a": {"k": 1, "k": 2}, "k": 9}'
+    arraywrapped = '{"xs": [{"k": 1, "k": 2}], "k": 9}'
+    deep = '{"a": {"b": {"k": 1, "k": 2}}, "k": 9}'
+    row = (
+        spark.createDataFrame(
+            [(nested, arraywrapped, deep)],
+            "p1 string, p2 string, p3 string",
+        )
+        .select(
+            F.get_json_object("p1", "$.a.k").alias("gjo_nested"),
+            F.get_json_object("p1", "$.k").alias("gjo_top"),
+            F.from_json(
+                "p1", "a struct<k:string>, k string"
+            ).alias("fj"),
+            F.try_parse_json("p1").isNull().alias("var_nested"),
+            F.try_parse_json("p2").isNull().alias("var_arraywrapped"),
+            F.try_parse_json("p3").isNull().alias("var_deep"),
+        )
+        .select(
+            "gjo_nested", "gjo_top", F.col("fj.a.k").alias("fj_nested"),
+            "var_nested", "var_arraywrapped", "var_deep",
+        )
+        .first()
+    )
+    assert row.gjo_nested == "1" and row.gjo_top == "9"
+    assert row.fj_nested == "2"  # from_json: LAST wins
+    assert row.var_nested and row.var_arraywrapped and row.var_deep
+
+    con = duckdb.connect()
+    try:
+        d_nested, d_top = con.sql(
+            f"SELECT json_extract_string('{nested}', '$.a.k'), "
+            f"json_extract_string('{nested}', '$.k')"
+        ).fetchone()
+    finally:
+        con.close()
+    assert d_nested == "1" and d_top == "9"  # first wins, = Spark gjo
 
 
 def test_fractional_k_cast_triangle(spark):

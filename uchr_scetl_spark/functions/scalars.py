@@ -618,6 +618,13 @@ def fn_array_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN props IS NOT NULL AND json_valid(props)
                        AND len(json_keys(props)) =
                            len(list_distinct(json_keys(props)))
+                       AND len(list_filter(json_keys(props),
+                             kk -> json_type(props, '$."' || kk || '"')
+                                     = 'OBJECT'
+                               AND len(json_keys(props,
+                                       '$."' || kk || '"')) <>
+                                   len(list_distinct(json_keys(props,
+                                       '$."' || kk || '"'))))) = 0
                   THEN props END AS jp
       FROM events
     ),
@@ -667,11 +674,14 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     untyped where variant is typed: (a) a BOOLEAN k casts to 1/0
     under variant rules while TRY_CAST('true' AS BIGINT) is NULL —
     the oracle switches on ``json_type``; (b) Spark's variant parser
-    REJECTS duplicate object keys (try_parse_json → NULL variant)
-    while DuckDB keeps the first — the oracle quarantines rows whose
-    top-level ``json_keys`` contain duplicates (top-level scope
-    matches the swept corpus; nested duplicate keys are outside the
-    checked domain); (c) a DOUBLE k casts to BIGINT by TRUNCATION
+    REJECTS duplicate object keys at ANY depth (try_parse_json →
+    NULL variant) while DuckDB keeps the first — the oracle
+    quarantines rows with duplicate ``json_keys`` at the top level OR
+    one object level down (depth ≤ 2 covers the swept corpus;
+    duplicates nested deeper or inside arrays-of-objects are outside
+    the checked domain, tripwire-pinned in
+    tests/test_hostile_props_corpus.py); (c) a DOUBLE k casts to
+    BIGINT by TRUNCATION
     toward zero under variant rules (50.7 → 50, -50.7 → -50,
     overflow → NULL) while DuckDB's TRY_CAST of the string rendering
     ROUNDS ('50.7' → 51) — the oracle adds a ``trunc``-through-DOUBLE
