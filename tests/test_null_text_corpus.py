@@ -67,6 +67,17 @@ KEYS = [
     # NULL text NULL-propagates through split/filter/transform on both
     # engines, so both sides coalesce the joined string (ADVICE r9)
     "fn_array_lambda",
+    # round 11 (CSV-fidelity sweep finding): NULL text used to yield
+    # NULL BOOLEAN predicate cells — the one dtype whose null
+    # rendering splits the comparator frames (Spark None vs DuckDB
+    # NaN object cells); has_data/has_join/mentions_join are now INT
+    # (1/0/NULL, engine-neutral float-NaN nulls) and these keys pin
+    # the rendering on a NULL-text corpus
+    "fn_regex",
+    "fn_array",
+    # round 11: the lossless CSV dialect must round-trip NULL text
+    # (unquoted empty) distinct from '' (quoted "")
+    "sink_csv_roundtrip_text",
 ]
 
 REGISTRY = load_registry()

@@ -227,7 +227,8 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT d.doc_id,
            CAST(len(string_split(d.text, ' ')) AS INTEGER)       AS n_tokens,
-           list_contains(string_split(d.text, ' '), 'join')      AS has_join,
+           CAST(list_contains(string_split(d.text, ' '), 'join')
+                AS INTEGER)                                      AS has_join,
            list_sort(string_split(d.text, ' '))[1]               AS first_sorted,
            array_to_string(string_split(d.text, ' ')[1:3], ' ')  AS first3,
            CAST(len(e.embedding) AS INTEGER)                     AS emb_dim,
@@ -242,7 +243,7 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.join(e, d.doc_id == e.vec_id).select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
-        F.array_contains(toks, "join").alias("has_join"),
+        F.array_contains(toks, "join").cast("int").alias("has_join"),
         F.element_at(F.sort_array(toks), 1).alias("first_sorted"),
         F.array_join(F.slice(toks, 1, 3), " ").alias("first3"),
         F.size("embedding").alias("emb_dim"),
@@ -438,7 +439,7 @@ def fn_hash_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            regexp_extract(text, '^([a-z]+)', 1)            AS first_word,
            regexp_replace(text, '[aeiou]', '', 'g')        AS devoweled,
-           regexp_matches(text, 'data')                    AS has_data,
+           CAST(regexp_matches(text, 'data') AS INTEGER)   AS has_data,
            CAST(len(regexp_extract_all(text, ' ')) AS BIGINT) AS n_spaces
     FROM documents WHERE doc_id < 200
     """,
@@ -449,13 +450,23 @@ def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     Patterns stay in the portable common subset of Java regex and RE2
     (character classes, literals, capture groups) so both engines
     interpret them identically. Spark's regexp_replace is global by
-    default — the oracle needs DuckDB's explicit 'g' option."""
+    default — the oracle needs DuckDB's explicit 'g' option.
+
+    has_data is emitted as INT (1/0/NULL), not BOOLEAN: a NULL text
+    yields a NULL predicate, and NULL BOOLEAN is the one dtype whose
+    null rendering splits the comparator frames (Spark toPandas →
+    None object cell, DuckDB .df() → NaN object cell) — found by the
+    round-11 CSV-fidelity full-registry sweep, the first hostile
+    corpus to put NULL text through this key. Nullable INT nulls are
+    engine-neutral (both frames → float64 NaN). The rule: nullable
+    predicates in CHECKED outputs are INTs; booleans are fine only
+    when non-null by construction."""
     d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     return d.select(
         "doc_id",
         F.regexp_extract("text", r"^([a-z]+)", 1).alias("first_word"),
         F.regexp_replace("text", r"[aeiou]", "").alias("devoweled"),
-        F.col("text").rlike("data").alias("has_data"),
+        F.col("text").rlike("data").cast("int").alias("has_data"),
         F.size(F.regexp_extract_all("text", F.lit(" "), 0))
         .cast("bigint")
         .alias("n_spaces"),

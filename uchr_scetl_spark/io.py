@@ -71,20 +71,44 @@ def _schema_of(schema):
 
 def read_csv(spark: SparkSession, path: str, schema) -> DataFrame:
     """CSV source with a declared schema (table name or StructType) —
-    never inferSchema."""
+    never inferSchema. Dialect mirrors ``write_csv`` (round-11 CSV
+    fidelity axis): escape='"' parses RFC 4180 doubled quotes;
+    multiLine=true keeps embedded newlines inside quoted fields
+    (files then split per-FILE, not per-line — the writer emits one
+    file per task, so file count is the read parallelism, the
+    scan_xml argument); nullValue='\\N' restores the null-vs-empty
+    distinction (unquoted empty → NULL, quoted "" → empty string);
+    a LITERAL two-char '\\N' text value is the one reserved token
+    (the Postgres/MySQL NULL sentinel) — out of the checked domain,
+    tripwire-pinned in tests/test_csv_fidelity_corpus.py."""
     configure(spark)
     return (
         spark.read.schema(_schema_of(schema))
         .option("header", "true")
+        .option("escape", '"')
+        .option("multiLine", "true")
+        .option("nullValue", "\\N")
         .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
         .csv(path)
     )
 
 
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """CSV sink, RFC 4180 dialect (round-11 CSV fidelity axis):
+    escape='"' writes doubled quotes instead of Spark's default
+    backslash escaping (which RFC-strict readers misparse), and the
+    writer-side whitespace trimming is OFF — Spark's write default
+    ignoreLeading/TrailingWhiteSpace=true SILENTLY STRIPS edge
+    whitespace from unquoted fields, a data-corruption default for a
+    sink. NULL stays the unquoted empty field and '' stays a quoted
+    "" (the write defaults), which together with read_csv's
+    nullValue sentinel makes the round-trip lossless."""
     (
         df.write.mode(mode)
         .option("header", "true")
+        .option("escape", '"')
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
         .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
         .csv(path)
     )

@@ -49,7 +49,8 @@ from .similarity import EMB_CONFORM_SQL, cosine_expr, sql_cosine
     )
     SELECT d.doc_id, d.lang, d.source, e.label,
            CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
-           list_contains(string_split(d.text, ' '), 'join') AS mentions_join,
+           CAST(list_contains(string_split(d.text, ' '), 'join')
+                AS INTEGER) AS mentions_join,
            sqrt(list_dot_product(e.v, e.v)) AS emb_norm,
            CAST(e.v[1] AS DOUBLE) AS emb_first
     FROM documents d JOIN e ON d.doc_id = e.vec_id
@@ -71,7 +72,7 @@ def multimodal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "label",
         F.size(toks).cast("bigint").alias("n_tokens"),
-        F.array_contains(toks, "join").alias("mentions_join"),
+        F.array_contains(toks, "join").cast("int").alias("mentions_join"),
         F.sqrt(F.expr("aggregate(zip_with(v, v, (x,y) -> x*y), 0D, (acc,x) -> acc+x)")).alias(
             "emb_norm"
         ),

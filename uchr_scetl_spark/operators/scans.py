@@ -186,6 +186,44 @@ def sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sink_csv_roundtrip_text",
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+)
+def sink_csv_roundtrip_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSLESS CSV round-trip of the free-text table — the fidelity
+    contract the round-11 CSV axis pinned: quotes, commas, embedded
+    newlines/CRLF, backslashes, edge whitespace, empty strings, and
+    NULLs all survive write_csv → read_csv bit-exactly, and the
+    written files are RFC 4180 (doubled quotes) so external readers
+    parse them identically (DuckDB read_csv interop is asserted in
+    tests/test_csv_fidelity_corpus.py). The axis found two
+    silent-corruption DEFAULTS in Spark's writer: backslash escaping
+    (RFC-strict readers misparse) and write-side
+    ignoreLeading/TrailingWhiteSpace=true (edge whitespace silently
+    stripped) — both overridden in io.write_csv. The one reserved
+    token: a literal two-char '\\N' text (the Postgres/MySQL NULL
+    sentinel read_csv uses to keep unquoted-empty → NULL distinct
+    from quoted "" → empty string) — out of the checked domain,
+    tripwire-pinned.
+
+    Because this is a registry key over ``documents``, every hostile
+    text corpus the suite sweeps (control chars, unicode, in-band
+    delimiters, giant documents, NULL text) exercises the CSV dialect
+    automatically from here on.
+
+    Scale: the writer emits one file per task and the multiLine
+    reader splits per-FILE, so file count is the read parallelism —
+    the scan_xml argument; embedded newlines make per-line splitting
+    unsafe in ANY dialect."""
+    src = load(spark, sf_dir, "documents")
+    out = scratch_dir("uchr_csv_rt_")
+    write_csv(src, out)
+    return read_csv(spark, out, "documents")
+
+
+@query(
     "scan_pruned_partition",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice
