@@ -1260,3 +1260,28 @@ def test_stream_locf_state_is_a_partial_aggregate(spark):
     assert "partial_" in plan, plan
     assert plan.count("Exchange") == 1, plan
     assert "Window" not in plan, plan
+
+
+def test_text_chunk_overlap_is_one_generate_zero_exchanges(spark):
+    """text_chunk_overlap: the chunk manifest must be pure in-row
+    algebra — one pushed-down scan (IsNotNull(text), 2 of 5 columns),
+    one Generate for the window indices, ZERO exchanges/joins/windows;
+    at 100 TB the chunker is exactly as parallel as the scan."""
+    plan = plan_of(spark, "text_chunk_overlap")
+    assert "Exchange" not in plan, plan
+    assert "Generate" in plan, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "PushedFilters: [IsNotNull(text)]" in plan, plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+
+
+def test_csv_roundtrip_read_is_per_file_parallel_csv_scan(spark):
+    """sink_csv_roundtrip_text: the re-read must be a native csv
+    FileScan bound to the explicit 5-column documents schema — no
+    inference pass, no shuffle."""
+    plan = plan_of(spark, "sink_csv_roundtrip_text")
+    assert "csv" in plan.lower(), plan
+    assert "Exchange" not in plan, plan
+    for c in ("doc_id", "text", "lang", "source", "n_chars"):
+        assert c in plan, (c, plan)

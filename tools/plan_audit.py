@@ -652,6 +652,20 @@ AUDITS: dict[str, tuple[str, list[str]]] = {
         "the streaming twin holds the identical tuple in GroupState.",
         [r"partial_", r"Exchange"],
     ),
+    "text_chunk_overlap": (
+        "Overlapping-window chunking is pure in-row algebra: one "
+        "pushed-down scan (IsNotNull(text), 2 of 5 columns), one "
+        "Generate for the window indices, ZERO exchanges - the "
+        "chunker is exactly as parallel as the scan.",
+        [r"Generate", r"PushedFilters", r"ReadSchema"],
+    ),
+    "sink_csv_roundtrip_text": (
+        "Lossless RFC 4180 CSV round-trip: the re-read binds the "
+        "explicit 5-column schema (no inference pass) on a native csv "
+        "scan; multiLine splits per-FILE and the writer emits one "
+        "file per task, so file count is the read parallelism.",
+        [r"(?i)csv", r"ReadSchema"],
+    ),
     "scan_xml": (
         "Native XML re-read binds the EXPLICIT 4-column schema (no "
         "inference pass = no second read of the data) and scans "

@@ -1587,3 +1587,116 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "predicted")
         .agg(F.count("*").alias("n"))
     )
+
+
+# Fixed-window chunking geometry: 32-token windows advancing by 24
+# (8-token overlap). The numbers are corpus-scale test values; the
+# shape is the production RAG/pretraining chunker — overlap preserves
+# context across window seams, the affix-overlap detector above is
+# its seam-dedup counterpart.
+CHUNK_TOKS = 32
+CHUNK_STRIDE = 24
+
+
+@query(
+    "text_chunk_overlap",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents WHERE text IS NOT NULL
+    ), ix AS (
+      SELECT doc_id, n, toks,
+             unnest(generate_series(0,
+               CASE WHEN n <= {CHUNK_TOKS} THEN 0
+                    ELSE (n - {CHUNK_TOKS} + {CHUNK_STRIDE} - 1)
+                         // {CHUNK_STRIDE} END)) AS i
+      FROM d
+    ), c AS (
+      SELECT doc_id, n, toks,
+             CAST(i AS INTEGER) AS chunk_idx,
+             i * {CHUNK_STRIDE} + 1 AS start_tok
+      FROM ix
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(least({CHUNK_TOKS}, n - start_tok + 1) AS INTEGER)
+             AS n_toks,
+           md5(array_to_string(
+                 list_slice(toks, start_tok,
+                            least(start_tok + {CHUNK_TOKS} - 1, n)),
+                 ' ')) AS chunk_md5
+    FROM c
+    """,
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-window chunking — the RAG / pretraining
+    staple the registry lacked: every document becomes
+    ``ceil((n - size)/stride) + 1`` windows of {CHUNK_TOKS} tokens
+    advancing by {CHUNK_STRIDE} (so consecutive chunks share
+    ``size - stride`` tokens of context), the final window keeping
+    its natural short tail. Output is the chunk manifest a downstream
+    embedder or packer consumes: (doc_id, chunk_idx, start_tok,
+    n_toks, chunk_md5), with the md5 over the space-joined window
+    giving a content address for chunk-level dedup and cache keys
+    (both engines render identical lowercase hex).
+
+    The chunk count uses pure INTEGER arithmetic
+    (``(n - size + stride - 1) div stride``) — float ceil would be
+    engine-identical here but the integer spelling cannot rot.
+
+    Scale: the window index list is generated IN-ROW
+    (``sequence`` → ``transform`` → one Generate) and every output
+    column is an in-row slice off the token array — zero exchanges,
+    zero joins, perfectly scan-parallel; output size is
+    ~n_tokens/stride rows per doc, the minimum any chunker can emit.
+    The plan is a single WholeStageCodegen span over the parquet
+    scan (asserted in tests/test_plans.py). NULL texts are excluded
+    on both sides (``split(NULL)`` has no window semantics); empty
+    string is one 1-token chunk — the split-of-'' convention shared
+    with the tokenizer family."""
+    d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = F.split(F.col("text"), " ")
+    d = d.select("doc_id", toks.alias("toks")).withColumn(
+        "n", F.size("toks")
+    )
+    n_chunks = F.when(
+        F.col("n") <= CHUNK_TOKS, F.lit(1)
+    ).otherwise(
+        F.expr(
+            f"(n - {CHUNK_TOKS} + {CHUNK_STRIDE} - 1)"
+            f" div {CHUNK_STRIDE}"
+        ).cast("int")
+        + 1
+    )
+    c = d.select(
+        "doc_id",
+        "n",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), n_chunks - 1)
+        ).alias("chunk_idx"),
+    ).withColumn(
+        "start_tok", (F.col("chunk_idx").cast("bigint") * CHUNK_STRIDE + 1)
+    )
+    return c.select(
+        "doc_id",
+        "chunk_idx",
+        "start_tok",
+        F.least(F.lit(CHUNK_TOKS), F.col("n") - F.col("start_tok") + 1)
+        .cast("int")
+        .alias("n_toks"),
+        F.md5(
+            F.array_join(
+                F.slice(
+                    "toks",
+                    F.col("start_tok").cast("int"),
+                    F.least(
+                        F.lit(CHUNK_TOKS),
+                        (F.col("n") - F.col("start_tok") + 1).cast("int"),
+                    ),
+                ),
+                " ",
+            )
+        ).alias("chunk_md5"),
+    )
