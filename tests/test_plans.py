@@ -1285,3 +1285,15 @@ def test_csv_roundtrip_read_is_per_file_parallel_csv_scan(spark):
     assert "Exchange" not in plan, plan
     for c in ("doc_id", "text", "lang", "source", "n_chars"):
         assert c in plan, (c, plan)
+
+
+def test_dedup_chunk_exact_is_two_phase_distinct_aggregate(spark):
+    """dedup_chunk_exact: zero-shuffle manifest + the standard
+    bounded-memory count-distinct shape — partial aggregation on the
+    (chunk_md5, doc_id) pair, then the final group on chunk_md5:
+    exactly TWO exchanges, no Expand, no Window, no Join."""
+    plan = plan_of(spark, "dedup_chunk_exact")
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "partial_count" in plan, plan
+    assert "Expand" not in plan, plan
+    assert "Window" not in plan and "Join" not in plan, plan

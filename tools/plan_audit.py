@@ -652,6 +652,13 @@ AUDITS: dict[str, tuple[str, list[str]]] = {
         "the streaming twin holds the identical tuple in GroupState.",
         [r"partial_", r"Exchange"],
     ),
+    "dedup_chunk_exact": (
+        "Repeated-passage detector: zero-shuffle chunk manifest + the "
+        "bounded-memory count-distinct shape - partial aggregation on "
+        "the (chunk_md5, doc_id) pair then the final group on "
+        "chunk_md5, exactly two exchanges, nothing pairwise.",
+        [r"partial_count", r"Exchange hashpartitioning"],
+    ),
     "text_chunk_overlap": (
         "Overlapping-window chunking is pure in-row algebra: one "
         "pushed-down scan (IsNotNull(text), 2 of 5 columns), one "

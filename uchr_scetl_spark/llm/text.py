@@ -1700,3 +1700,55 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk_md5"),
     )
+
+
+def _chunk_dedup_oracle() -> str:
+    from ..registry import REGISTRY
+
+    base = REGISTRY["text_chunk_overlap"].oracle
+    return f"""
+    SELECT chunk_md5,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS first_doc,
+           CAST(MIN(n_toks) AS INTEGER) AS n_toks
+    FROM ({base})
+    WHERE n_toks = {CHUNK_TOKS}
+    GROUP BY chunk_md5
+    HAVING COUNT(*) > 1
+    """
+
+
+@query("dedup_chunk_exact", oracle=_chunk_dedup_oracle())
+def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup — the repeated-passage / boilerplate
+    detector (the C4-and-successors pipeline step that whole-document
+    dedup misses): group the chunk manifest by content address and
+    report every window occurring more than once, with its occurrence
+    count, distinct-document spread, and first carrier. Only
+    FULL-width windows participate ({CHUNK_TOKS} tokens) — short
+    tails are length-biased and would flood the spectrum with
+    trivially-equal fragments; the WHERE mirrors in the oracle, which
+    is literally a GROUP BY wrapped around text_chunk_overlap's
+    oracle (the two keys cannot drift apart — the
+    text_langid_confusion composition rule).
+
+    Scale: the manifest is zero-shuffle (see text_chunk_overlap);
+    this adds exactly ONE exchange on the 16-byte-hex chunk_md5 with
+    map-side partial counts, and the HAVING keeps only true repeats —
+    output is the boilerplate table a filtering pass broadcast-joins
+    against. Nothing is pairwise; identical passages meet in the
+    hash bucket, the dedup_exact argument at chunk granularity."""
+    m = text_chunk_overlap(spark, sf_dir).where(
+        F.col("n_toks") == CHUNK_TOKS
+    )
+    return (
+        m.groupBy("chunk_md5")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.min("n_toks").alias("n_toks"),
+        )
+        .where(F.col("n_occurrences") > 1)
+    )
