@@ -726,3 +726,58 @@ def test_malformed_price_tokens_quarantine_not_throw(spark):
         and r.o_totalprice is None
         for r in null_rows
     )
+
+
+def test_nanos_to_micros_truncates_toward_zero_on_both_engines(spark):
+    """Tripwire for the ns→µs layer of the epoch-arithmetic family
+    (round-11 probe): io.load's ``ts DIV 1000`` truncates toward ZERO,
+    and DuckDB's TIMESTAMP_NS→TIMESTAMP parquet read does the SAME
+    (-1500 ns → -1 µs, -999 ns → 0 — floor would give -2/-1), so
+    negative-epoch timestamps with sub-microsecond residue agree
+    bit-exactly with no floor-div shim. If either engine switches to
+    floor semantics this pins the divergence before a corpus does."""
+    import tempfile
+
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    out = tempfile.mkdtemp(prefix="uchr_ns_trunc_")
+    vals = np.array([-1500, -999, -1, 0, 999, 1500], dtype="int64")
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(vals)), type=pa.int64()),
+            "ts": pa.array(vals).cast(pa.timestamp("ns")),
+        }
+    )
+    pq.write_table(t, f"{out}/events.parquet")
+
+    df = (
+        spark.read.parquet(f"{out}/events.parquet")
+        .withColumn(
+            "ts2",
+            F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"),
+        )
+        .orderBy("event_id")
+    )
+    spark_us = [r.ts2 for r in df.collect()]
+    con = duckdb.connect()
+    try:
+        duck_us = [
+            r[0]
+            for r in con.sql(
+                f"SELECT CAST(ts AS TIMESTAMP) "
+                f"FROM read_parquet('{out}/events.parquet') "
+                f"ORDER BY event_id"
+            ).fetchall()
+        ]
+    finally:
+        con.close()
+    assert spark_us == duck_us
+    # the truncation-toward-zero signature: -999 ns lands ON epoch
+    assert spark_us[1].microsecond == 0 and spark_us[1].second == 0
+    # and -1500 ns is -1 us, not floor's -2
+    assert spark_us[0].microsecond == 999999

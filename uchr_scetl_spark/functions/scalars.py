@@ -599,7 +599,18 @@ def fn_array_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
     through every column on both engines — the oracle guards both its
     coalesce AND its list_prepend(0, ...) reduce seed with an explicit
     `toks IS NULL` arm, because DuckDB's list_prepend(0, NULL) is [0]
-    (reduces to 0) where Spark's aggregate(NULL, ...) is NULL."""
+    (reduces to 0) where Spark's aggregate(NULL, ...) is NULL.
+
+    Case-mapping scope (round-11 special-casing sweep, pinned in
+    tests/test_special_casing_corpus.py): long_upper's checked
+    equality holds for SIMPLE-CASE text — ASCII and accented Latin,
+    where JVM and DuckDB upper() agree, which covers every driver
+    corpus. Outside it they genuinely differ and no DuckDB built-in
+    bridges the gap: Java applies Unicode FULL uppercase mappings
+    (straße → STRASSE, the ﬁ ligature → FI) while DuckDB applies
+    SIMPLE 1:1 mappings (→ STRAẞE, ﬁ unchanged). The full mapping IS
+    the product semantics — same declared-scope contract as
+    agg_fold_ci_groups."""
     d = load(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
     toks = F.split("text", " ")
     return d.select(

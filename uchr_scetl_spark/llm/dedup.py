@@ -66,12 +66,31 @@ SIMHASH_CHUNKS = 4
 SIMHASH_CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS
 
 
+# Exact-dedup canonicalization: trim + ASCII-ONLY case fold. Unicode
+# case mapping is deliberately NOT part of the content hash — the
+# round-11 special-casing sweep showed the three engines in play
+# (JVM String.toLowerCase, Python str.lower, DuckDB simple mapping)
+# disagree on İ (i+combining-dot vs i), ß (upper SS vs ẞ), and
+# ligatures (ﬁ → FI vs unchanged), so a locale-sensitive fold makes
+# the survivor set ENGINE-DEPENDENT. ASCII fold is deterministic
+# everywhere; full-fold similarity belongs to the near-dup family and
+# the dedicated fold-analysis keys (agg_fold_ci_groups).
+ASCII_SRC = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+ASCII_DST = "abcdefghijklmnopqrstuvwxyz"
+CANON_SQL = f"translate(trim(text), '{ASCII_SRC}', '{ASCII_DST}')"
+
+
+def canon_text() -> F.Column:
+    """Spark mirror of ``CANON_SQL``."""
+    return F.translate(F.trim(F.col("text")), ASCII_SRC, ASCII_DST)
+
+
 @query(
     "dedup_exact",
-    oracle="""
+    oracle=f"""
     WITH hashed AS (
       SELECT doc_id, lang, source,
-             sha256(lower(trim(text))) AS text_sha
+             sha256({CANON_SQL}) AS text_sha
       FROM documents
     )
     SELECT doc_id, lang, source, text_sha
@@ -80,13 +99,16 @@ SIMHASH_CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS
     """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup on normalized-text hash; lowest doc_id survives."""
+    """Exact dedup on canonicalized-text hash; lowest doc_id
+    survives. Canonicalization is trim + ASCII fold (see CANON_SQL):
+    engine-exact on any corpus, where a Unicode case fold would make
+    the survivor set depend on which engine's case tables ran."""
     d = load(spark, sf_dir, "documents")
     hashed = d.select(
         "doc_id",
         "lang",
         "source",
-        F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("text_sha"),
+        F.sha2(canon_text(), 256).alias("text_sha"),
     )
     w = Window.partitionBy("text_sha").orderBy("doc_id")
     return (
@@ -1094,11 +1116,11 @@ def dedup_near_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_exact_keep_best",
-    oracle="""
+    oracle=f"""
     SELECT doc_id, lang, source, n_chars
     FROM documents
     QUALIFY row_number() OVER (
-      PARTITION BY md5(lower(trim(text)))
+      PARTITION BY md5({CANON_SQL})
       ORDER BY n_chars DESC, doc_id
     ) = 1
     """,
@@ -1117,7 +1139,7 @@ def dedup_exact_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load(spark, sf_dir, "documents")
-    h = F.md5(F.lower(F.trim(F.col("text"))))
+    h = F.md5(canon_text())
     w = Window.partitionBy(h).orderBy(F.col("n_chars").desc(), "doc_id")
     return (
         d.withColumn("rn", F.row_number().over(w))

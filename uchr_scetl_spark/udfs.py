@@ -47,7 +47,15 @@ def normalize_text(s: pd.Series) -> pd.Series:
     incl. NBSP and U+2028) — the round-10 control-chars sweep caught
     the oracle's RE2 \\s matching ASCII only, so the oracle now
     spells the identical class explicitly:
-    [\\t\\n\\x0b\\x0c\\r\\x1c-\\x1f\\x{0085}\\p{Z}]."""
+    [\\t\\n\\x0b\\x0c\\r\\x1c-\\x1f\\x{0085}\\p{Z}].
+
+    Case-mapping scope (round-11 special-casing sweep, pinned in
+    tests/test_special_casing_corpus.py): the lowercase step is
+    PYTHON's str.lower — Unicode FULL mappings (İ → i + combining
+    dot) — while DuckDB's lower() is the SIMPLE 1:1 mapping (İ → i),
+    so the checked equality holds for simple-case text (every driver
+    corpus); outside it Python's semantics are the product, same
+    declared-scope contract as agg_fold_ci_groups."""
     return s.str.lower().str.strip().str.replace(r"\s+", " ", regex=True)
 
 
