@@ -37,7 +37,7 @@ from pyspark.sql.types import (
 
 from ..io import load
 from ..registry import query
-from .similarity import EMB_CONFORM_SQL, cosine_expr, sql_cosine
+from .similarity import COS_CONFORM_SQL, cosine_expr, sql_cosine
 
 
 @query(
@@ -85,7 +85,7 @@ def multimodal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH e AS (
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-      WHERE {EMB_CONFORM_SQL}
+      WHERE {COS_CONFORM_SQL}
     ), langs AS (
       SELECT d.lang, d.doc_id, e.v
       FROM documents d JOIN e ON d.doc_id = e.vec_id
@@ -114,10 +114,10 @@ def multimodal_crossmodal_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-pair cosine evaluates, so values stay bit-equal."""
     from pyspark.sql import Window
 
-    from .similarity import dot_expr, emb_conform
+    from .similarity import cos_conform, dot_expr
 
     d = load(spark, sf_dir, "documents")
-    e = load(spark, sf_dir, "embeddings").where(emb_conform()).withColumn(
+    e = load(spark, sf_dir, "embeddings").where(cos_conform()).withColumn(
         "v", F.col("embedding").cast("array<double>")
     )
     langs = d.join(e, d.doc_id == e.vec_id).select(

@@ -60,6 +60,37 @@ def emb_conform() -> F.Column:
         F.size("embedding") == EMB_DIM
     )
 
+
+# Cosine-space admission (round-11 zero-norm axis): cosine is
+# UNDEFINED on a zero-norm vector, and the engines disagree on the
+# failure mode — Spark ANSI double division RAISES DIVIDE_BY_ZERO
+# (one broken encoder row kills the whole similarity job) while
+# DuckDB silently yields NULL. Every key that divides by a norm
+# therefore admits only vectors with a computable norm (the sum of
+# squares both engines evaluate identically, so admission is
+# engine-exact); dot-only keys (k-means argmax, PQ distances, gram,
+# centroids) stay on emb_conform — zero vectors are well-defined
+# there. Quarantined rows remain observable via embeddings_vector_qa
+# and recoverable via embeddings_dim_conform.
+COS_CONFORM_SQL = (
+    EMB_CONFORM_SQL
+    + " AND list_dot_product(CAST(embedding AS DOUBLE[]),"
+    + " CAST(embedding AS DOUBLE[])) > 0"
+)
+
+
+def cos_conform() -> F.Column:
+    """Spark mirror of ``COS_CONFORM_SQL`` — the cosine-space
+    admission predicate (model space + nonzero computable norm)."""
+    return emb_conform() & (
+        F.expr(
+            "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>),"
+            " CAST(embedding AS ARRAY<DOUBLE>), (x, y) -> x * y),"
+            " 0D, (acc, x) -> acc + x)"
+        )
+        > 0
+    )
+
 _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
 
 
@@ -93,7 +124,7 @@ def sql_cosine(a: str, b: str) -> str:
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
              sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                    CAST(embedding AS DOUBLE[]))) AS nrm
-      FROM embeddings WHERE {EMB_CONFORM_SQL}
+      FROM embeddings WHERE {COS_CONFORM_SQL}
     ), probes AS (
       SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm
       FROM e WHERE vec_id < {N_PROBES}
@@ -114,7 +145,7 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The probe side is broadcast, so the corpus is scanned once with no
     shuffle; the per-probe top-k is a bounded window over ≤|corpus|
     rows per probe."""
-    e = load(spark, sf_dir, "embeddings").where(emb_conform()).withColumn(
+    e = load(spark, sf_dir, "embeddings").where(cos_conform()).withColumn(
         "v", F.col("embedding").cast("array<double>")
     ).withColumn("nrm", F.sqrt(dot_expr("v", "v")))
     probes = e.where(F.col("vec_id") < N_PROBES).select(
@@ -144,7 +175,7 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _normed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        load(spark, sf_dir, "embeddings").where(emb_conform())
+        load(spark, sf_dir, "embeddings").where(cos_conform())
         .withColumn("v", F.col("embedding").cast("array<double>"))
         .withColumn("nrm", F.sqrt(dot_expr("v", "v")))
     )
@@ -197,7 +228,7 @@ def _pair_candidates(e: DataFrame, tau: float) -> DataFrame:
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
              sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                    CAST(embedding AS DOUBLE[]))) AS nrm
-      FROM embeddings WHERE {EMB_CONFORM_SQL}
+      FROM embeddings WHERE {COS_CONFORM_SQL}
     )
     SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label,
            (list_dot_product(a.v, b.v) / (a.nrm * b.nrm)) AS cosine
@@ -240,7 +271,7 @@ def sim_pairwise_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
              sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                    CAST(embedding AS DOUBLE[]))) AS nrm
-      FROM embeddings WHERE {EMB_CONFORM_SQL}
+      FROM embeddings WHERE {COS_CONFORM_SQL}
     ), dup_pairs AS (
       SELECT b.vec_id AS b_id
       FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
@@ -308,7 +339,7 @@ def _ivf_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _build() -> DataFrame:
         return (
             load(spark, sf_dir, "embeddings")
-            .where(emb_conform())
+            .where(cos_conform())
             .withColumn("v", F.col("embedding").cast("array<double>"))
             .withColumn("nrm", F.sqrt(dot_expr("v", "v")))
             .select(
@@ -521,7 +552,7 @@ def _lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deduped (probe_id, neighbor_id) LSH candidate pairs — the
     recall/cost-defining stage, exposed for the recall test to measure
     candidate volume directly."""
-    e = load(spark, sf_dir, "embeddings").where(emb_conform()).withColumn(
+    e = load(spark, sf_dir, "embeddings").where(cos_conform()).withColumn(
         "v", F.col("embedding").cast("array<double>")
     )
     planes = _hyperplanes(n=LSH_TABLES * LSH_BITS)
@@ -608,7 +639,7 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (table,bucket) int key — never a pairwise product; the multiprobe
     fan-out rides the tiny probe side only; candidate dedup is a
     groupBy on the (probe, neighbor) int pair."""
-    e = load(spark, sf_dir, "embeddings").where(emb_conform()).withColumn(
+    e = load(spark, sf_dir, "embeddings").where(cos_conform()).withColumn(
         "v", F.col("embedding").cast("array<double>")
     )
     candidates = _lsh_candidates(spark, sf_dir)
@@ -920,7 +951,7 @@ KNN_K = 3
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
              sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                    CAST(embedding AS DOUBLE[]))) AS nrm
-      FROM embeddings WHERE {EMB_CONFORM_SQL}
+      FROM embeddings WHERE {COS_CONFORM_SQL}
     ), probes AS (
       SELECT vec_id AS probe_id, label AS true_label, v AS pv, nrm AS pnrm
       FROM e WHERE vec_id < {N_PROBES}
@@ -1020,7 +1051,7 @@ HIST_BUCKETS_PER_UNIT = 20  # bucket width 0.05 in cosine space
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
              sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                    CAST(embedding AS DOUBLE[]))) AS nrm
-      FROM embeddings WHERE {EMB_CONFORM_SQL}
+      FROM embeddings WHERE {COS_CONFORM_SQL}
     ), panel AS (
       SELECT vec_id AS p_id, v AS pv, nrm AS pnrm FROM e
       ORDER BY md5('hist:' || CAST(vec_id AS VARCHAR)), vec_id
@@ -1556,7 +1587,7 @@ def embeddings_random_projection(
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
              sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                    CAST(embedding AS DOUBLE[]))) AS nrm
-      FROM embeddings WHERE {EMB_CONFORM_SQL}
+      FROM embeddings WHERE {COS_CONFORM_SQL}
     ), probes AS (
       SELECT vec_id AS probe_id, label AS true_label, v AS pv, nrm AS pnrm
       FROM e WHERE vec_id < {N_PROBES}
