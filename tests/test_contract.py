@@ -71,6 +71,54 @@ def test_checked_outputs_carry_scalar_columns_only(spark):
     assert not offenders, "; ".join(offenders)
 
 
+# Keys allowed to emit BOOLEAN columns: each is non-null BY
+# CONSTRUCTION (isNull tests, aggregates over guaranteed-present
+# groups, literals, comparisons of non-null hashes). NULL BOOLEAN is
+# the one dtype whose null rendering splits the compared pandas
+# frames (Spark toPandas None vs DuckDB .df() NaN in object columns —
+# round-11 CSV-fidelity sweep), so a NULLABLE predicate must be INT
+# 1/0/NULL instead (fn_regex.has_data precedent). Adding a boolean
+# output to a new key means consciously extending this list.
+BOOLEAN_OK = {
+    "agg_approx_distinct",
+    "agg_approx_percentile",
+    "agg_conditional",
+    "agg_count_min_heavy_hitters",
+    "agg_hll_sketch_merge",
+    "agg_kll_merge_quantiles",
+    "agg_theta_set_distinct",
+    "etl_expectations_suite",
+    "etl_scd2",
+    "events_bot_burst_audit",
+    "fn_hash_xx",
+    "fn_try_cast",
+    "join_mark_exists",
+}
+
+
+def test_boolean_outputs_are_allowlisted_nonnull_by_construction(spark):
+    """Registry-wide nullable-boolean guard (round-11): any key
+    emitting a BOOLEAN column must be on the reviewed allowlist —
+    everything nullable must ship as INT. Catches a future key
+    accidentally exposing rlike/array_contains over nullable input
+    as a raw boolean."""
+    from pyspark.sql.types import BooleanType
+
+    from .conftest import SF_SMOKE
+
+    offenders = []
+    for key, spec in sorted(load_registry().items()):
+        schema = spec.fn(spark, SF_SMOKE).schema
+        bools = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, BooleanType)
+        ]
+        if bools and key not in BOOLEAN_OK:
+            offenders.append(f"{key}: {bools}")
+    assert not offenders, "; ".join(offenders)
+
+
 def test_bucketed_join_has_no_shuffle(spark):
     """The join of the two bucketed tables must read co-located buckets:
     no Exchange may appear between the table scans and the join."""
