@@ -70,6 +70,13 @@ KEYS = [
     "dedup_near",
     "dedup_shingle_df_profile",
     "sample_contrastive_negatives",
+    # round 11: the chunker's stress shape IS the giant document
+    # (~100k tokens → ~4.2k overlapping windows from one row) and the
+    # repeated-passage detector runs over that manifest; both must
+    # stay value-exact, as must the CSV round-trip of a 560 KB cell
+    "text_chunk_overlap",
+    "dedup_chunk_exact",
+    "sink_csv_roundtrip_text",
 ]
 
 REGISTRY = load_registry()
