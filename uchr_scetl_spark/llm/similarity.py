@@ -72,10 +72,26 @@ def emb_conform() -> F.Column:
 # centroids) stay on emb_conform — zero vectors are well-defined
 # there. Quarantined rows remain observable via embeddings_vector_qa
 # and recoverable via embeddings_dim_conform.
+#
+# Round-12 (NULL-component axis, per ADVICE): the DuckDB spelling is
+# a CASE-guarded list_reduce rather than list_dot_product, because
+# list_dot_product RAISES on a vector with a NULL component while
+# Spark's aggregate fold NULL-propagates (NULL > 0 → row filtered) —
+# on a partially-failed-encoder corpus the oracle died where Spark
+# quarantined. list_reduce over x*x is the SAME sequential
+# left-to-right double fold Spark evaluates (bit-equal sum, so the
+# > 0 admission is engine-exact) and NULL-propagates identically, so
+# NULL-component vectors now quarantine on BOTH engines. The CASE
+# len >= 1 guard exists only because list_reduce raises on an empty
+# list and DuckDB's AND does not short-circuit (verified: a
+# len-guard conjunct does NOT protect the right operand); an empty
+# or NULL vector yields CASE → NULL → filtered, matching Spark's
+# 0-or-NULL fold. Pinned by tests/test_null_component_cosine.py.
 COS_CONFORM_SQL = (
     EMB_CONFORM_SQL
-    + " AND list_dot_product(CAST(embedding AS DOUBLE[]),"
-    + " CAST(embedding AS DOUBLE[])) > 0"
+    + " AND CASE WHEN len(embedding) >= 1 THEN"
+    + " list_reduce(list_transform(CAST(embedding AS DOUBLE[]),"
+    + " x -> x * x), (a, b) -> a + b) END > 0"
 )
 
 
@@ -918,7 +934,7 @@ def embeddings_vector_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embeddings_dim_conform(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""The model-space admission step made first-class (round-10
+    """The model-space admission step made first-class (round-10
     mixed-dimension axis): the conforming slice of the embeddings
     table — exactly the rows every fixed-dimension operator admits
     via ``emb_conform`` — with each survivor's dimension and
@@ -926,7 +942,7 @@ def embeddings_dim_conform(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoder at a different width (the duplicate-id class of ingest
     reality) quarantines HERE, observable via embeddings_vector_qa's
     n_dim_mismatch counter; downstream model-space keys then see one
-    consistent d={EMB_DIM} space. Plain pushed-down filter + in-row
+    consistent d=64 (EMB_DIM) space. Plain pushed-down filter + in-row
     fold: one scan, zero shuffles, trivially partition-parallel."""
     e = load(spark, sf_dir, "embeddings").where(emb_conform()).withColumn(
         "v", F.col("embedding").cast("array<double>")

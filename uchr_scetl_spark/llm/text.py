@@ -1632,8 +1632,8 @@ CHUNK_STRIDE = 24
 def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping fixed-window chunking — the RAG / pretraining
     staple the registry lacked: every document becomes
-    ``ceil((n - size)/stride) + 1`` windows of {CHUNK_TOKS} tokens
-    advancing by {CHUNK_STRIDE} (so consecutive chunks share
+    ``ceil((n - size)/stride) + 1`` windows of 32 (CHUNK_TOKS) tokens
+    advancing by 24 (CHUNK_STRIDE) (so consecutive chunks share
     ``size - stride`` tokens of context), the final window keeping
     its natural short tail. Output is the chunk manifest a downstream
     embedder or packer consumes: (doc_id, chunk_idx, start_tok,
@@ -1726,7 +1726,7 @@ def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup misses): group the chunk manifest by content address and
     report every window occurring more than once, with its occurrence
     count, distinct-document spread, and first carrier. Only
-    FULL-width windows participate ({CHUNK_TOKS} tokens) — short
+    FULL-width windows participate (32 = CHUNK_TOKS tokens) — short
     tails are length-biased and would flood the spectrum with
     trivially-equal fragments; the WHERE mirrors in the oracle, which
     is literally a GROUP BY wrapped around text_chunk_overlap's
