@@ -144,6 +144,31 @@ def main() -> int:
         total += dt
         print(f"# {key}: {dt:.3f}s", file=sys.stderr)
 
+    # Driver-capture shape (round-11 verdict #6): the driver keeps only
+    # the LAST 2000 chars of stdout, so the ~10 KB full per-key JSON
+    # always truncates mid-map and its artifact "parsed" field has been
+    # null every round. Print a compact self-contained summary line
+    # FIRST (per the verdict's prescription, covers any head capture)
+    # and again LAST (guaranteed inside the 2000-char tail) around the
+    # unchanged full JSON line; the committed BENCH_LOCAL.json remains
+    # the full-map record.
+    ok = {k: v for k, v in timings.items() if v >= 0}
+    summary = json.dumps(
+        {
+            "metric": "total_query_wall_seconds",
+            "value": round(total, 3),
+            "unit": "sec",
+            "sf": sf,
+            "n_keys": len(timings),
+            "n_errors": len(timings) - len(ok),
+            "slowest": {
+                k: ok[k]
+                for k in sorted(ok, key=ok.get, reverse=True)[:10]
+            },
+            "summary": True,
+        }
+    )
+    print(summary)
     print(
         json.dumps(
             {
@@ -155,6 +180,7 @@ def main() -> int:
             }
         )
     )
+    print(summary)
     return 0
 
 
