@@ -406,7 +406,7 @@ def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
            median(value) OVER (
              PARTITION BY user_id
              ORDER BY ts, event_id, value NULLS FIRST
-             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS med5
+             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) + 0.0 AS med5
     FROM events
     """,
 )
@@ -420,7 +420,16 @@ def win_median_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     One shuffle on user_id. Median is sort-based (selection, not
     summation), so unlike a float mean it is bit-reproducible at any
     parallelism; even-count frames (partition edges) interpolate the
-    two middle values identically in both engines."""
+    two middle values identically in both engines.
+
+    The ``+ 0.0`` on the rendered median (both engines) is the
+    round-12 negative-zero normalization: a frame of mixed-sign
+    zeros has an ENGINE-DEPENDENT middle element — Spark's
+    array_sort totally orders -0.0 before 0.0 (Double.compare)
+    while DuckDB's median treats them IEEE-equal and keeps
+    first-seen — so the sign of a zero median is not a carried
+    value. ``x + 0.0`` maps -0.0 to +0.0 and is exact for every
+    other double (tests/test_negative_zero_corpus.py)."""
     e = load(spark, sf_dir, "events")
     # value joins the tiebreak (NULLS FIRST both engines): under a
     # duplicated (ts, event_id) pair the ±2 frame each dup row sees
@@ -439,7 +448,8 @@ def win_median_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.element_at(vals, mid) + F.element_at(vals, mid + 1)) / 2
     )
     return e.select(
-        "user_id", "event_id", "value", med.alias("med5")
+        "user_id", "event_id", "value",
+        (med + F.lit(0.0)).alias("med5"),
     )
 
 
