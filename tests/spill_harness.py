@@ -1,0 +1,225 @@
+"""Shared harness for the forced-spill determinism gate (round 12).
+
+Two pieces:
+
+- :func:`canonical_digest` — a bit-exact, order-canonical sha256 of a
+  DataFrame's collected rows (floats by IEEE bit pattern, decimals by
+  exact string, arrays/structs/maps recursively). Two runs that
+  produce byte-identical multisets of rows produce equal digests;
+  ANY value difference — including a float ULP or a -0.0 sign —
+  produces different ones. Deliberately stricter than the
+  driver-parity compare.
+
+- a ``__main__`` runner that builds a DEDICATED SparkSession (the
+  engine's normal configure() plus, with ``--spill``, every
+  spill-forcing knob we verified actually fires on Spark 4.1),
+  digests the requested registry keys, proves the spill machinery
+  engaged via canary plans whose executed-plan ``spillSize`` metrics
+  must be positive, and writes one JSON file. The gate
+  (test_spill_determinism.py) runs this in a subprocess because the
+  decisive spill knobs are STATIC confs — ``spark.memory.fraction``
+  and ``spark.shuffle.spill.numElementsForceSpillThreshold`` are
+  fixed at JVM/context creation and cannot be toggled on the shared
+  test session.
+
+Spill knobs, all verified to fire (probe, round 12):
+
+- ``spark.shuffle.spill.numElementsForceSpillThreshold=20000`` —
+  every UnsafeExternalSorter (SortExec, shuffle sort, agg fallback
+  sorter) force-spills each 20k records; the Sort canary shows
+  spillSize > 0. Kept high enough that merging the spill files does
+  not OOM the driver-side readers (each spill reader allocates a
+  MB-scale read-ahead buffer: at threshold 1000 a 100k-row sort OOMed
+  a 1 GB heap — which is why the harness also pins driver memory).
+- ``spark.sql.TungstenAggregate.testFallbackStartsAt=2000,3000`` —
+  HashAggregateExec abandons its hash map after N distinct keys and
+  finishes sort-based (spillSize > 0 on both partial and final agg).
+- ``spark.sql.windowExec.buffer.spill.threshold=512`` /
+  ``spark.sql.sessionWindow.buffer.spill.threshold=512`` /
+  ``spark.sql.sortMergeJoinExec.buffer.spill.threshold=512`` — the
+  ExternalAppendOnlyUnsafeRowArray behind window frames, session
+  windows and SMJ buffered matches goes to disk past 512 rows.
+- ``spark.sql.objectHashAggregate.sortBased.fallbackThreshold=64`` —
+  ObjectHashAggregate (collect_list/collect_set paths) falls back
+  sort-based past 64 keys.
+- ``spark.memory.fraction=0.3`` — shrinks execution memory so
+  memory-pressure spills engage beyond the forced thresholds.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import hashlib
+import json
+import struct
+import sys
+
+SPILL_CONFS_STATIC = {
+    "spark.memory.fraction": "0.3",
+    "spark.shuffle.spill.numElementsForceSpillThreshold": "20000",
+}
+SPILL_CONFS_SQL = {
+    "spark.sql.TungstenAggregate.testFallbackStartsAt": "2000,3000",
+    "spark.sql.windowExec.buffer.spill.threshold": "512",
+    "spark.sql.sessionWindow.buffer.spill.threshold": "512",
+    "spark.sql.sortMergeJoinExec.buffer.spill.threshold": "512",
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold": "64",
+}
+
+
+def _canon_value(v):
+    if isinstance(v, bool) or v is None or isinstance(v, (int, str)):
+        return ["p", v]
+    if isinstance(v, float):
+        return ["f", struct.pack("<d", v).hex()]
+    if isinstance(v, decimal.Decimal):
+        return ["d", str(v)]
+    if isinstance(v, (datetime.datetime, datetime.date, datetime.time)):
+        return ["t", v.isoformat()]
+    if isinstance(v, (bytes, bytearray)):
+        return ["b", bytes(v).hex()]
+    if hasattr(v, "asDict"):  # pyspark Row (struct column)
+        return [
+            "r",
+            sorted(
+                [k, _canon_value(x)] for k, x in v.asDict(False).items()
+            ),
+        ]
+    if isinstance(v, (list, tuple)):
+        return ["l", [_canon_value(x) for x in v]]
+    if isinstance(v, dict):
+        return [
+            "m",
+            sorted([str(k), _canon_value(x)] for k, x in v.items()),
+        ]
+    return ["s", repr(v)]
+
+
+def canonical_digest(df) -> str:
+    """Order-canonical bit-exact sha256 of the DataFrame's rows."""
+    cols = sorted(df.columns)
+    rows = [
+        json.dumps([_canon_value(r[c]) for c in cols])
+        for r in df.select(*cols).collect()
+    ]
+    rows.sort()
+    h = hashlib.sha256()
+    h.update(json.dumps(cols).encode())
+    for row in rows:
+        h.update(row.encode())
+    return h.hexdigest()
+
+
+def _executed_spill_bytes(df) -> int:
+    """Sum every 'spill'-named SQLMetric in the df's executed plan.
+    Must be called after an action on the SAME DataFrame object."""
+    total = 0
+
+    def walk(node):
+        nonlocal total
+        m = node.metrics()
+        it = m.iterator()
+        while it.hasNext():
+            kv = it.next()
+            if "spill" in kv._1().lower():
+                total += max(0, kv._2().value())
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return total
+
+
+def _canary_spill_bytes(spark) -> int:
+    """Prove the forced-spill machinery engages: a window+sort plan
+    and a hash-agg plan whose executed metrics must show disk spill.
+    AQE is disabled for the canaries only, so the executed plan the
+    metrics walk sees is the static one."""
+    saved = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        win = (
+            spark.range(0, 100000)
+            .selectExpr("id % 7 AS k", "id AS v")
+            .selectExpr(
+                "k", "v", "sum(v) OVER (PARTITION BY k ORDER BY v) AS s"
+            )
+        )
+        win.collect()
+        agg = (
+            spark.range(0, 100000)
+            .selectExpr("id % 5000 AS k", "id AS v")
+            .groupBy("k")
+            .sum("v")
+        )
+        agg.collect()
+        return _executed_spill_bytes(win) + _executed_spill_bytes(agg)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", saved)
+
+
+def build_session(spill: bool):
+    import os
+
+    from pyspark.sql import SparkSession
+
+    from uchr_scetl_spark.session import configure, default_parallelism
+
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(
+            "uchr-spill-harness" if spill else "uchr-plain-harness"
+        )
+        .master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"))
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
+        .config("spark.ui.enabled", "false")
+    )
+    if spill:
+        for k, v in SPILL_CONFS_STATIC.items():
+            builder = builder.config(k, v)
+        for k, v in SPILL_CONFS_SQL.items():
+            builder = builder.config(k, v)
+    return configure(builder.getOrCreate())
+
+
+def main(argv: list[str]) -> int:
+    out_json = argv[0]
+    sf_dir = argv[1]
+    rest = argv[2:]
+    spill = "--spill" in rest
+    rest = [a for a in rest if a != "--spill"]
+
+    sys.path.insert(0, __file__.rsplit("/", 2)[0])
+    from uchr_scetl_spark import load_registry
+
+    registry = load_registry()
+    keys = (
+        sorted(k for k, s in registry.items())
+        if rest == ["--all"]
+        else rest
+    )
+    spark = build_session(spill)
+    result = {"spill_mode": spill, "canary_spill_bytes": None, "digests": {}}
+    if spill:
+        result["canary_spill_bytes"] = _canary_spill_bytes(spark)
+    for key in keys:
+        try:
+            result["digests"][key] = canonical_digest(
+                registry[key].fn(spark, sf_dir)
+            )
+        except Exception as exc:  # recorded, judged by the caller
+            result["digests"][key] = f"ERR: {exc!r}"[:500]
+    with open(out_json, "w") as f:
+        json.dump(result, f, indent=1, sort_keys=True)
+    print(f"wrote {out_json}: {len(keys)} keys, spill={spill}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

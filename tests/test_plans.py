@@ -1204,14 +1204,24 @@ def test_embeddings_dim_conform_is_one_pushed_scan(spark):
 
 
 def test_join_lateral_topk_decorrelates_to_window_join(spark):
-    """join_lateral_topk: the correlated LATERAL ... ORDER BY ...
-    LIMIT 2 must DECORRELATE — a partitioned window (rank ≤ 2 per
-    order key) feeding one equi-join, never a nested-loop re-scan
-    per outer row."""
+    """join_lateral_topk: the lateral top-k must be a partitioned
+    window (rank ≤ 2 per order key) feeding one equi-join, never a
+    nested-loop re-scan per outer row. Round 12: the window's
+    ordering must live INSIDE the window spec — Spark's native
+    lateral ORDER BY + LIMIT decorrelation instead emits a GLOBAL
+    range-sort on the price plus an orderless row_number that relies
+    on arrival order surviving the exchange (order-unsound under
+    spill/fetch nondeterminism; caught by the forced-spill gate), so
+    the plan must show the ordered windowspec and must NOT contain
+    the range-partitioned price sort."""
     plan = plan_of(spark, "join_lateral_topk")
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "Window" in plan, plan
     assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan), plan
+    assert "rangepartitioning(l_extendedprice" not in plan, plan
+    assert "windowspecdefinition(l_orderkey" in plan and (
+        "l_extendedprice" in plan.split("windowspecdefinition", 1)[1][:200]
+    ), plan
 
 
 def test_sql_parameterized_pushes_bound_predicates(spark):

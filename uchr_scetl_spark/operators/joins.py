@@ -776,28 +776,51 @@ LATERAL (
 )
 def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated LATERAL subquery join — "for each order, its top-2
-    line items by price" written the way SQL analysts write it
-    (Spark 4 lateral-join support; the IDENTICAL text is the oracle,
-    so the key checks LATERAL dialect parity like sql_cte_pipeline).
-    Ties break on (l_extendedprice DESC, l_linenumber), total per
-    order.
+    line items by price" written the way SQL analysts write it. The
+    ORACLE keeps the analyst-facing LATERAL text; the Spark side
+    spells out the decorrelated form explicitly — a row_number window
+    ordered by (l_extendedprice DESC, l_linenumber) per l_orderkey,
+    rank ≤ 2, one equi-join on the order key. Ties break on
+    (l_extendedprice DESC, l_linenumber), total per order.
 
-    Scale notes: a naive reading is a correlated per-order subquery —
-    O(|orders|) scans. Catalyst DECORRELATES it: the lateral LIMIT
-    over the correlated filter rewrites to a partitioned window
-    (rank ≤ 2 per l_orderkey) feeding ONE equi-join on the order key,
-    so the physical plan is the same shape as win_topk_per_group +
-    join_inner_equi — per-key shuffles, no per-row re-scan, exactly
-    what the syntax must lower to for 100 TB viability
-    (plan-asserted: no nested-loop, bounded window)."""
-    load(spark, sf_dir, "orders").createOrReplaceTempView(
-        "lateral_orders"
+    Round-12 finding (forced-spill gate): Spark 4.1's OWN lateral
+    decorrelation of ORDER BY + LIMIT is ORDER-UNSOUND at scale — it
+    lowers to a GLOBAL range-sort on the lateral ORDER BY, a hash
+    exchange on the correlation key, a reducer sort on the key ALONE,
+    and then row_number() with an EMPTY window ordering, silently
+    relying on intra-partition arrival order to carry the price
+    ranking through the exchange. Local unspilled runs pass by
+    stable-merge coincidence; under forced sorter spill the merge
+    interleaves equal-key runs and the "top-2" returned arbitrary
+    (sometimes bottom-ranked) line items — and on a real cluster,
+    shuffle fetch order alone would do the same. The explicit window
+    puts the ordering INSIDE the window spec, which is
+    arrival-order-free by construction (and cheaper: one shuffle on
+    the order key instead of a global range-sort plus a reshuffle).
+    Pinned by tests/test_spill_determinism.py.
+
+    Scale notes: the plan is the win_topk_per_group +
+    join_inner_equi shape — per-key shuffles, no per-row re-scan,
+    no nested-loop, bounded window (plan-asserted)."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("bigint")
+        .alias("cents"),
     )
-    load(spark, sf_dir, "lineitem").createOrReplaceTempView(
-        "lateral_lineitem"
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy(F.col("l_extendedprice").desc(), "l_linenumber")
     )
-    return spark.sql(
-        _LATERAL_SQL.format(
-            orders="lateral_orders", lineitem="lateral_lineitem"
-        )
+    top = (
+        li.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select("l_orderkey", "l_linenumber", "cents")
+    )
+    return (
+        o.join(top, o.o_orderkey == top.l_orderkey)
+        .select("o_orderkey", "l_linenumber", "cents")
     )
