@@ -670,3 +670,95 @@ def test_user_locf_state_converges_to_batch_key(spark, events_dir):
         for r in want_rows
     }
     assert got == expect
+
+
+def test_stateful_restart_recovers_window_state(spark, tmp_path):
+    """Checkpoint-RESTART recovery for a STATEFUL watermarked
+    aggregation (round-12 axis, verdict task #4): the earlier restart
+    tests prove source-offset recovery through STATELESS pass-through
+    pipelines; this one kills a windowed aggregation mid-stream —
+    with partially-counted windows and an advanced watermark living
+    only in the state store — restarts it from the same checkpoint,
+    and requires the final emitted result to equal the uninterrupted
+    batch oracle.
+
+    The cut is deliberately MID-WINDOW (a 55%% row split of the
+    time-ordered stream, not aligned to any hour boundary), so the
+    boundary window's count is partial at the stop: if the restarted
+    query lost its state store, that window would finalize with only
+    its post-restart rows; if it lost the watermark, earlier windows
+    could re-open or late handling would change — either corrupts
+    the count and fails the oracle equality. A far-future flush row
+    after the restart pushes the watermark past every real window so
+    the append-mode parquet sink (whose transaction log must also
+    dedup across the restart) holds the complete finalized set."""
+    import os
+
+    from pyspark.sql import Window
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    ev = (
+        load(spark, SF_SMOKE, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .orderBy("ts", "event_id")
+    )
+    rows = ev.count()
+    cut = int(rows * 0.55)
+    w = F.row_number().over(Window.orderBy("ts", "event_id"))
+    numbered = ev.withColumn("rn", w)
+    phase1 = numbered.where(F.col("rn") <= cut).drop("rn")
+    phase2 = numbered.where(F.col("rn") > cut).drop("rn")
+
+    # anti-vacuity: the cut row's window must receive rows in BOTH
+    # phases (the partial state the restart has to recover)
+    hour = F.date_trunc("hour", F.col("ts"))
+    boundary_1 = {r[0] for r in phase1.select(hour).tail(1)}
+    boundary_2 = {r[0] for r in phase2.select(hour).head(1)}
+    assert boundary_1 == boundary_2, "cut landed on an hour boundary"
+
+    def run_once():
+        q = (
+            tumbling_counts_stream(
+                read_events_stream(spark, src, max_files_per_trigger=1)
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180), "stream did not finish in 180s"
+
+    phase1.coalesce(2).write.mode("append").parquet(src)
+    run_once()  # several micro-batches, then a clean mid-stream stop
+    n_emitted_1 = spark.read.parquet(out).count()
+
+    # restart input: the rest of the stream + a far-future flush row
+    # that advances the watermark past every real window
+    phase2.coalesce(2).write.mode("append").parquet(src)
+    flush_ts = ev.agg(F.max("ts")).collect()[0][0] + dt.timedelta(days=10)
+    spark.createDataFrame(
+        [(999999999, flush_ts, 0, "__flush__", 0.0, None)],
+        schema=phase1.schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()  # restart from the same checkpoint
+
+    got_df = spark.read.parquet(out).where(F.col("event_type") != "__flush__")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in got_df.collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in B.stream_tumbling_counts(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    # the restart finalized real work (run 1 alone held back at least
+    # the boundary window), and nothing was emitted twice
+    assert n_emitted_1 < len(want)
+    assert got_df.count() == len(got)
