@@ -160,7 +160,7 @@ def _canary_spill_bytes(spark) -> int:
         spark.conf.set("spark.sql.adaptive.enabled", saved)
 
 
-def build_session(spill: bool):
+def build_session(spill: bool, extra_confs: dict[str, str] | None = None):
     import os
 
     from pyspark.sql import SparkSession
@@ -185,6 +185,8 @@ def build_session(spill: bool):
             builder = builder.config(k, v)
         for k, v in SPILL_CONFS_SQL.items():
             builder = builder.config(k, v)
+    for k, v in (extra_confs or {}).items():
+        builder = builder.config(k, v)
     return configure(builder.getOrCreate())
 
 
@@ -194,6 +196,12 @@ def main(argv: list[str]) -> int:
     rest = argv[2:]
     spill = "--spill" in rest
     rest = [a for a in rest if a != "--spill"]
+    extra_confs = {}
+    while "--conf" in rest:
+        i = rest.index("--conf")
+        k, v = rest[i + 1].split("=", 1)
+        extra_confs[k] = v
+        del rest[i : i + 2]
 
     sys.path.insert(0, __file__.rsplit("/", 2)[0])
     from uchr_scetl_spark import load_registry
@@ -204,7 +212,7 @@ def main(argv: list[str]) -> int:
         if rest == ["--all"]
         else rest
     )
-    spark = build_session(spill)
+    spark = build_session(spill, extra_confs)
     result = {"spill_mode": spill, "canary_spill_bytes": None, "digests": {}}
     if spill:
         result["canary_spill_bytes"] = _canary_spill_bytes(spark)
