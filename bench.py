@@ -28,12 +28,18 @@ def force(df) -> None:
 
 
 def main() -> int:
+    argv = [a for a in sys.argv[1:] if a != "--full-only"]
+    # --full-only: print just the full per-key JSON line (for
+    # BENCH_LOCAL.json, which tools parse as a single JSON document);
+    # without it, a compact summary line brackets the full line so the
+    # driver's 2000-char tail capture always holds a complete record
+    full_only = "--full-only" in sys.argv[1:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    if len(sys.argv) > 1:
-        sf_dir = sys.argv[1]
+    if argv:
+        sf_dir = argv[0]
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
-    only = set(sys.argv[2:])
+    only = set(argv[1:])
 
     registry = load_registry()
     spark = get_session("uchr-bench")
@@ -168,7 +174,8 @@ def main() -> int:
             "summary": True,
         }
     )
-    print(summary)
+    if not full_only:
+        print(summary)
     print(
         json.dumps(
             {
@@ -180,7 +187,8 @@ def main() -> int:
             }
         )
     )
-    print(summary)
+    if not full_only:
+        print(summary)
     return 0
 
 
