@@ -22,26 +22,33 @@ Two pieces:
   fixed at JVM/context creation and cannot be toggled on the shared
   test session.
 
-Spill knobs, all verified to fire (probe, round 12):
+Spill knobs, all verified to fire (probe, round 12). Thresholds are
+sized so the registry keys THEMSELVES spill even at smoke scale
+(sf0.001 partitions hold only hundreds of rows — the first knob set
+at 20000/512 made only the canaries spill; the per-key
+``spill_bytes_keys`` total in the output JSON is the evidence the
+gate asserts on):
 
-- ``spark.shuffle.spill.numElementsForceSpillThreshold=20000`` —
-  every UnsafeExternalSorter (SortExec, shuffle sort, agg fallback
-  sorter) force-spills each 20k records; the Sort canary shows
-  spillSize > 0. Kept high enough that merging the spill files does
-  not OOM the driver-side readers (each spill reader allocates a
-  MB-scale read-ahead buffer: at threshold 1000 a 100k-row sort OOMed
-  a 1 GB heap — which is why the harness also pins driver memory).
-- ``spark.sql.TungstenAggregate.testFallbackStartsAt=2000,3000`` —
-  HashAggregateExec abandons its hash map after N distinct keys and
+- ``spark.shuffle.spill.numElementsForceSpillThreshold=2000`` — every
+  UnsafeExternalSorter (SortExec, shuffle sort, agg fallback sorter)
+  force-spills each 2000 records. Not lower: low thresholds multiply
+  spill FILES, every merge reader allocates a ≥1 MB read-ahead buffer
+  (the conf floor — 64 KB is rejected), and at threshold 1000 a
+  100k-row agg merge OOMed a 1 GB heap; 2000 with the pinned 8 GB
+  driver heap keeps single-partition merges bounded while smoke-scale
+  global sorts (single-task windows/sorts over the whole table) still
+  exceed it and spill.
+- ``spark.sql.TungstenAggregate.testFallbackStartsAt=64,128`` —
+  HashAggregateExec abandons its hash map after 64 distinct keys and
   finishes sort-based (spillSize > 0 on both partial and final agg).
-- ``spark.sql.windowExec.buffer.spill.threshold=512`` /
-  ``spark.sql.sessionWindow.buffer.spill.threshold=512`` /
-  ``spark.sql.sortMergeJoinExec.buffer.spill.threshold=512`` — the
+- ``spark.sql.windowExec.buffer.spill.threshold=16`` /
+  ``spark.sql.sessionWindow.buffer.spill.threshold=16`` /
+  ``spark.sql.sortMergeJoinExec.buffer.spill.threshold=16`` — the
   ExternalAppendOnlyUnsafeRowArray behind window frames, session
-  windows and SMJ buffered matches goes to disk past 512 rows.
-- ``spark.sql.objectHashAggregate.sortBased.fallbackThreshold=64`` —
+  windows and SMJ buffered matches goes to disk past 16 rows.
+- ``spark.sql.objectHashAggregate.sortBased.fallbackThreshold=16`` —
   ObjectHashAggregate (collect_list/collect_set paths) falls back
-  sort-based past 64 keys.
+  sort-based past 16 keys.
 - ``spark.memory.fraction=0.3`` — shrinks execution memory so
   memory-pressure spills engage beyond the forced thresholds.
 """
@@ -57,14 +64,14 @@ import sys
 
 SPILL_CONFS_STATIC = {
     "spark.memory.fraction": "0.3",
-    "spark.shuffle.spill.numElementsForceSpillThreshold": "20000",
+    "spark.shuffle.spill.numElementsForceSpillThreshold": "2000",
 }
 SPILL_CONFS_SQL = {
-    "spark.sql.TungstenAggregate.testFallbackStartsAt": "2000,3000",
-    "spark.sql.windowExec.buffer.spill.threshold": "512",
-    "spark.sql.sessionWindow.buffer.spill.threshold": "512",
-    "spark.sql.sortMergeJoinExec.buffer.spill.threshold": "512",
-    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold": "64",
+    "spark.sql.TungstenAggregate.testFallbackStartsAt": "64,128",
+    "spark.sql.windowExec.buffer.spill.threshold": "16",
+    "spark.sql.sessionWindow.buffer.spill.threshold": "16",
+    "spark.sql.sortMergeJoinExec.buffer.spill.threshold": "16",
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold": "16",
 }
 
 
@@ -96,24 +103,32 @@ def _canon_value(v):
     return ["s", repr(v)]
 
 
-def canonical_digest(df) -> str:
-    """Order-canonical bit-exact sha256 of the DataFrame's rows."""
+def canonical_digest(df, _spill_out: list | None = None) -> str:
+    """Order-canonical bit-exact sha256 of the DataFrame's rows. When
+    ``_spill_out`` is given, the executed plan's total spill bytes are
+    appended to it (metrics read from the same QueryExecution the
+    collect ran)."""
     cols = sorted(df.columns)
+    sel = df.select(*cols)
     rows = [
         json.dumps([_canon_value(r[c]) for c in cols])
-        for r in df.select(*cols).collect()
+        for r in sel.collect()
     ]
     rows.sort()
     h = hashlib.sha256()
     h.update(json.dumps(cols).encode())
     for row in rows:
         h.update(row.encode())
+    if _spill_out is not None:
+        _spill_out.append(_executed_spill_bytes(sel))
     return h.hexdigest()
 
 
 def _executed_spill_bytes(df) -> int:
     """Sum every 'spill'-named SQLMetric in the df's executed plan.
-    Must be called after an action on the SAME DataFrame object."""
+    Must be called after an action on the SAME DataFrame object.
+    Descends through AQE wrappers (AdaptiveSparkPlanExec /
+    QueryStageExec), whose children() is empty by design."""
     total = 0
 
     def walk(node):
@@ -127,6 +142,13 @@ def _executed_spill_bytes(df) -> int:
         ch = node.children()
         for i in range(ch.size()):
             walk(ch.apply(i))
+        if ch.size() == 0:
+            for meth in ("executedPlan", "plan"):
+                try:
+                    walk(getattr(node, meth)())
+                    break
+                except Exception:
+                    pass
 
     walk(df._jdf.queryExecution().executedPlan())
     return total
@@ -140,8 +162,12 @@ def _canary_spill_bytes(spark) -> int:
     saved = spark.conf.get("spark.sql.adaptive.enabled")
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "false")
+        # 20k rows: far above every forced threshold (so the spill
+        # paths are guaranteed to run) but small enough that the
+        # per-spill-file ≥1 MB read-ahead buffers the 16-row window
+        # threshold multiplies stay within the heap at local[32]
         win = (
-            spark.range(0, 100000)
+            spark.range(0, 20000)
             .selectExpr("id % 7 AS k", "id AS v")
             .selectExpr(
                 "k", "v", "sum(v) OVER (PARTITION BY k ORDER BY v) AS s"
@@ -149,7 +175,7 @@ def _canary_spill_bytes(spark) -> int:
         )
         win.collect()
         agg = (
-            spark.range(0, 100000)
+            spark.range(0, 20000)
             .selectExpr("id % 5000 AS k", "id AS v")
             .groupBy("k")
             .sum("v")
@@ -213,16 +239,25 @@ def main(argv: list[str]) -> int:
         else rest
     )
     spark = build_session(spill, extra_confs)
-    result = {"spill_mode": spill, "canary_spill_bytes": None, "digests": {}}
+    result = {
+        "spill_mode": spill,
+        "canary_spill_bytes": None,
+        "spill_bytes_keys": None,
+        "digests": {},
+    }
     if spill:
         result["canary_spill_bytes"] = _canary_spill_bytes(spark)
+    spill_out: list = []
     for key in keys:
         try:
             result["digests"][key] = canonical_digest(
-                registry[key].fn(spark, sf_dir)
+                registry[key].fn(spark, sf_dir),
+                _spill_out=spill_out if spill else None,
             )
         except Exception as exc:  # recorded, judged by the caller
             result["digests"][key] = f"ERR: {exc!r}"[:500]
+    if spill:
+        result["spill_bytes_keys"] = sum(spill_out)
     with open(out_json, "w") as f:
         json.dump(result, f, indent=1, sort_keys=True)
     print(f"wrote {out_json}: {len(keys)} keys, spill={spill}")

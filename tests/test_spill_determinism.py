@@ -83,12 +83,17 @@ def spilled():
 
 
 def test_spill_machinery_engaged(spilled):
-    """Anti-vacuity: the canary window/sort/agg plans must show real
-    disk spill in their executed metrics — a sweep that never spills
-    proves nothing."""
+    """Anti-vacuity, two levels: the canary window/sort/agg plans must
+    show real disk spill in their executed metrics, AND the registry
+    keys themselves must have spilled during the sweep (thresholds are
+    sized for smoke-scale partitions — a sweep whose keys never spill
+    proves only the canaries)."""
     assert spilled["spill_mode"] is True
     assert spilled["canary_spill_bytes"] > 100 * 1024 * 1024, (
         spilled["canary_spill_bytes"]
+    )
+    assert spilled["spill_bytes_keys"] > 10 * 1024 * 1024, (
+        spilled["spill_bytes_keys"]
     )
 
 
