@@ -27,6 +27,13 @@ cluster — so results must be bit-identical across them:
   recurring upstream bug class (overflow checks, null handling in
   complex types); the engine's contract is that its results never
   depend on which path ran.
+- **Row-based parquet reader** (``spark.sql.parquet.
+  enableVectorizedReader=false``): the row-at-a-time
+  ParquetRecordReader instead of columnar batches — the fallback
+  Spark silently takes for schemas the vectorized reader can't
+  handle, so the two read paths must surface identical data
+  (timestamps, decimals and nested types each have their own
+  conversion code per path).
 
 All three are runtime SQL confs (the test_determinism.py in-process
 pattern). Cross-sections are curated per lever: the Arrow lever runs
@@ -57,6 +64,7 @@ NO_CODEGEN_CONFS = {
     "spark.sql.codegen.wholeStage": "false",
     "spark.sql.codegen.factoryMode": "NO_CODEGEN",
 }
+ROW_READER_CONFS = {"spark.sql.parquet.enableVectorizedReader": "false"}
 
 # every key whose plan crosses a Python/Arrow boundary
 ARROW_KEYS = [
@@ -147,6 +155,15 @@ def test_invariant_under_interpreted_expressions(spark, key):
     _check(spark, key, NO_CODEGEN_CONFS, "NO_CODEGEN")
 
 
+@pytest.mark.parametrize("key", SPLIT_KEYS)
+def test_invariant_under_row_based_parquet_reader(spark, key):
+    """The non-vectorized parquet read path (row-at-a-time
+    ParquetRecordReader instead of columnar batches — the path Spark
+    falls back to for schemas the vectorized reader can't handle)
+    must produce identical data."""
+    _check(spark, key, ROW_READER_CONFS, "enableVectorizedReader=false")
+
+
 def test_arrow_batch_conf_actually_fragments(spark):
     """Anti-vacuity: with maxRecordsPerBatch=7 a mapInPandas stage
     over 100 rows must observe many small batches, not one."""
@@ -179,6 +196,15 @@ def test_split_conf_actually_fragments(spark):
             .rdd.getNumPartitions()
         )
     assert parts > df.rdd.getNumPartitions() or parts > 1, parts
+
+
+def test_row_reader_conf_actually_disables_batching(spark):
+    """Anti-vacuity: with the vectorized reader off the scan must not
+    be batched (the plan advertises Batched: false)."""
+    with _conf_patch(spark, ROW_READER_CONFS):
+        df = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Batched: false" in plan, plan[:1200]
 
 
 def test_no_codegen_conf_actually_interprets(spark):
