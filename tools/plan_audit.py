@@ -622,10 +622,14 @@ AUDITS: dict[str, tuple[str, list[str]]] = {
         [r"PushedFilters", r"Scan parquet"],
     ),
     "join_lateral_topk": (
-        "Correlated LATERAL ... ORDER BY ... LIMIT decorrelates: a "
-        "partitioned rank window feeding ONE equi-join - never a "
-        "nested-loop re-scan per outer row.",
-        [r"Window", r"SortMergeJoin|BroadcastHashJoin"],
+        "Lateral top-k, window spelled EXPLICITLY (round 12: Spark's "
+        "own lateral ORDER BY+LIMIT decorrelation emits an orderless "
+        "row_number relying on arrival order through an exchange - "
+        "order-unsound under spill/fetch nondeterminism): ordered rank "
+        "window + one equi-join, ONE hash exchange (the native lowering "
+        "paid two plus a global range-sort), WindowGroupLimit rank "
+        "pushdown applies, never a nested-loop re-scan per outer row.",
+        [r"Window", r"SortMergeJoin|BroadcastHashJoin", r"WindowGroupLimit"],
     ),
     "win_gap_fill_locf": (
         "LOCF gap fill: one hash exchange on user_id serves the single "
