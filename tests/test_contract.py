@@ -157,3 +157,45 @@ def test_partition_pruning_in_plan(spark):
     assert "PartitionFilters: [isnotnull(o_orderstatus" in plan or (
         "PartitionFilters" in plan and "o_orderstatus" in plan.split("PartitionFilters")[1][:200]
     ), plan
+
+
+def test_no_output_column_is_local_tz_timestamp(spark):
+    """Registry-wide host-timezone guard (round-12): no key may emit
+    a plain TIMESTAMP (timestamp-with-local-timezone) column — checked
+    outputs are timestamp_ntz. A local-TZ TIMESTAMP has correct VALUES
+    under the pinned UTC session but classic collect() renders it
+    through the PYTHON PROCESS timezone, so the same result prints
+    different datetimes on differently-zoned hosts. The round-12
+    TZ=Asia/Kolkata registry sweep caught exactly one leak —
+    etl_incremental_agg_merge, where date_trunc SILENTLY coerces
+    timestamp_ntz input to TIMESTAMP (the coercion is pinned below so
+    an upstream change is noticed)."""
+    from pyspark.sql.types import TimestampType
+
+    from .conftest import SF_SMOKE
+
+    offenders = []
+    for key, spec in sorted(load_registry().items()):
+        schema = spec.fn(spark, SF_SMOKE).schema
+        ltz = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, TimestampType)
+        ]
+        if ltz:
+            offenders.append(f"{key}: {ltz}")
+    assert not offenders, "; ".join(offenders)
+
+
+def test_date_trunc_coerces_ntz_to_local_tz_timestamp(spark):
+    """The trap behind the round-12 leak, pinned: Spark's date_trunc
+    returns session-TZ TIMESTAMP even for timestamp_ntz input, so
+    every date_trunc over corpus timestamps needs an explicit
+    .cast('timestamp_ntz') on the rendered column. If an upstream
+    release makes date_trunc NTZ-preserving, this tripwire flags the
+    casts as removable."""
+    df = spark.sql(
+        "SELECT date_trunc('day', CAST('2024-01-02 03:04:05' AS "
+        "TIMESTAMP_NTZ)) AS d"
+    )
+    assert dict(df.dtypes)["d"] == "timestamp", df.dtypes

@@ -348,7 +348,16 @@ def etl_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     n+n / tv+tv merge arithmetic rather than the coalesce legs."""
     e = load(spark, sf_dir, "events")
     cutoff = F.lit("2024-01-20 12:00:00").cast("timestamp_ntz")
-    day = F.date_trunc("day", F.col("ts")).alias("day")
+    # cast back to NTZ: Spark's date_trunc silently coerces
+    # timestamp_ntz to session-TZ TIMESTAMP, and classic collect()
+    # renders TIMESTAMP through the PYTHON PROCESS timezone — the
+    # round-12 host-timezone sweep caught this key (the registry's
+    # only local-TZ output) shifting its rendered days under
+    # TZ=Asia/Kolkata while every value stayed correct. Under the
+    # pinned UTC session the cast is value-preserving.
+    day = (
+        F.date_trunc("day", F.col("ts")).cast("timestamp_ntz").alias("day")
+    )
 
     def partials(df: DataFrame) -> DataFrame:
         return df.groupBy(day, "event_type").agg(
