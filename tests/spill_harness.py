@@ -100,7 +100,13 @@ def _canon_value(v):
             "m",
             sorted([str(k), _canon_value(x)] for k, x in v.items()),
         ]
-    return ["s", repr(v)]
+    # No repr() fallback: default reprs embed memory addresses, which
+    # would make digests nondeterministic across runs — a new column
+    # type must fail loudly, not hash an address (ADVICE r12).
+    raise TypeError(
+        f"canonical_digest: unhandled value type {type(v).__name__}; "
+        "add an explicit bit-exact encoding to _canon_value"
+    )
 
 
 def canonical_digest(df, _spill_out: list | None = None) -> str:
@@ -238,6 +244,16 @@ def main(argv: list[str]) -> int:
         if rest == ["--all"]
         else rest
     )
+    if not keys:
+        # A sweep over zero keys writes an empty digests map that any
+        # other empty file compares 'identical' to — vacuous pass.
+        # Fail loudly instead (ADVICE r12).
+        print(
+            "spill_harness: no registry keys resolved "
+            "(pass key names or --all)",
+            file=sys.stderr,
+        )
+        return 2
     spark = build_session(spill, extra_confs)
     result = {
         "spill_mode": spill,

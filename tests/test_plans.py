@@ -1307,3 +1307,43 @@ def test_dedup_chunk_exact_is_two_phase_distinct_aggregate(spark):
     assert "partial_count" in plan, plan
     assert "Expand" not in plan, plan
     assert "Window" not in plan and "Join" not in plan, plan
+
+
+def test_graph_broadcast_gate_degrades_and_value_matches(spark, monkeypatch):
+    """The graph family's node-sized broadcast hints are SIZE-GATED
+    (round 13): an explicit hint is honored regardless of size, so the
+    documented "degrades to a co-partitioned equi-join at 100 TB"
+    story is only true if the hint itself is conditional. Three
+    claims, all checked here:
+
+    1. at test scale the gate is open (the hinted fast path — the
+       other plan tests in this file assert those exact shapes);
+    2. `_bcast_if` under a closed gate returns the UNHINTED frame
+       (strategy choice falls to AQE runtime stats — no forced build);
+    3. with the gate forced closed, every gated graph key produces a
+       bit-identical canonical digest — the degradation is a plan
+       change only, never a value change.
+    """
+    import uchr_scetl_spark.operators.graph as G
+
+    from .spill_harness import canonical_digest
+
+    assert G._copurchase_is_small(spark, SF_SMOKE) is True
+
+    df = REGISTRY["graph_degree_distribution"].fn(spark, SF_SMOKE)
+    assert G._bcast_if(df, False) is df  # no hidden hint on the slow path
+
+    keys = [
+        "graph_pagerank",
+        "graph_triangle_count",
+        "graph_bfs_hops",
+        "graph_jaccard_neighbors",
+    ]
+    hinted = {k: canonical_digest(REGISTRY[k].fn(spark, SF_SMOKE)) for k in keys}
+
+    monkeypatch.setattr(G, "_BCAST_EDGE_GATE", -1)
+    assert G._copurchase_is_small(spark, SF_SMOKE) is False
+    for k in keys:
+        assert (
+            canonical_digest(REGISTRY[k].fn(spark, SF_SMOKE)) == hinted[k]
+        ), k

@@ -714,10 +714,17 @@ def test_stateful_restart_recovers_window_state(spark, tmp_path):
     phase2 = numbered.where(F.col("rn") > cut).drop("rn")
 
     # anti-vacuity: the cut row's window must receive rows in BOTH
-    # phases (the partial state the restart has to recover)
+    # phases (the partial state the restart has to recover). Derive
+    # the boundary hours from the row numbers directly — head()/tail()
+    # after a where/drop does not guarantee sort order survives.
     hour = F.date_trunc("hour", F.col("ts"))
-    boundary_1 = {r[0] for r in phase1.select(hour).tail(1)}
-    boundary_2 = {r[0] for r in phase2.select(hour).head(1)}
+    boundary_1 = {
+        r[0] for r in numbered.where(F.col("rn") == cut).select(hour).collect()
+    }
+    boundary_2 = {
+        r[0]
+        for r in numbered.where(F.col("rn") == cut + 1).select(hour).collect()
+    }
     assert boundary_1 == boundary_2, "cut landed on an hour boundary"
 
     def run_once():
