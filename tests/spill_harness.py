@@ -222,12 +222,76 @@ def build_session(spill: bool, extra_confs: dict[str, str] | None = None):
     return configure(builder.getOrCreate())
 
 
+def install_load_wrapper(spark, fault: bool):
+    """Route every table load through a mapInPandas PASS-THROUGH stage
+    — the round-13 task-retry axis. With ``fault=True`` the stage
+    raises on its FIRST task attempt for every third partition
+    (``TaskContext.attemptNumber() == 0 and partitionId() % 3 == 0``),
+    forcing Spark to re-execute those scan tasks; the session must
+    allow retries (master ``local[N,F]`` with F > 1, or any cluster
+    master). Results downstream of a retried task must be bit-identical
+    to the no-fault run of the SAME wrapped plan — comparing against
+    the wrapped no-fault digests (not the plain ones) isolates the
+    retry axis from the Arrow round-trip the wrapper itself adds.
+
+    Returns an accumulator counting tasks that ran as attempt > 0 in
+    the SUCCESSFUL pass — the anti-vacuity evidence that retries
+    actually happened (failed-attempt accumulator updates are dropped
+    by the driver, so counting in the retry attempt is reliable).
+
+    Rebinds ``load`` in every already-imported engine module: operator
+    modules bind ``from ..io import load`` at import time, so patching
+    ``uchr_scetl_spark.io.load`` alone would miss them. Call AFTER
+    ``load_registry()`` has imported everything.
+    """
+    import sys as _sys
+
+    import uchr_scetl_spark.io as uio
+
+    orig = uio.load
+    acc = spark.sparkContext.accumulator(0)
+
+    def wrapped_load(spark_, sf_dir_, name_):
+        df = orig(spark_, sf_dir_, name_)
+
+        def passthrough(batches):
+            from pyspark import TaskContext
+
+            tc = TaskContext.get()
+            if tc is not None:
+                if (
+                    fault
+                    and tc.attemptNumber() == 0
+                    and tc.partitionId() % 3 == 0
+                ):
+                    raise RuntimeError(
+                        "injected first-attempt fault "
+                        f"(partition {tc.partitionId()})"
+                    )
+                if tc.attemptNumber() > 0:
+                    acc.add(1)
+            yield from batches
+
+        return df.mapInPandas(passthrough, schema=df.schema)
+
+    for mod in list(_sys.modules.values()):
+        if getattr(mod, "__name__", "").startswith("uchr_scetl_spark"):
+            if getattr(mod, "load", None) is orig:
+                mod.load = wrapped_load
+    uio.load = wrapped_load
+    return acc
+
+
 def main(argv: list[str]) -> int:
     out_json = argv[0]
     sf_dir = argv[1]
     rest = argv[2:]
     spill = "--spill" in rest
-    rest = [a for a in rest if a != "--spill"]
+    retry_fault = "--retry-fault" in rest
+    wrap_loads = "--wrap-loads" in rest or retry_fault
+    rest = [
+        a for a in rest if a not in ("--spill", "--retry-fault", "--wrap-loads")
+    ]
     extra_confs = {}
     while "--conf" in rest:
         i = rest.index("--conf")
@@ -257,10 +321,16 @@ def main(argv: list[str]) -> int:
     spark = build_session(spill, extra_confs)
     result = {
         "spill_mode": spill,
+        "wrap_loads": wrap_loads,
+        "retry_fault": retry_fault,
+        "retried_tasks": None,
         "canary_spill_bytes": None,
         "spill_bytes_keys": None,
         "digests": {},
     }
+    retry_acc = (
+        install_load_wrapper(spark, fault=retry_fault) if wrap_loads else None
+    )
     if spill:
         result["canary_spill_bytes"] = _canary_spill_bytes(spark)
     spill_out: list = []
@@ -274,6 +344,8 @@ def main(argv: list[str]) -> int:
             result["digests"][key] = f"ERR: {exc!r}"[:500]
     if spill:
         result["spill_bytes_keys"] = sum(spill_out)
+    if retry_acc is not None:
+        result["retried_tasks"] = retry_acc.value
     with open(out_json, "w") as f:
         json.dump(result, f, indent=1, sort_keys=True)
     print(f"wrote {out_json}: {len(keys)} keys, spill={spill}")
