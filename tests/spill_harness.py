@@ -282,6 +282,57 @@ def install_load_wrapper(spark, fault: bool):
     return acc
 
 
+def start_chaos_killer(interval_s: float):
+    """Round-13 executor-loss axis: a daemon thread that SIGKILLs the
+    oldest CoarseGrainedExecutorBackend process every ``interval_s``
+    seconds. Only meaningful under a cluster master (local-cluster /
+    standalone) whose Workers relaunch executors: each kill loses that
+    executor's shuffle files and cached blocks mid-job, so Spark must
+    recover via task retry, FetchFailed stage re-execution, and cache
+    partition recomputation — the three at-scale recovery paths a
+    single-JVM session never runs. Returns a dict whose 'kills' entry
+    counts executors actually killed (the anti-vacuity evidence) and
+    a stop() to end the thread."""
+    import os
+    import signal
+    import subprocess as sp
+    import threading
+    import time
+
+    state = {"kills": 0, "stop": False}
+
+    def loop():
+        while not state["stop"]:
+            time.sleep(interval_s)
+            if state["stop"]:
+                return
+            try:
+                pids = sp.run(
+                    ["pgrep", "-f", "CoarseGrainedExecutorBackend"],
+                    capture_output=True,
+                    text=True,
+                ).stdout.split()
+                # only real executor JVMs: a shell wrapper whose
+                # cmdline quotes this very pattern must not be shot
+                for pid in pids:
+                    try:
+                        with open(f"/proc/{pid}/comm") as f:
+                            if f.read().strip() != "java":
+                                continue
+                    except OSError:
+                        continue
+                    os.kill(int(pid), signal.SIGKILL)
+                    state["kills"] += 1
+                    break
+            except Exception:
+                pass  # a raced exit between pgrep and kill is fine
+
+    t = threading.Thread(target=loop, daemon=True)
+    t.start()
+    state["thread"] = t
+    return state
+
+
 def main(argv: list[str]) -> int:
     out_json = argv[0]
     sf_dir = argv[1]
@@ -289,6 +340,11 @@ def main(argv: list[str]) -> int:
     spill = "--spill" in rest
     retry_fault = "--retry-fault" in rest
     wrap_loads = "--wrap-loads" in rest or retry_fault
+    chaos_interval = None
+    if "--chaos-kill" in rest:
+        i = rest.index("--chaos-kill")
+        chaos_interval = float(rest[i + 1])
+        del rest[i : i + 2]
     rest = [
         a for a in rest if a not in ("--spill", "--retry-fault", "--wrap-loads")
     ]
@@ -324,12 +380,18 @@ def main(argv: list[str]) -> int:
         "wrap_loads": wrap_loads,
         "retry_fault": retry_fault,
         "retried_tasks": None,
+        "chaos_kills": None,
         "canary_spill_bytes": None,
         "spill_bytes_keys": None,
         "digests": {},
     }
     retry_acc = (
         install_load_wrapper(spark, fault=retry_fault) if wrap_loads else None
+    )
+    chaos = (
+        start_chaos_killer(chaos_interval)
+        if chaos_interval is not None
+        else None
     )
     if spill:
         result["canary_spill_bytes"] = _canary_spill_bytes(spark)
@@ -346,6 +408,9 @@ def main(argv: list[str]) -> int:
         result["spill_bytes_keys"] = sum(spill_out)
     if retry_acc is not None:
         result["retried_tasks"] = retry_acc.value
+    if chaos is not None:
+        chaos["stop"] = True
+        result["chaos_kills"] = chaos["kills"]
     with open(out_json, "w") as f:
         json.dump(result, f, indent=1, sort_keys=True)
     print(f"wrote {out_json}: {len(keys)} keys, spill={spill}")

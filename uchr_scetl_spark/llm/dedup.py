@@ -39,6 +39,7 @@ from ..io import load
 from ..registry import query
 from ..memo import memo_clear, memo_get
 from ..session import default_parallelism
+from ..session import stable_checkpoint
 
 # MinHash runs on 3-gram SHINGLES, not tokens: the corpus draws from a
 # tiny vocabulary, so token-SET Jaccard barely discriminates (22% of all
@@ -947,7 +948,7 @@ def _min_label_components(pairs: DataFrame, docs: DataFrame) -> DataFrame:
             pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
         )
         .withColumnsRenamed({"a_id": "src", "b_id": "dst"})
-        .localCheckpoint()
+        .transform(stable_checkpoint)
     )
     n_edges = edges.count()
     verts = edges.select(F.col("src").alias("doc_id")).distinct()
@@ -1002,12 +1003,12 @@ def _iterative_components(edges: DataFrame, n_edges: int) -> DataFrame:
     """Distributed min-label propagation with pointer jumping; see
     _min_label_components for the design notes."""
     n_parts = max(1, min(default_parallelism(), n_edges // 1_000_000))
-    edges = edges.repartition(n_parts, "dst").localCheckpoint()
+    edges = edges.repartition(n_parts, "dst").transform(stable_checkpoint)
     verts = edges.select(F.col("src").alias("doc_id")).distinct()
     labels = (
         verts.withColumn("cluster_id", F.col("doc_id"))
         .repartition(n_parts, "doc_id")
-        .localCheckpoint()
+        .transform(stable_checkpoint)
     )
     for _ in range(50):  # O(log d) with jumping; break below fires long before
         neighbor_min = (
@@ -1048,7 +1049,7 @@ def _iterative_components(edges: DataFrame, n_edges: int) -> DataFrame:
                 ),
             )
             .repartition(n_parts, "doc_id")
-            .localCheckpoint()
+            .transform(stable_checkpoint)
         )
         changed = new_labels.where("changed").count()
         labels = new_labels.drop("changed")

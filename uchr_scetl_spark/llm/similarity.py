@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from ..io import load
 from ..memo import memo_clear, memo_get
 from ..registry import query
+from ..session import stable_checkpoint
 
 N_PROBES = 5  # probe set: vec_id < 5
 TOP_K = 3
@@ -2085,7 +2086,7 @@ def embeddings_label_separation(
             F.sum("qx").cast("bigint").alias("s"),
             F.count("*").alias("nd"),
         )
-        .localCheckpoint(eager=True)
+        .transform(stable_checkpoint)
     )
     nrm = sums.groupBy("label").agg(
         F.sum(F.expr("CAST(s AS DECIMAL(38,0)) * s")).alias("nrm2")

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ..exprs import dec_avg, dec_sum, sql_dec_avg, sql_dec_sum
 from ..io import load
 from ..registry import query
+from ..session import stable_checkpoint_lazy
 
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
@@ -1565,7 +1566,7 @@ def agg_bootstrap_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").alias("y"),
         "o_orderkey",
         hashes.alias("hs"),
-    ).localCheckpoint(eager=False)
+    ).transform(stable_checkpoint_lazy)
     drawn = base.select(
         "y",
         "o_orderkey",

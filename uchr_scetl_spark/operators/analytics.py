@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from ..exprs import sql_floor_div
 from ..io import load
 from ..registry import query
+from ..session import stable_checkpoint
 
 
 @query(
@@ -867,7 +868,7 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (measured: 4 scans, no ReusedExchange). The checkpoint pins
         # the BOUNDED (days × types) relation so events is read once —
         # the same lineage-cut pagerank uses
-        .localCheckpoint()
+        .transform(stable_checkpoint)
     )
     wt = Window.partitionBy("event_type")
 

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from ..io import load
 from ..memo import memo_clear, memo_get
 from ..registry import query
+from ..session import stable_checkpoint_lazy
 
 _SCALE = 10**12
 _DAMP_NUM, _DAMP_DEN = 85, 100  # damping 0.85 as a ratio
@@ -135,7 +136,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         ew.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionAll(ew.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-        .localCheckpoint(eager=False)
+        .transform(stable_checkpoint_lazy)
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     # (checkpointing edges_deg as well was tried in round 4 and
@@ -146,7 +147,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nn = nodes.agg(F.count("*").alias("n"))
     # node-sized relation used every iteration: checkpoint once, not
     # re-derived (a distinct over edges) per pass
-    nodes_n = nodes.join(F.broadcast(nn)).localCheckpoint(eager=False)
+    nodes_n = nodes.join(F.broadcast(nn)).transform(stable_checkpoint_lazy)
 
     base = F.expr(f"({_SCALE} * {_DAMP_DEN - _DAMP_NUM}) div ({_DAMP_DEN} * n)")
     ranks = nodes_n.select("part_id", F.expr(f"{_SCALE} div n").alias("r"))
@@ -173,7 +174,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "part_id",
                 (base + F.coalesce(F.col("contrib"), F.lit(0))).alias("r"),
             )
-            .localCheckpoint(eager=False)
+            .transform(stable_checkpoint_lazy)
         )
     return ranks.select("part_id", F.col("r").alias("rank"))
 
@@ -342,7 +343,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oriented = e2.select(
         F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(ka < kb, kb).otherwise(ka).alias("dstk"),
-    ).localCheckpoint(eager=False)
+    ).transform(stable_checkpoint_lazy)
     # Triangle finish by PER-EDGE INTERSECTION instead of a wedge
     # join: for oriented edge u→v, every common out-neighbour w closes
     # u→v, u→w, v→w — each triangle counted exactly once at its
@@ -673,12 +674,12 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         ew.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionAll(ew.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-        .localCheckpoint(eager=False)
+        .transform(stable_checkpoint_lazy)
     )
     dist = (
         ew.agg(F.min("a").alias("part_id"))
         .select("part_id", F.lit(0).alias("hop"))
-        .localCheckpoint(eager=False)
+        .transform(stable_checkpoint_lazy)
     )
     frontier = dist
     for k in range(1, _BFS_HOPS + 1):
@@ -695,7 +696,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _bcast_if(dist.select("part_id"), small), "part_id", "left_anti"
             )
             .select("part_id", F.lit(k).alias("hop"))
-            .localCheckpoint(eager=False)
+            .transform(stable_checkpoint_lazy)
         )
         dist = dist.unionAll(frontier)
     return dist.select("part_id", F.col("hop").cast("int").alias("hop"))

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from ..exprs import dec_sum, sql_dec_sum
 from ..io import load, scratch_dir
 from ..registry import query
+from ..session import stable_checkpoint
 
 
 @query(
@@ -623,7 +624,7 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return would be planned AFTER the restore, silently dropping the
     feature under test (the plan test would catch it)."""
     with bloom_confs(spark):
-        return bloom_pruned_join(spark, sf_dir).localCheckpoint(eager=True)
+        return stable_checkpoint(bloom_pruned_join(spark, sf_dir))
 
 
 _IVL_W_US = 21_600 * 1_000_000  # 6h bucket width, microseconds
