@@ -199,3 +199,34 @@ def test_date_trunc_coerces_ntz_to_local_tz_timestamp(spark):
         "TIMESTAMP_NTZ)) AS d"
     )
     assert dict(df.dtypes)["d"] == "timestamp", df.dtypes
+
+
+def test_no_keyless_round_robin_repartition_in_engine_source():
+    """Round-13 tripwire: `.repartition(n)` WITHOUT partitioning
+    columns is round-robin — an INDETERMINATE stage whose row routing
+    depends on arrival order, so a lost executor forcing partial
+    map-stage re-execution after some reducers finished aborts the
+    job (result stages cannot roll back; SPARK-23207 was the silent
+    corruption this rule prevents on older lineages). Every
+    repartition in the engine must name its keys; hash routing is
+    attempt-invariant. (Keyed string forms like repartition("month")
+    and (n, "col") pass; a genuinely unavoidable round-robin would
+    need an explicit allowlist entry here with its recovery story.)"""
+    import os
+    import re
+
+    pkg = os.path.join(os.path.dirname(__file__), "..", "uchr_scetl_spark")
+    keyless = re.compile(
+        r"\.repartition\(\s*(?:\d+|[A-Za-z_][\w.]*(?:\(\))?)\s*\)"
+    )
+    offenders = []
+    for root, _dirs, files in os.walk(pkg):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            with open(path) as f:
+                for i, line in enumerate(f, 1):
+                    if keyless.search(line):
+                        offenders.append(f"{path}:{i}: {line.strip()}")
+    assert not offenders, "\n".join(offenders)

@@ -176,7 +176,13 @@ def test_compact_small_files_reduces_file_count(spark, monkeypatch):
     compacted = captured["uchr_compacted_"]
     n_before = len(glob.glob(f"{landing}/*.parquet"))
     n_after = len(glob.glob(f"{compacted}/*.parquet"))
-    assert n_before == 64 and n_after == 1
+    # the landing write HASHES on l_orderkey (round 13: keyless
+    # round-robin repartition is an indeterminate stage under task
+    # re-execution), so a few of the 64 buckets can be empty at smoke
+    # scale and Spark writes no file for an empty partition — "many
+    # small files in, one file out" is the property, not exactly 64
+    assert 32 < n_before <= 64, n_before
+    assert n_after == 1, n_after
     assert n_rows == spark.read.parquet(landing).count()
 
 

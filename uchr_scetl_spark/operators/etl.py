@@ -286,6 +286,14 @@ def etl_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite: compaction is a one-off maintenance job, and the shuffle
     buys evenly-sized output files, which is the entire point — skewed
     coalesce output would recreate the problem for downstream scans.
+    Both repartitions HASH on l_orderkey rather than round-robin
+    (round 13): a keyless repartition is an INDETERMINATE stage —
+    rows are routed by arrival order, so a lost executor forcing
+    partial map-stage re-execution after some reducers finished
+    either aborts the job (result stages can't roll back) or, on
+    older Sparks, silently duplicated/dropped rows (SPARK-23207).
+    Hash routing is attempt-invariant; l_orderkey is high-cardinality
+    so the output files stay evenly sized.
     At 100 TB the same job runs per partition-directory with the
     listing coming from the catalog / FileSystem API instead of a
     local walk, and target_file_size stays at the parquet-friendly
@@ -299,7 +307,7 @@ def etl_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
     )
     landing = scratch_dir("uchr_landing_")
-    src.repartition(64).write.mode("overwrite").parquet(landing)
+    src.repartition(64, "l_orderkey").write.mode("overwrite").parquet(landing)
 
     total_bytes = sum(
         e.stat().st_size
@@ -310,7 +318,7 @@ def etl_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_files = max(1, math.ceil(total_bytes / target_file_size))
 
     compacted = scratch_dir("uchr_compacted_")
-    spark.read.parquet(landing).repartition(n_files).write.mode(
+    spark.read.parquet(landing).repartition(n_files, "l_orderkey").write.mode(
         "overwrite"
     ).parquet(compacted)
     return spark.read.parquet(compacted).select(
