@@ -282,24 +282,60 @@ def install_load_wrapper(spark, fault: bool):
     return acc
 
 
-def start_chaos_killer(interval_s: float):
-    """Round-13 executor-loss axis: a daemon thread that SIGKILLs the
-    oldest CoarseGrainedExecutorBackend process every ``interval_s``
-    seconds. Only meaningful under a cluster master (local-cluster /
-    standalone) whose Workers relaunch executors: each kill loses that
-    executor's shuffle files and cached blocks mid-job, so Spark must
-    recover via task retry, FetchFailed stage re-execution, and cache
-    partition recomputation — the three at-scale recovery paths a
-    single-JVM session never runs. Returns a dict whose 'kills' entry
-    counts executors actually killed (the anti-vacuity evidence) and
-    a stop() to end the thread."""
+def start_chaos_killer(interval_s: float, target: str = "executor"):
+    """Round-13 chaos axes: a daemon thread that SIGKILLs one process
+    every ``interval_s`` seconds.
+
+    target="executor" — the oldest CoarseGrainedExecutorBackend JVM.
+    Only meaningful under a cluster master (local-cluster /
+    standalone) whose Workers relaunch executors: each kill loses
+    that executor's shuffle files and cached blocks mid-job, so Spark
+    must recover via task retry, FetchFailed stage re-execution, and
+    cache partition recomputation — the three at-scale recovery paths
+    a single-JVM session never runs.
+
+    target="pyworker" — the oldest pyspark.daemon Python process (the
+    worker pool behind every pandas UDF / mapInPandas stage). A dead
+    worker fails the running task with a socket EOF and Spark retries
+    it, so the session must allow retries (local[N,F>1] or a cluster
+    master); shuffle files and caches survive, making this a DISTINCT
+    failure class from executor loss.
+
+    Returns a dict whose 'kills' entry counts processes actually
+    killed (the anti-vacuity evidence); set 'stop' to end the thread."""
     import os
     import signal
     import subprocess as sp
     import threading
     import time
 
+    pattern, comm = {
+        "executor": ("CoarseGrainedExecutorBackend", "java"),
+        "pyworker": ("pyspark.daemon", None),
+    }[target]
     state = {"kills": 0, "stop": False}
+    me = os.getpid()
+
+    def _is_descendant(pid: int) -> bool:
+        # only THIS harness's session may lose processes — a shared
+        # pytest session's daemons (lower pids, so first in pgrep
+        # order) must never be shot by a gate subprocess
+        hops = 0
+        while pid > 1 and hops < 32:
+            try:
+                with open(f"/proc/{pid}/status") as f:
+                    for ln in f:
+                        if ln.startswith("PPid:"):
+                            pid = int(ln.split()[1])
+                            break
+                    else:
+                        return False
+            except OSError:
+                return False
+            if pid == me:
+                return True
+            hops += 1
+        return False
 
     def loop():
         while not state["stop"]:
@@ -308,18 +344,24 @@ def start_chaos_killer(interval_s: float):
                 return
             try:
                 pids = sp.run(
-                    ["pgrep", "-f", "CoarseGrainedExecutorBackend"],
+                    ["pgrep", "-f", pattern],
                     capture_output=True,
                     text=True,
                 ).stdout.split()
-                # only real executor JVMs: a shell wrapper whose
-                # cmdline quotes this very pattern must not be shot
+                # comm filter: a shell wrapper whose cmdline quotes
+                # this very pattern must not be shot ("java" for
+                # executors; any python* comm for daemon workers)
                 for pid in pids:
                     try:
                         with open(f"/proc/{pid}/comm") as f:
-                            if f.read().strip() != "java":
-                                continue
+                            c = f.read().strip()
+                        if comm is not None and c != comm:
+                            continue
+                        if comm is None and not c.startswith("python"):
+                            continue
                     except OSError:
+                        continue
+                    if not _is_descendant(int(pid)):
                         continue
                     os.kill(int(pid), signal.SIGKILL)
                     state["kills"] += 1
@@ -341,9 +383,15 @@ def main(argv: list[str]) -> int:
     retry_fault = "--retry-fault" in rest
     wrap_loads = "--wrap-loads" in rest or retry_fault
     chaos_interval = None
+    chaos_target = "executor"
     if "--chaos-kill" in rest:
         i = rest.index("--chaos-kill")
         chaos_interval = float(rest[i + 1])
+        del rest[i : i + 2]
+    if "--chaos-kill-python" in rest:
+        i = rest.index("--chaos-kill-python")
+        chaos_interval = float(rest[i + 1])
+        chaos_target = "pyworker"
         del rest[i : i + 2]
     rest = [
         a for a in rest if a not in ("--spill", "--retry-fault", "--wrap-loads")
@@ -389,7 +437,7 @@ def main(argv: list[str]) -> int:
         install_load_wrapper(spark, fault=retry_fault) if wrap_loads else None
     )
     chaos = (
-        start_chaos_killer(chaos_interval)
+        start_chaos_killer(chaos_interval, chaos_target)
         if chaos_interval is not None
         else None
     )

@@ -34,7 +34,12 @@ Three gates:
    killer thread SIGKILLs an executor every few seconds (the worker
    relaunches replacements); with reliable checkpoints on, every key
    must return its bit-exact shared-session digest, and at least one
-   kill must have landed (anti-vacuity).
+   kill must have landed (anti-vacuity);
+4. PYTHON-WORKER chaos: the pyspark.daemon pool behind every pandas
+   UDF is SIGKILLed on a cadence under local[32,4] — the task dies
+   with a worker-socket EOF and retries while shuffle files and
+   caches survive (a distinct failure class from executor loss);
+   UDF-heavy keys must digest-match.
 """
 
 from __future__ import annotations
@@ -143,10 +148,9 @@ def test_reliable_checkpoint_survives_executor_loss():
 def chaos():
     """spill_harness run on a two-executor local-cluster with the
     chaos killer SIGKILLing an executor every 8 s, reliable
-    checkpoints on. (The killer targets every
-    CoarseGrainedExecutorBackend java process on the machine — fine
-    under pytest, whose shared session is a single local[«n»] JVM with
-    no executor backends; don't run two cluster sweeps concurrently.)"""
+    checkpoints on. (The killer only shoots java processes descended
+    from its own harness process, so concurrent sessions — the shared
+    pytest one included — are never at risk.)"""
     out = tempfile.mktemp(suffix=".json", prefix="uchr_chaos_gate_")
     env = dict(os.environ)
     env["SPARK_GRAFT_MASTER"] = "local-cluster[2,8,4096]"
@@ -189,3 +193,65 @@ def test_key_is_bit_identical_under_executor_loss(key, spark, chaos):
     assert not got.startswith("ERR:"), f"{key} raised under chaos: {got}"
     want = canonical_digest(REGISTRY[key].fn(spark, SF_SMOKE))
     assert got == want, f"{key} changed results under executor loss"
+
+
+# pandas-UDF / mapInPandas / cogroup / UDTF shapes — the keys whose
+# hot path lives in Python workers
+PYWORKER_KEYS = [
+    "udf_pandas_scalar",
+    "udf_cogrouped_pandas",
+    "udtf_explode_custom",
+    "embeddings_gram_matrix",
+    "multimodal_resize",
+    "agg_bootstrap_means",
+    "sim_kmeans_assign",
+    "udaf_grouped",
+]
+
+
+@pytest.fixture(scope="module")
+def pyworker_chaos():
+    """spill_harness run under local[32,4] with the chaos killer
+    SIGKILLing a pyspark.daemon python process every 4 s — the
+    DISTINCT failure class from executor loss: shuffle files and
+    caches survive, the running task dies with a worker-socket EOF
+    and must be retried. The killer only shoots descendants of its
+    own harness process, so the shared pytest session's daemons are
+    never at risk."""
+    out = tempfile.mktemp(suffix=".json", prefix="uchr_pywk_gate_")
+    env = dict(os.environ)
+    env["SPARK_GRAFT_MASTER"] = "local[32,4]"
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "tests.spill_harness",
+            out,
+            SF_SMOKE,
+            "--chaos-kill-python",
+            "4",
+            *PYWORKER_KEYS,
+        ],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=1800,
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    with open(out) as f:
+        return json.load(f)
+
+
+def test_python_worker_kills_actually_landed(pyworker_chaos):
+    assert pyworker_chaos["chaos_kills"] > 0, pyworker_chaos["chaos_kills"]
+
+
+@pytest.mark.parametrize("key", PYWORKER_KEYS)
+def test_key_is_bit_identical_under_python_worker_crashes(
+    key, spark, pyworker_chaos
+):
+    got = pyworker_chaos["digests"][key]
+    assert not got.startswith("ERR:"), f"{key} raised under pyworker chaos: {got}"
+    want = canonical_digest(REGISTRY[key].fn(spark, SF_SMOKE))
+    assert got == want, f"{key} changed results under python worker crashes"
