@@ -116,9 +116,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a partial-aggregated collect_set, pairs exploded in-row); the
     per-iteration join (edges ⋈ ranks on src) and the contribution
     aggregation (on dst) are the only repeated shuffles, and the rank
-    table is node-sized (≪ edge-sized). ``localCheckpoint`` after each
-    iteration keeps the plan from growing with the loop. The node
-    count rides a one-row broadcast. All arithmetic is int64
+    table is node-sized (≪ edge-sized); its per-iteration broadcast
+    hint is SIZE-GATED (_bcast_if on the memoized edge count), so past
+    the gate the join degrades to a co-partitioned equi-join as coded.
+    ``stable_checkpoint`` after each iteration keeps the plan from
+    growing with the loop. The node count rides a one-row broadcast. All arithmetic is int64
     fixed-point (scale 10^12), so results are identical at any
     parallelism and bit-comparable against the unrolled SQL oracle."""
     # Edge generation WITHOUT a self-join (round-5 rewrite, measured
@@ -566,9 +568,11 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     (p,q) common-neighbour counts and everything after are bounded by
     the probes' 2-hop neighbourhood, and the degree lookups broadcast
     the probe-bounded sides into the full degree relation rather than
-    shuffling it. At 100 TB with a larger probe panel the broadcast
-    degrades to a co-partitioned equi-join on the hop key — same
-    plan shape, one extra exchange."""
+    shuffling it (the full-degree p-side lookup rides the family's
+    size gate — _bcast_if — so past the gate AQE broadcasts the
+    bounded scored side instead). At 100 TB with a larger probe panel
+    the broadcast degrades to a co-partitioned equi-join on the hop
+    key — same plan shape, one extra exchange."""
     edges = _copurchase_weighted(spark, sf_dir).select("a", "b")
     und = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
         edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
@@ -661,9 +665,10 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale design: the edge relation is the shared memoized co-purchase
     build (never a lineitem self-join); the frontier and the visited
-    set are node-sized, so at this scale they ride broadcast joins —
-    on a graph whose node table outgrows broadcast, both degrade to
-    co-partitioned hash joins on part_id with the same algebra.
+    set are node-sized, so at this scale they ride broadcast joins
+    whose hints are SIZE-GATED (_bcast_if): on a graph whose edge
+    count crosses the gate, both degrade to co-partitioned hash joins
+    on part_id with the same algebra — as coded, not by hand-edit.
     All-integer output, so the unrolled loop is bit-comparable against
     DuckDB's native recursive CTE — two genuinely different executors
     (a driver-side loop of distributed joins vs a single recursive
