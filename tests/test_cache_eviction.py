@@ -132,3 +132,60 @@ def test_memo_get_is_race_free_and_prunes_dead_sessions(spark):
     memo_get(memo, (app, "/tmp/x"), build)
     assert ("dead-app-id", "/tmp/y") not in memo
     assert len(builds) == 1
+
+
+def test_memo_get_heavy_builds_outside_the_lock(spark):
+    """Round-14 (r13 ADVICE): the graph family's edge-count size probe
+    runs a distributed count() as its memo build; memo_get ran it
+    while holding MEMO_LOCK, blocking every other memo user for the
+    job's duration. memo_get_heavy must (a) run the build with
+    MEMO_LOCK free (probed from a helper thread mid-build), (b) give
+    every racer the first-stored value, and (c) prune dead-session
+    entries like memo_get does."""
+    import threading
+
+    from uchr_scetl_spark.memo import MEMO_LOCK, memo_get_heavy
+
+    memo: dict = {}
+    app = spark.sparkContext.applicationId
+    lock_free_during_build = []
+
+    def build():
+        # probe from ANOTHER thread: RLock re-entrancy would make an
+        # in-thread acquire succeed even while this thread holds it
+        got = []
+
+        def probe():
+            ok = MEMO_LOCK.acquire(timeout=5)
+            if ok:
+                MEMO_LOCK.release()
+            got.append(ok)
+
+        t = threading.Thread(target=probe)
+        t.start()
+        t.join()
+        lock_free_during_build.append(got[0])
+        return 42
+
+    memo[("dead-app-id", "/tmp/y")] = 7
+    assert memo_get_heavy(memo, (app, "/tmp/x"), build) == 42
+    assert lock_free_during_build == [True]
+    assert ("dead-app-id", "/tmp/y") not in memo
+
+    # racers: all callers converge on the first-stored value even if
+    # several builds run; the memo holds exactly one entry
+    results = []
+    threads = [
+        threading.Thread(
+            target=lambda: results.append(
+                memo_get_heavy(memo, (app, "/tmp/z"), lambda: 99)
+            )
+        )
+        for _ in range(8)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results == [99] * 8
+    assert memo[(app, "/tmp/z")] == 99

@@ -14,6 +14,13 @@ Two hazards the bare check-then-insert had (round-5 advice):
    documented collect exception) and correct: concurrent callers must
    not run duplicate k-means jobs anyway.
 
+   Builds that run a DISTRIBUTED JOB for a plain value (the graph
+   family's edge-count size probe) must NOT hold the lock for the
+   job's duration — that would block every other memo user (dedup
+   shingles, similarity IVF) behind one count (round-13 ADVICE).
+   Those go through :func:`memo_get_heavy`, the double-checked
+   variant: read under lock, build unlocked, first store wins.
+
 2. **Dead-session entries**: memo keys lead with ``applicationId``
    precisely so a restarted session never reads a stale cache, but the
    old session's entries survived until process exit. ``memo_get`` now
@@ -56,6 +63,40 @@ def memo_get(
                 _drop(memo, k)
         if key not in memo:
             memo[key] = build()
+        return memo[key]
+
+
+def memo_get_heavy(
+    memo: MutableMapping[tuple, Any], key: tuple, build: Callable[[], Any]
+) -> Any:
+    """Get-or-create for builds that run a distributed job (a count,
+    a bounded collect) producing a PLAIN VALUE. Double-checked: the
+    hit path and the store run under the shared lock, the build runs
+    UNLOCKED, so a minutes-long job never blocks unrelated memo users.
+
+    Contract differences from :func:`memo_get`:
+
+    - concurrent misses may BOTH run the build; the first store wins
+      and the loser's value is simply dropped — so builds must be
+      deterministic and side-effect-free beyond their return value
+      (true for counts over deterministic relations);
+    - values must not need unpersist-on-drop (plain ints/lists, never
+      a cached DataFrame: unpersisting a losing duplicate would evict
+      the winner's cache entry too, since Spark keys the cache by
+      logical plan). Cached relations stay with :func:`memo_get`,
+      whose builds are lazy and cheap under the lock.
+    """
+    app_id = key[0]
+    with MEMO_LOCK:
+        for k in list(memo):
+            if k[0] != app_id:
+                _drop(memo, k)
+        if key in memo:
+            return memo[key]
+    val = build()
+    with MEMO_LOCK:
+        if key not in memo:
+            memo[key] = val
         return memo[key]
 
 

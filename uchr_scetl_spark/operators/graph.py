@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load
-from ..memo import memo_clear, memo_get
+from ..memo import memo_clear, memo_get, memo_get_heavy
 from ..registry import query
 from ..session import stable_checkpoint_lazy
 
@@ -195,7 +195,12 @@ def _copurchase_is_small(spark: SparkSession, sf_dir: str) -> bool:
     `_BCAST_EDGE_GATE` rows — the one size probe gating every
     node-sized broadcast hint in this module (see gate comment)."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    n = memo_get(
+    # memo_get_heavy, not memo_get: the build runs a distributed
+    # count() job, which must not execute while holding MEMO_LOCK
+    # (it would block every other memo user — dedup shingles, IVF
+    # centroids — for the job's duration; round-13 ADVICE). A raced
+    # duplicate count is deterministic, so first-store-wins is safe.
+    n = memo_get_heavy(
         _copurchase_count_memo,
         key,
         lambda: _copurchase_weighted(spark, sf_dir).count(),
