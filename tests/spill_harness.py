@@ -211,6 +211,10 @@ def build_session(spill: bool, extra_confs: dict[str, str] | None = None):
             os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
         )
         .config("spark.ui.enabled", "false")
+        # match get_session: reliable checkpoint files are GC-cleaned
+        # instead of accumulating for the session's lifetime (static
+        # conf, so it must be set here, not in configure())
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     if spill:
         for k, v in SPILL_CONFS_STATIC.items():

@@ -310,13 +310,15 @@ def test_bloom_pruned_join_injects_runtime_filter(spark):
     from the selective build side (bloom_filter_agg) and wrap the
     probe scan in might_contain — the row-level runtime pruning
     join_bloom_pruned exists to demonstrate."""
-    from uchr_scetl_spark.operators.joins import bloom_confs, bloom_pruned_join
+    from uchr_scetl_spark.operators.joins import bloom_pruned_join, bloom_session
 
-    with bloom_confs(spark):
-        df = bloom_pruned_join(spark, SF_SMOKE)
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        assert "bloom_filter_agg" in plan, plan
-        assert "might_contain" in plan, plan
+    # same path the registry key takes: the memoized bloom child
+    # session, so the session this test inspects is the session the
+    # query runs on (the caller's session is never mutated — round 14)
+    df = bloom_pruned_join(bloom_session(spark), SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "bloom_filter_agg" in plan, plan
+    assert "might_contain" in plan, plan
 
 
 def test_copurchase_edges_have_no_lineitem_self_join(spark):

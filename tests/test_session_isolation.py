@@ -1,0 +1,96 @@
+"""Round-14 session-state gates.
+
+Two hazards flagged by the round-13 verdict, both about SHARED session
+state:
+
+- query bodies that need non-default SQL confs used set-then-restore
+  on the caller's session, so a concurrent thread compiling an
+  unrelated plan mid-flight could pick up the temporary confs;
+  ``conf_isolated_session`` replaces the mutation with a memoized
+  child session (shared SparkContext, isolated SQLConf) whose confs
+  never change after creation.
+- ``stable_checkpoint`` in reliable mode silently fell back to a
+  driver-local temp dir when no checkpoint dir was configured — on a
+  real (non-local) cluster executors then checkpoint to their own
+  local filesystems and the recovery read fails, voiding the exact
+  guarantee the mode exists for. It must raise instead.
+"""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+
+from uchr_scetl_spark.session import (
+    conf_isolated_session,
+    stable_checkpoint,
+)
+
+
+def test_conf_isolated_session_shares_context_but_not_confs(spark):
+    child = conf_isolated_session(
+        spark, "gate-a", {"spark.sql.autoBroadcastJoinThreshold": "-1"}
+    )
+    assert child is not spark
+    assert child.sparkContext is spark.sparkContext
+    assert child.conf.get("spark.sql.autoBroadcastJoinThreshold") == "-1"
+    # the PARENT session is untouched — the whole point
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
+    # engine invariants (configure) and parent runtime choices carry
+    assert child.conf.get("spark.sql.session.timeZone") == "UTC"
+    assert child.conf.get("spark.sql.shuffle.partitions") == spark.conf.get(
+        "spark.sql.shuffle.partitions"
+    )
+    # memoized per (app, purpose); distinct purposes get distinct
+    # sessions so their conf sets cannot interfere
+    assert conf_isolated_session(spark, "gate-a", {}) is child
+    other = conf_isolated_session(spark, "gate-b", {})
+    assert other is not child
+    assert other.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
+
+
+def test_conf_isolated_session_is_race_free(spark):
+    """Concurrent first calls for one purpose must converge on ONE
+    child session (a per-thread child would defeat the memo and leak
+    session state objects)."""
+    results = []
+
+    def grab():
+        results.append(conf_isolated_session(spark, "gate-race", {}))
+
+    threads = [threading.Thread(target=grab) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len({id(s) for s in results}) == 1
+
+
+def test_conf_isolated_child_dataframes_run(spark):
+    """A DataFrame built on the child plans under the child's confs
+    and collects fine from a parent-session caller."""
+    child = conf_isolated_session(spark, "gate-run", {})
+    assert child.range(5).count() == 5
+
+
+def test_reliable_mode_refuses_driver_local_dir_on_cluster_master(spark):
+    """reliable mode + no checkpoint dir + non-local master must raise
+    (r13 ADVICE medium): the old driver-local tempfile fallback is
+    unreadable by executors after a loss — exactly the configuration
+    the mode targets."""
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is not None:
+        pytest.skip("checkpoint dir already set on the shared context")
+    saved_master = sc.master
+    spark.conf.set("spark.uchr.reliableCheckpoint", "true")
+    try:
+        sc.master = "spark://prod-cluster:7077"
+        with pytest.raises(RuntimeError, match="SHARED filesystem"):
+            stable_checkpoint(spark.range(3))
+    finally:
+        sc.master = saved_master
+        spark.conf.unset("spark.uchr.reliableCheckpoint")
+    # the raise must have happened BEFORE any dir was installed on the
+    # shared context (a half-applied fallback would poison later tests)
+    assert sc.getCheckpointDir() is None

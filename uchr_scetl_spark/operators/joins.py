@@ -12,15 +12,12 @@ Strategy notes for 100 TB:
 
 from __future__ import annotations
 
-from contextlib import contextmanager
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..exprs import dec_sum, sql_dec_sum
 from ..io import load, scratch_dir
 from ..registry import query
-from ..session import stable_checkpoint
 
 
 @query(
@@ -540,36 +537,19 @@ _BLOOM_CONFS = {
 }
 
 
-@contextmanager
-def bloom_confs(spark: SparkSession):
-    """Scoped application of _BLOOM_CONFS with exact restore (unset
-    keys go back to unset, not to a stringified default). Shared by
-    the registry key and the plan-assertion test so the save/restore
-    semantics cannot drift between them.
+def bloom_session(spark: SparkSession) -> SparkSession:
+    """The dedicated bloom-conf child session: _BLOOM_CONFS applied
+    once at creation to a ``conf_isolated_session`` child (shared
+    SparkContext, isolated SQLConf), so the CALLER's session is never
+    mutated. The round-13 set-then-restore contextmanager was the
+    engine's one known thread-safety hazard: a concurrent thread
+    compiling an unrelated plan on the shared session mid-window
+    could pick up the forced thresholds (round-13 verdict). Shared
+    by the registry key and the plan-assertion test so the session
+    the test inspects is the session the query runs on."""
+    from ..session import conf_isolated_session
 
-    Never-explicitly-set keys are detected via RuntimeConfig.contains
-    (JVM-side: true only for keys in the session's explicit-settings
-    map, never for SQLConf defaults) so restore genuinely unsets them
-    rather than pinning a stringified default; ``get(k, None)`` is the
-    fallback when the private _jconf handle is unavailable."""
-    jconf = getattr(spark.conf, "_jconf", None)
-
-    def current(k):
-        if jconf is not None:
-            return spark.conf.get(k) if jconf.contains(k) else None
-        return spark.conf.get(k, None)
-
-    saved = {k: current(k) for k in _BLOOM_CONFS}
-    try:
-        for k, v in _BLOOM_CONFS.items():
-            spark.conf.set(k, v)
-        yield
-    finally:
-        for k, v in saved.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
+    return conf_isolated_session(spark, "bloom", _BLOOM_CONFS)
 
 
 def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -618,13 +598,13 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ~matching fraction; with a dimension too big to broadcast it
     is the only way to prune before the exchange.
 
-    The confs are restored immediately after execution, so the key
-    materializes eagerly (`localCheckpoint(eager=True)`) while they
-    are active — physical planning happens at action time, and a lazy
-    return would be planned AFTER the restore, silently dropping the
-    feature under test (the plan test would catch it)."""
-    with bloom_confs(spark):
-        return stable_checkpoint(bloom_pruned_join(spark, sf_dir))
+    Runs on the memoized bloom child session (round 14): its confs
+    are permanent, so the plan compiles under them at action time
+    with NO mutation of the caller's session — the eager checkpoint
+    the old restore-window needed is gone too, keeping lineage intact
+    for stage re-execution (the plan test pins that the feature still
+    fires)."""
+    return bloom_pruned_join(bloom_session(spark), sf_dir)
 
 
 _IVL_W_US = 21_600 * 1_000_000  # 6h bucket width, microseconds
