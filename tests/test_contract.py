@@ -211,14 +211,37 @@ def test_no_keyless_round_robin_repartition_in_engine_source():
     repartition in the engine must name its keys; hash routing is
     attempt-invariant. (Keyed string forms like repartition("month")
     and (n, "col") pass; a genuinely unavoidable round-robin would
-    need an explicit allowlist entry here with its recovery story.)"""
+    need an explicit allowlist entry here with its recovery story.)
+
+    AST-walked, not regexed (round 14, r13 ADVICE): the old
+    line-by-line regex missed calls a formatter had split across
+    lines — ast.Call nodes carry no such blind spot. Keyless means a
+    single positional argument that cannot be a column: an int
+    literal, a bare name, a dotted attribute, or a zero-argument
+    call. String literals and column-expression calls like
+    F.col("x") are keys; two-plus arguments always include one."""
+    import ast
     import os
-    import re
 
     pkg = os.path.join(os.path.dirname(__file__), "..", "uchr_scetl_spark")
-    keyless = re.compile(
-        r"\.repartition\(\s*(?:\d+|[A-Za-z_][\w.]*(?:\(\))?)\s*\)"
-    )
+
+    def keyless(call: ast.Call) -> bool:
+        if not (
+            isinstance(call.func, ast.Attribute)
+            and call.func.attr == "repartition"
+        ):
+            return False
+        if len(call.args) != 1 or call.keywords:
+            return False
+        a = call.args[0]
+        if isinstance(a, ast.Constant) and isinstance(a.value, int):
+            return True
+        if isinstance(a, (ast.Name, ast.Attribute)):
+            return True
+        if isinstance(a, ast.Call) and not a.args and not a.keywords:
+            return True
+        return False
+
     offenders = []
     for root, _dirs, files in os.walk(pkg):
         for fn in files:
@@ -226,7 +249,11 @@ def test_no_keyless_round_robin_repartition_in_engine_source():
                 continue
             path = os.path.join(root, fn)
             with open(path) as f:
-                for i, line in enumerate(f, 1):
-                    if keyless.search(line):
-                        offenders.append(f"{path}:{i}: {line.strip()}")
+                tree = ast.parse(f.read(), filename=path)
+            for node in ast.walk(tree):
+                if isinstance(node, ast.Call) and keyless(node):
+                    offenders.append(
+                        f"{path}:{node.lineno}: "
+                        f"{ast.unparse(node)[:120]}"
+                    )
     assert not offenders, "\n".join(offenders)
