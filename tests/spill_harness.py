@@ -397,6 +397,16 @@ def main(argv: list[str]) -> int:
         chaos_interval = float(rest[i + 1])
         chaos_target = "pyworker"
         del rest[i : i + 2]
+    threads_n = None
+    if "--threads" in rest:
+        # round-14 concurrency axis: run the keys over a thread pool
+        # on the ONE shared session — every thread plans, executes and
+        # collects simultaneously against shared SQLConf, catalog,
+        # memo caches and cache manager. Digests must match the
+        # serial run's.
+        i = rest.index("--threads")
+        threads_n = int(rest[i + 1])
+        del rest[i : i + 2]
     rest = [
         a for a in rest if a not in ("--spill", "--retry-fault", "--wrap-loads")
     ]
@@ -431,6 +441,7 @@ def main(argv: list[str]) -> int:
         "spill_mode": spill,
         "wrap_loads": wrap_loads,
         "retry_fault": retry_fault,
+        "threads": threads_n,
         "retried_tasks": None,
         "chaos_kills": None,
         "canary_spill_bytes": None,
@@ -448,14 +459,26 @@ def main(argv: list[str]) -> int:
     if spill:
         result["canary_spill_bytes"] = _canary_spill_bytes(spark)
     spill_out: list = []
-    for key in keys:
+
+    def run_key(key: str) -> tuple[str, str]:
         try:
-            result["digests"][key] = canonical_digest(
+            return key, canonical_digest(
                 registry[key].fn(spark, sf_dir),
                 _spill_out=spill_out if spill else None,
             )
         except Exception as exc:  # recorded, judged by the caller
-            result["digests"][key] = f"ERR: {exc!r}"[:500]
+            return key, f"ERR: {exc!r}"[:500]
+
+    if threads_n:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=threads_n) as pool:
+            for key, dig in pool.map(run_key, keys):
+                result["digests"][key] = dig
+    else:
+        for key in keys:
+            k, dig = run_key(key)
+            result["digests"][k] = dig
     if spill:
         result["spill_bytes_keys"] = sum(spill_out)
     if retry_acc is not None:
