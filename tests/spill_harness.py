@@ -407,6 +407,15 @@ def main(argv: list[str]) -> int:
         i = rest.index("--threads")
         threads_n = int(rest[i + 1])
         del rest[i : i + 2]
+    dup = 1
+    if "--dup" in rest:
+        # same-KEY concurrency: each key submitted N times, adjacent
+        # in the work list so the copies race each other in the pool.
+        # Divergent copies are recorded as a MISMATCH digest (which
+        # can never equal a serial baseline's).
+        i = rest.index("--dup")
+        dup = int(rest[i + 1])
+        del rest[i : i + 2]
     rest = [
         a for a in rest if a not in ("--spill", "--retry-fault", "--wrap-loads")
     ]
@@ -469,16 +478,25 @@ def main(argv: list[str]) -> int:
         except Exception as exc:  # recorded, judged by the caller
             return key, f"ERR: {exc!r}"[:500]
 
+    work = [k for k in keys for _ in range(dup)]
+
+    def record(key: str, dig: str) -> None:
+        prev = result["digests"].get(key)
+        if prev is not None and prev != dig:
+            a, b = sorted((str(prev)[:24], str(dig)[:24]))
+            result["digests"][key] = f"MISMATCH: {a} != {b}"
+        else:
+            result["digests"][key] = dig
+
     if threads_n:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=threads_n) as pool:
-            for key, dig in pool.map(run_key, keys):
-                result["digests"][key] = dig
+            for key, dig in pool.map(run_key, work):
+                record(key, dig)
     else:
-        for key in keys:
-            k, dig = run_key(key)
-            result["digests"][k] = dig
+        for key in work:
+            record(*run_key(key))
     if spill:
         result["spill_bytes_keys"] = sum(spill_out)
     if retry_acc is not None:

@@ -203,3 +203,41 @@ def test_cross_section_concurrent_digests_match_serial(spark):
         concurrent = dict(pool.map(run, CROSS_SECTION))
 
     assert concurrent == serial
+
+
+# keys whose bodies touch PROCESS-global or catalog state by a fixed
+# name — the same-KEY race surface (two identical jobs submitted at
+# once). etl_managed_table_lifecycle is the measured offender the
+# module lock now serializes (DROP/rmtree/saveAsTable on one table
+# name: unlocked, the --dup sweep recorded MISMATCH vs
+# AnalysisException); the others pin that fixed temp-view names,
+# memoized child sessions, heavy-memo builds and scratch-dir writers
+# stay self-race-free.
+SELF_RACE_KEYS = [
+    "etl_managed_table_lifecycle",
+    "etl_backfill_dynamic_overwrite",
+    "join_bloom_pruned",
+    "sql_cte_pipeline",
+    "udtf_explode_custom",
+    "agg_grouping_sets",
+    "sink_parquet_partitioned",
+]
+
+
+def test_same_key_concurrent_invocations_agree(spark):
+    """Each self-race key invoked in THREE simultaneous threads: every
+    copy must produce the serial digest (no errors, no torn reads of
+    a racer's half-rebuilt state)."""
+    serial = {
+        k: canonical_digest(REGISTRY[k].fn(spark, SF_SMOKE))
+        for k in SELF_RACE_KEYS
+    }
+    work = [k for k in SELF_RACE_KEYS for _ in range(3)]
+
+    def run(k: str) -> tuple[str, str]:
+        return k, canonical_digest(REGISTRY[k].fn(spark, SF_SMOKE))
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        results = list(pool.map(run, work))
+    bad = [(k, d[:40]) for k, d in results if d != serial[k]]
+    assert not bad, bad

@@ -13,11 +13,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import threading
+
 from ..io import load, scratch_dir
 from ..exprs import dec_sum
 from ..memo import memo_get_heavy
 from ..registry import query
-from ..session import conf_isolated_session
+from ..session import conf_isolated_session, stable_checkpoint
+
+# serializes the fixed-name managed-table rebuild (see
+# etl_managed_table_lifecycle's concurrency note)
+_lifecycle_lock = threading.Lock()
 
 
 @query(
@@ -521,32 +527,45 @@ def etl_managed_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle proves both writes landed exactly once. At 100 TB the same
     calls hit a real metastore and the table would be partitioned
     (see sink_parquet_partitioned / etl_backfill_dynamic_overwrite);
-    the catalog protocol is identical."""
+    the catalog protocol is identical.
+
+    Concurrency (round 14): the table name is fixed, so two
+    simultaneous invocations interleaving DROP / rmtree / saveAsTable
+    corrupt each other — the measured same-key race (--dup sweep:
+    MISMATCH vs AnalysisException). The catalog dance therefore
+    serializes on a module lock, and the returned aggregate is
+    materialized eagerly INSIDE the lock (stable_checkpoint): a
+    lazily-returned scan would still read the table after the lock
+    dropped, mid-way through a racer's rebuild. Concurrent identical
+    rebuild jobs against one metastore table need exactly this
+    serialization on a real cluster too (there via the metastore's
+    table lock)."""
     import shutil
     from urllib.parse import urlparse
 
-    table = "uchr_lifecycle_orders"
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    # with the default in-memory catalog the table registration dies
-    # with the session but its warehouse directory does not; clear the
-    # location too so re-runs in a fresh session don't hit
-    # LOCATION_ALREADY_EXISTS
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
-    o = load(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
-    )
-    cut = F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
-    o.where(cut).write.saveAsTable(table)
-    o.where(~cut).write.insertInto(table)
-    return (
-        spark.table(table)
-        .groupBy("o_orderstatus")
-        .agg(
-            F.count("*").alias("n_orders"),
-            dec_sum("o_totalprice", "total_price"),
+    with _lifecycle_lock:
+        table = "uchr_lifecycle_orders"
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        # with the default in-memory catalog the table registration
+        # dies with the session but its warehouse directory does not;
+        # clear the location too so re-runs in a fresh session don't
+        # hit LOCATION_ALREADY_EXISTS
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
+        o = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
         )
-    )
+        cut = F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
+        o.where(cut).write.saveAsTable(table)
+        o.where(~cut).write.insertInto(table)
+        return stable_checkpoint(
+            spark.table(table)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n_orders"),
+                dec_sum("o_totalprice", "total_price"),
+            )
+        )
 
 
 @query(
