@@ -207,14 +207,15 @@ def test_cross_section_concurrent_digests_match_serial(spark):
 
 # keys whose bodies touch PROCESS-global or catalog state by a fixed
 # name — the same-KEY race surface (two identical jobs submitted at
-# once). etl_managed_table_lifecycle is the measured offender the
-# module lock now serializes (DROP/rmtree/saveAsTable on one table
-# name: unlocked, the --dup sweep recorded MISMATCH vs
-# AnalysisException); the others pin that fixed temp-view names,
-# memoized child sessions, heavy-memo builds and scratch-dir writers
-# stay self-race-free.
+# once). etl_managed_table_lifecycle and join_bucketed are the two
+# measured offenders their module locks now serialize (fixed-name
+# DROP/rebuild dances: unlocked, the --dup sweep recorded MISMATCH
+# vs AnalysisException for both); the others pin that fixed
+# temp-view names, memoized child sessions, heavy-memo builds and
+# scratch-dir writers stay self-race-free.
 SELF_RACE_KEYS = [
     "etl_managed_table_lifecycle",
+    "join_bucketed",
     "etl_backfill_dynamic_overwrite",
     "join_bloom_pruned",
     "sql_cte_pipeline",

@@ -12,12 +12,18 @@ Strategy notes for 100 TB:
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..exprs import dec_sum, sql_dec_sum
 from ..io import load, scratch_dir
 from ..registry import query
+
+# serializes the fixed-name bucketed-table rebuild (see
+# join_bucketed's concurrency note)
+_bucketed_lock = threading.Lock()
 
 
 @query(
@@ -255,7 +261,17 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans). At 100 TB this converts every recurring fact-fact join on
     the same key from a full shuffle into a local merge: bucketing is
     paid once at write time, reused by every downstream join/agg on
-    that key."""
+    that key.
+
+    Concurrency (round 14): the bucket tables are fixed catalog
+    names, so the DROP → saveAsTable → spark.table sequence races a
+    concurrent copy of itself (measured by the --dup sweep:
+    AnalysisException in the racer's DROP window) — the catalog dance
+    serializes on a module lock. Unlike the managed lifecycle table,
+    the LAZY return is race-safe once serialized: each copy writes
+    its OWN scratch dir, the analyzer resolves the tables to their
+    file indexes eagerly at spark.table() inside the lock, and a
+    racer's later DROP + re-point never deletes those files."""
 
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
@@ -265,32 +281,34 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # catalog (bucket metadata lives there), but a managed location
     # would collide with stale dirs left by previous sessions
     out = scratch_dir("uchr_bucketed_")
-    for name in ("uchr_b_lineitem", "uchr_b_orders"):
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-    # repartition on the bucket key BEFORE the bucketed write: bucket-id
-    # assignment and repartition use the same Murmur3 hash, so each
-    # write task then holds exactly one bucket and emits one file —
-    # without this, every task writes a sliver of every bucket it saw
-    # (up to tasks×buckets small files per table), which at 100 TB is
-    # the classic bucketed-write small-files failure mode
-    (
-        li.repartition(8, "l_orderkey")
-        .write.mode("overwrite")
-        .bucketBy(8, "l_orderkey")
-        .sortBy("l_orderkey")
-        .option("path", f"{out}/lineitem")
-        .saveAsTable("uchr_b_lineitem")
-    )
-    (
-        o.repartition(8, "o_orderkey")
-        .write.mode("overwrite")
-        .bucketBy(8, "o_orderkey")
-        .sortBy("o_orderkey")
-        .option("path", f"{out}/orders")
-        .saveAsTable("uchr_b_orders")
-    )
-    lb = spark.table("uchr_b_lineitem")
-    ob = spark.table("uchr_b_orders")
+    with _bucketed_lock:
+        for name in ("uchr_b_lineitem", "uchr_b_orders"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+        # repartition on the bucket key BEFORE the bucketed write:
+        # bucket-id assignment and repartition use the same Murmur3
+        # hash, so each write task then holds exactly one bucket and
+        # emits one file — without this, every task writes a sliver of
+        # every bucket it saw (up to tasks×buckets small files per
+        # table), which at 100 TB is the classic bucketed-write
+        # small-files failure mode
+        (
+            li.repartition(8, "l_orderkey")
+            .write.mode("overwrite")
+            .bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .option("path", f"{out}/lineitem")
+            .saveAsTable("uchr_b_lineitem")
+        )
+        (
+            o.repartition(8, "o_orderkey")
+            .write.mode("overwrite")
+            .bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .option("path", f"{out}/orders")
+            .saveAsTable("uchr_b_orders")
+        )
+        lb = spark.table("uchr_b_lineitem")
+        ob = spark.table("uchr_b_orders")
     # the merge hint models the 100 TB reality (neither fact side is
     # broadcastable); with both sides bucketed+sorted on the key the
     # SMJ needs no exchange and no sort — at this tiny SF Spark would
