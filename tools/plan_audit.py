@@ -39,6 +39,15 @@ AUDITS: dict[str, tuple[str, list[str]]] = {
         "fact table.",
         [r"BroadcastExchange", r"BroadcastHashJoin"],
     ),
+    "join_bloom_pruned": (
+        "Runtime Bloom-filter pruning (round 14: the returned plan is "
+        "now the live one - conf-isolated child session instead of a "
+        "checkpoint inside a restore window): the selective build side "
+        "aggregates into bloom_filter_agg and the probe scan is wrapped "
+        "in might_contain, so non-matching fact rows die at the scan "
+        "before the exchange.",
+        [r"bloom_filter_agg", r"might_contain"],
+    ),
     "join_bucketed": (
         "Co-located bucketed join: sort-merge join directly over the "
         "bucketed scans - NO Exchange on either side (bucketing replaces "
