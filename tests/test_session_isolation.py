@@ -67,6 +67,20 @@ def test_conf_isolated_session_is_race_free(spark):
     assert len({id(s) for s in results}) == 1
 
 
+def test_conf_isolated_session_prunes_dead_apps(spark):
+    """Child sessions of a stopped/superseded application must drop on
+    the next access (same hygiene as the memo caches: keys lead with
+    applicationId so a restarted session can never be served another
+    app's session state)."""
+    from uchr_scetl_spark import session as sess
+
+    with sess._CHILD_LOCK:
+        sess._CHILD_SESSIONS[("dead-app-id", "x")] = object()
+    conf_isolated_session(spark, "gate-prune", {})
+    with sess._CHILD_LOCK:
+        assert ("dead-app-id", "x") not in sess._CHILD_SESSIONS
+
+
 def test_conf_isolated_child_dataframes_run(spark):
     """A DataFrame built on the child plans under the child's confs
     and collects fine from a parent-session caller."""
