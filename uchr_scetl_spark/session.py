@@ -160,7 +160,8 @@ def stable_checkpoint(df, eager: bool = True):
     should set it at context build or adopt an external cleanup
     policy on their checkpoint dir, else every iterative query leaks
     its checkpoint files for the session's lifetime — round-14 soak
-    canary in tests/test_executor_loss.py measures both behaviors)."""
+    canary in tests/test_checkpoint_lifecycle.py measures both
+    behaviors)."""
     spark = df.sparkSession
     try:
         reliable = (
