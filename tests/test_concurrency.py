@@ -225,6 +225,30 @@ SELF_RACE_KEYS = [
 ]
 
 
+def test_concurrent_multi_corpus_memo_families_agree(spark):
+    """Two corpora hitting the SAME memo families (dedup shingles,
+    graph edges, IVF centroids, BPE cache) simultaneously — the
+    multi-tenant shape. Memo keys carry sf_dir at index 1, so entries
+    must never cross-serve; every (key, corpus) pair must match its
+    serial digest."""
+    keys = ["dedup_near", "graph_pagerank", "sim_topk_ivf", "dedup_clusters"]
+    dirs = [SF_SMOKE, "/root/testdata/sf0.01"]
+    serial = {
+        (k, d): canonical_digest(REGISTRY[k].fn(spark, d))
+        for k in keys
+        for d in dirs
+    }
+
+    def run(kd):
+        k, d = kd
+        return kd, canonical_digest(REGISTRY[k].fn(spark, d))
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        concurrent = dict(pool.map(run, list(serial)))
+    bad = [kd for kd in serial if concurrent[kd] != serial[kd]]
+    assert not bad, bad
+
+
 def test_same_key_concurrent_invocations_agree(spark):
     """Each self-race key invoked in THREE simultaneous threads: every
     copy must produce the serial digest (no errors, no torn reads of
