@@ -446,6 +446,14 @@ def main(argv: list[str]) -> int:
         )
         return 2
     spark = build_session(spill, extra_confs)
+    if threads_n:
+        # round-15 preflight of the round-14 measured sizing rule:
+        # concurrent spill-merges need ~2 GiB heap each — fail the
+        # sweep up front with a sizing message instead of an OOM
+        # half-way through a 309-key run
+        from uchr_scetl_spark.session import preflight_driver_memory
+
+        preflight_driver_memory(spark, threads_n, strict=spill)
     result = {
         "spill_mode": spill,
         "wrap_loads": wrap_loads,

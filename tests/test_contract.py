@@ -219,7 +219,11 @@ def test_no_keyless_round_robin_repartition_in_engine_source():
     single positional argument that cannot be a column: an int
     literal, a bare name, a dotted attribute, or a zero-argument
     call. String literals and column-expression calls like
-    F.col("x") are keys; two-plus arguments always include one."""
+    F.col("x") are keys; two-plus arguments always include one.
+    Round 15 (r14 ADVICE): the keyword spelling
+    ``repartition(numPartitions=8)`` is the same round-robin and is
+    caught too — a lone numPartitions keyword with a non-column
+    value, no positional args."""
     import ast
     import os
 
@@ -231,15 +235,23 @@ def test_no_keyless_round_robin_repartition_in_engine_source():
             and call.func.attr == "repartition"
         ):
             return False
-        if len(call.args) != 1 or call.keywords:
+        def non_column(a: ast.expr) -> bool:
+            if isinstance(a, ast.Constant) and isinstance(a.value, int):
+                return True
+            if isinstance(a, (ast.Name, ast.Attribute)):
+                return True
+            if isinstance(a, ast.Call) and not a.args and not a.keywords:
+                return True
             return False
-        a = call.args[0]
-        if isinstance(a, ast.Constant) and isinstance(a.value, int):
-            return True
-        if isinstance(a, (ast.Name, ast.Attribute)):
-            return True
-        if isinstance(a, ast.Call) and not a.args and not a.keywords:
-            return True
+
+        if len(call.args) == 1 and not call.keywords:
+            return non_column(call.args[0])
+        if (
+            not call.args
+            and len(call.keywords) == 1
+            and call.keywords[0].arg == "numPartitions"
+        ):
+            return non_column(call.keywords[0].value)
         return False
 
     offenders = []

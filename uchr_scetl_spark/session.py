@@ -65,8 +65,14 @@ def configure(spark: SparkSession) -> SparkSession:
 
 
 # Child sessions created by conf_isolated_session, one per
-# (applicationId, purpose); pruned when the owning app changes.
-_CHILD_SESSIONS: dict[tuple[str, str], SparkSession] = {}
+# (applicationId, purpose, confs, carried parent confs); pruned when
+# the owning app changes. Conf values are part of the key (round 15,
+# r14 ADVICE): a purpose string reused with DIFFERENT confs, or a
+# parent whose carried runtime confs changed since the first call,
+# mints a fresh child instead of silently serving the first caller's
+# conf set. The map stays small — keys are the engine's fixed purpose
+# strings crossed with the few conf sets the app actually uses.
+_CHILD_SESSIONS: dict[tuple, SparkSession] = {}
 _CHILD_LOCK = threading.Lock()
 
 # Parent RUNTIME confs a child must inherit: SparkSession.newSession()
@@ -102,8 +108,30 @@ def conf_isolated_session(
     Plans compile under the conf of the DataFrame's OWN session, so
     returning a child-session DataFrame to a parent-session caller is
     safe — and cached data is shared (SharedState), so nothing is
-    duplicated."""
-    key = (spark.sparkContext.applicationId, purpose)
+    duplicated.
+
+    Snapshot semantics (round 15): a child's conf set is FIXED at
+    creation — ``confs`` plus the parent's values for
+    ``_CHILD_CARRY_CONFS`` at that moment. Both are folded into the
+    memo key, so a later call with different ``confs`` under the same
+    purpose, or after the parent flips a carried runtime conf (e.g.
+    ``spark.sql.ansi.enabled``), gets a FRESH child with the new
+    values rather than the first caller's stale set. Builder-time
+    static confs always carry via ``newSession()`` regardless."""
+    carried: list[tuple[str, str]] = []
+    for k in _CHILD_CARRY_CONFS:
+        try:
+            v = spark.conf.get(k, None)
+        except Exception:  # pragma: no cover - conf service down
+            v = None
+        if v is not None:
+            carried.append((k, v))
+    key = (
+        spark.sparkContext.applicationId,
+        purpose,
+        tuple(sorted(confs.items())),
+        tuple(carried),
+    )
     with _CHILD_LOCK:
         for k in list(_CHILD_SESSIONS):
             if k[0] != key[0]:
@@ -112,17 +140,72 @@ def conf_isolated_session(
         if child is None:
             child = spark.newSession()
             configure(child)
-            for k in _CHILD_CARRY_CONFS:
-                try:
-                    v = spark.conf.get(k, None)
-                except Exception:  # pragma: no cover - conf service down
-                    v = None
-                if v is not None:
-                    child.conf.set(k, v)
+            for k, v in carried:
+                child.conf.set(k, v)
             for k, v in confs.items():
                 child.conf.set(k, v)
             _CHILD_SESSIONS[key] = child
     return child
+
+
+# Measured driver-heap sizing rule (round 14, BASELINE.md
+# "concurrency + spill" row): 8 concurrent forced-spill query merges
+# OOM the 8 GiB default driver heap; 16 GiB runs green. The binding
+# resource is CONCURRENT MERGE WIDTH — every in-flight spill-merge
+# holds its read-ahead buffers (>= 1 MiB per spill file, many files
+# per merge) and row arrays simultaneously, so peak heap grows with
+# the number of concurrently-merging queries, not with corpus size.
+# That measures out to ~2 GiB of headroom per concurrent query under
+# spill at bench scale. In local mode the driver JVM hosts the
+# executors, so spark.driver.memory IS the whole heap; on a real
+# cluster apply the same rule to executor memory per task slot.
+DRIVER_MEM_PER_CONCURRENT_QUERY_GB = 2
+
+
+def _mem_to_gb(mem: str) -> float:
+    """Parse a JVM memory string ('8g', '16384m', '512k') to GiB."""
+    m = str(mem).strip().lower()
+    units = {"k": 1 / (1024 * 1024), "m": 1 / 1024, "g": 1, "t": 1024}
+    if m and m[-1] in units:
+        return float(m[:-1]) * units[m[-1]]
+    return float(m) / (1024**3)  # plain bytes
+
+
+def preflight_driver_memory(
+    spark: SparkSession, concurrency: int, strict: bool = False
+) -> bool:
+    """Check the measured sizing rule BEFORE a concurrent workload
+    runs: driver heap must be >= concurrency x
+    :data:`DRIVER_MEM_PER_CONCURRENT_QUERY_GB` or concurrent
+    spill-merges can OOM the whole JVM mid-run (round-14 measurement —
+    not a guess). Returns True when sized adequately; warns (or raises
+    with ``strict=True``) otherwise. Called by get_session when
+    SPARK_GRAFT_CONCURRENCY > 1 and by the spill harness's --threads
+    mode, the two places the engine itself fans out queries."""
+    if concurrency <= 1:
+        return True
+    try:
+        have_gb = _mem_to_gb(spark.conf.get("spark.driver.memory", "1g"))
+    except Exception:  # pragma: no cover - conf service unavailable
+        return True
+    need_gb = concurrency * DRIVER_MEM_PER_CONCURRENT_QUERY_GB
+    if have_gb >= need_gb:
+        return True
+    msg = (
+        f"driver memory {have_gb:g} GiB is below the measured requirement "
+        f"for {concurrency} concurrent queries ({need_gb} GiB = "
+        f"{concurrency} x {DRIVER_MEM_PER_CONCURRENT_QUERY_GB} GiB per "
+        "concurrent spill-merge; round-14 measurement: 8 concurrent "
+        "forced-spill merges OOM an 8 GiB heap, 16 GiB is green). Set "
+        "SPARK_GRAFT_DRIVER_MEM (or spark.driver.memory) accordingly, "
+        "or reduce concurrency."
+    )
+    if strict:
+        raise RuntimeError(msg)
+    import warnings
+
+    warnings.warn(msg, ResourceWarning, stacklevel=2)
+    return False
 
 
 def stable_checkpoint(df, eager: bool = True):
@@ -231,4 +314,11 @@ def get_session(app_name: str = "uchr-scetl-spark") -> SparkSession:
     )
     for k, v in _RUNTIME_CONFS.items():
         builder = builder.config(k, v)
-    return configure(builder.getOrCreate())
+    spark = configure(builder.getOrCreate())
+    conc = os.environ.get("SPARK_GRAFT_CONCURRENCY")
+    if conc:
+        try:
+            preflight_driver_memory(spark, int(conc))
+        except ValueError:
+            pass
+    return spark
