@@ -137,3 +137,29 @@ def test_deterministic(spark, extended, tmp_path):
             str(sorted(map(tuple, b.select(cols).collect()))).encode()
         ).hexdigest()
         assert ha == hb, t
+
+
+def test_longtail_regime(spark, tmp_path):
+    """longtail > 0 must grow the vocabulary with the corpus (novel
+    nv<i> tokens at ~the requested word rate, each corpus-unique) and
+    stay deterministic — the regime switch the scale-growth harness
+    uses to measure posting-join keys under Heaps-law token growth
+    instead of the seed corpus's saturated fixed vocab."""
+    out = str(tmp_path / "lt")
+    extend_corpus(spark, SF_SMOKE, FACTOR, out, seed=42, longtail=0.05)
+    docs = pq.read_table(os.path.join(out, "documents.parquet"))
+    texts = docs.column("text").to_pylist()
+    n = len(texts) // FACTOR
+    synth_words = [w for t in texts[n:] for w in t.split(" ")]
+    novel = [w for w in synth_words if w.startswith("nv")]
+    rate = len(novel) / len(synth_words)
+    assert 0.03 < rate < 0.07, rate
+    # corpus-unique: novel tokens never repeat except via near-dup
+    # copies of an earlier doc (bounded by the injection rate)
+    from collections import Counter
+
+    dup_novel = sum(1 for c in Counter(novel).values() if c > 1)
+    assert dup_novel / max(1, len(set(novel))) < 0.1
+    out2 = str(tmp_path / "lt2")
+    extend_corpus(spark, SF_SMOKE, FACTOR, out2, seed=42, longtail=0.05)
+    assert docs.equals(pq.read_table(os.path.join(out2, "documents.parquet")))

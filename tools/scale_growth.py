@@ -60,18 +60,22 @@ SEED = 42
 DEFAULT_FACTORS = [1, 3, 10]
 
 
-def corpus_dir(spark, sf_dir: str, factor: int) -> str:
+def corpus_dir(spark, sf_dir: str, factor: int, longtail: float = 0.0) -> str:
     base = os.path.basename(os.path.normpath(sf_dir))
-    out = f"/tmp/uchr_scale_{base}_{factor}x_seed{SEED}"
+    tag = f"_lt{int(longtail * 100)}" if longtail else ""
+    out = f"/tmp/uchr_scale_{base}_{factor}x{tag}_seed{SEED}"
     marker = os.path.join(out, "_UCHR_COMPLETE")
     if os.path.exists(marker):
         return out
     if os.path.exists(out):
         shutil.rmtree(out, ignore_errors=True)
     t0 = time.time()
-    extend_corpus(spark, sf_dir, factor, out, seed=SEED)
+    extend_corpus(spark, sf_dir, factor, out, seed=SEED, longtail=longtail)
     with open(marker, "w") as f:
-        f.write(f"source={sf_dir} factor={factor} seed={SEED}\n")
+        f.write(
+            f"source={sf_dir} factor={factor} seed={SEED} "
+            f"longtail={longtail}\n"
+        )
     print(f"# built {out} in {time.time() - t0:.1f}s", flush=True)
     return out
 
@@ -98,11 +102,18 @@ def main() -> int:
     reps = 3
     json_out = None
     factors = list(DEFAULT_FACTORS)
-    while args and args[0] in ("-r", "--json", "--factors"):
+    longtail = 0.0
+    while args and args[0] in ("-r", "--json", "--factors", "--longtail"):
         if args[0] == "-r":
             reps = int(args[1])
         elif args[0] == "--json":
             json_out = args[1]
+        elif args[0] == "--longtail":
+            # token-space growth regime: fraction of synthesised words
+            # rewritten to corpus-unique novel tokens (Heaps-law tail);
+            # 0 = saturated fixed-vocab regime (the default, and the
+            # posting-join worst case)
+            longtail = float(args[1])
         else:
             factors = [int(x) for x in args[1].split(",")]
         args = args[2:]
@@ -118,7 +129,7 @@ def main() -> int:
     if unknown:
         raise SystemExit(f"unknown keys: {unknown}")
 
-    dirs = {f: corpus_dir(spark, sf_dir, f) for f in factors}
+    dirs = {f: corpus_dir(spark, sf_dir, f, longtail) for f in factors}
     # warmup on a throwaway 1x dir: pays codegen/Arrow/classloading
     # once, and (because memos key on the dir) leaves every measured
     # dir's memos COLD so rep 1 captures each dir's build fairly
@@ -172,6 +183,7 @@ def main() -> int:
                     "factors": factors,
                     "reps": reps,
                     "seed": SEED,
+                    "longtail": longtail,
                     "keys": results,
                 },
                 f,

@@ -645,38 +645,110 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     what the band-bounded Jaccard key cannot see. Denominator is the
     inner doc's FULL distinct-shingle count.
 
-    Measured scaling caveat (probe, 1x/2x/4x twin replication): 11x
-    wall at 4x — NOT a plan defect but the simhash argument: k-fold
-    duplication makes the TRUE ordered-pair output itself grow k², and
-    the exact intersection counts with it. The df cap is precisely the
-    valve that clips this at real scale — mass-duplicated boilerplate
-    pushes shingle df past the cap and drops out of matching — it just
-    never triggers at probe scale (max df 100 « {CONTAINMENT_DF_CAP}).
-    A production run over a duplicate-heavy corpus tunes the cap DOWN
-    (or runs exact/near dedup first, as this registry's pipeline
-    would)."""
+    Round-15 rewrite — PREFIX FILTERING (the SSJoin/PPJoin family),
+    after the scale-growth harness measured the old full
+    inverted-index self-join QUADRATIC (1x/3x/10x synthetic growth:
+    1.6 s → 3.3 s → 46 s, segment exponent ~2.2, while true output
+    grew only ~linearly): candidate volume was Σ_tok df², and shingle
+    df grows linearly with any real corpus, so hot-but-under-cap
+    shingles (df « {CONTAINMENT_DF_CAP}) dominated the join long
+    before the df-cap valve could engage. Prefix filtering is the
+    LOSSLESS cut: a pair with containment ≥ t over the inner doc's n
+    shingles (m of them cap-surviving) must share at least one of the
+    inner doc's p = m − ⌈t·n⌉ + 1 RAREST shingles — if the outer doc
+    missed that whole prefix, the intersection is ≤ m − p < ⌈t·n⌉.
+    So the candidate join runs prefix(inner) × full(outer) — hot
+    shingles rarely appear in anyone's rarest-p prefix — plus the
+    exact SIZE filter (an outer doc with fewer than ⌈t·n⌉ surviving
+    shingles cannot contain t·n of the inner's), and candidates are
+    then verified with one array_intersect over the capped shingle
+    sets. Output is bit-identical to the all-postings join (the
+    oracle is unchanged — still the plain inverted-index SQL; the
+    sf0.001/sf0.01 hash checks pin it). Docs whose p ≤ 0 (m < t·n:
+    too many shingles capped out to ever qualify) drop from the inner
+    side entirely.
+
+    Measured regimes (scale-growth harness, 1x/3x/10x, BASELINE.md
+    round-15 table): on a LONG-TAIL corpus (token space growing with
+    the corpus, Heaps-law — how real text behaves) the rewrite is
+    near-linear, because prefixes stay cold. On the SATURATED corpus
+    the committed testdata extends to (fixed ~28k-shingle space, so
+    EVERY df grows ∝ corpus and Σdf² grows quadratically no matter
+    the algorithm), it still wins ~8× on candidate volume over the
+    old join, but no candidate generator can be sub-quadratic there —
+    that regime is exactly what the df cap is for: as the corpus
+    grows, boilerplate-grade shingles cross {CONTAINMENT_DF_CAP} and
+    drop out, and a production run tunes the cap to the corpus's df
+    distribution.
+
+    The df cap stays, one layer deeper: it bounds the worst case when
+    even prefixes go hot (mass-duplicated boilerplate), and
+    capped-out shingles can only LOWER measured containment, never
+    inflate it — with the identical cap in the oracle. A production
+    run over a duplicate-heavy corpus tunes the cap DOWN (or runs
+    exact/near dedup first, as this registry's pipeline would)."""
     sh = shingled_docs(spark, sf_dir).select(
         "doc_id", "n", F.explode("toks").alias("tok")
     )
-    capped = cap_hot_postings(sh, "tok", CONTAINMENT_DF_CAP)
-    a = capped.alias("a")
-    b = capped.alias("b")
-    pairs = (
-        a.join(
-            b,
+    # inline cap_hot_postings, keeping _df for the rarest-first rank
+    with_df = sh.withColumn(
+        "_df", F.count("*").over(Window.partitionBy("tok"))
+    ).where(F.col("_df") <= CONTAINMENT_DF_CAP)
+    sized = with_df.withColumn(
+        "m", F.count("*").over(Window.partitionBy("doc_id"))
+    )
+    ranked = sized.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("_df", "tok")
+        ),
+    )
+    prefix = ranked.where(
+        F.col("rnk")
+        <= F.col("m") - F.ceil(F.lit(CONTAINMENT_T) * F.col("n")) + 1
+    )
+    ctoks = with_df.groupBy("doc_id").agg(
+        F.first("n").alias("n"), F.collect_set("tok").alias("ctoks")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            sized.alias("b"),
             (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            # size filter: outer must hold >= ceil(t*n) surviving
+            # shingles to possibly contain t*n of the inner's
+            & (
+                F.col("b.m")
+                >= F.ceil(F.lit(CONTAINMENT_T) * F.col("a.n"))
+            ),
         )
-        .groupBy(
+        .select(
             F.col("a.doc_id").alias("inner_id"),
             F.col("b.doc_id").alias("outer_id"),
-            F.col("a.n").alias("inner_n"),
         )
-        .agg(F.count("*").alias("inter"))
+        .distinct()
     )
-    containment = F.col("inter").cast("double") / F.col("inner_n")
+    ver = cand.join(
+        ctoks.select(
+            F.col("doc_id").alias("inner_id"),
+            F.col("n").alias("inner_n"),
+            F.col("ctoks").alias("inner_toks"),
+        ),
+        "inner_id",
+    ).join(
+        ctoks.select(
+            F.col("doc_id").alias("outer_id"),
+            F.col("ctoks").alias("outer_toks"),
+        ),
+        "outer_id",
+    )
+    containment = (
+        F.size(F.array_intersect("inner_toks", "outer_toks")).cast("double")
+        / F.col("inner_n")
+    )
     return (
-        pairs.where(containment >= CONTAINMENT_T)
+        ver.where(containment >= CONTAINMENT_T)
         .select("inner_id", "outer_id", containment.alias("containment"))
         .orderBy("inner_id", "outer_id")
     )

@@ -90,8 +90,24 @@ _SHIFT_TABLES = {
 _COPY_TABLES = ("region", "nation")
 
 
-def _synth_documents(sf_dir: str, factor: int, rng: np.random.RandomState):
-    """Return (names, arrays) for the extended documents table."""
+def _synth_documents(
+    sf_dir: str,
+    factor: int,
+    rng: np.random.RandomState,
+    longtail: float = 0.0,
+):
+    """Return the extended documents table.
+
+    ``longtail`` > 0 switches the token-space growth regime: that
+    fraction of each fresh doc's words is rewritten to a NOVEL token
+    (``nv<counter>``, unique corpus-wide — ids, codes, typos, names),
+    so the vocabulary grows with the corpus the way real text does
+    (Heaps' law) instead of saturating at the seed corpus's fixed
+    vocab. The default 0.0 keeps the saturated regime — the committed
+    testdata's own shape, and the adversarial worst case for every
+    posting-list join (all shingle dfs grow ∝ corpus). The scale-growth
+    harness measures both regimes; near-dup copies inherit their base
+    doc's novel tokens, so dup structure is preserved either way."""
     tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
     doc_id = tbl.column("doc_id").to_pylist()
     text = tbl.column("text").to_pylist()
@@ -114,6 +130,7 @@ def _synth_documents(sf_dir: str, factor: int, rng: np.random.RandomState):
     # indices into (words + new word lists) per lang, for near-dup bases
     new_words: list[list[str]] = []
     new_by_lang: dict[str, list[int]] = {lg: [] for lg in by_lang}
+    novel_counter = 0
 
     for _ in range(n * (factor - 1)):
         if new_words and rng.rand() < NEAR_DUP_RATE:
@@ -144,6 +161,11 @@ def _synth_documents(sf_dir: str, factor: int, rng: np.random.RandomState):
                 start = int(rng.randint(max(1, len(d) - span + 1)))
                 w.extend(d[start : start + span])
             w = w[:target]
+            if longtail > 0.0:
+                flips = rng.rand(len(w)) < longtail
+                for pos in np.flatnonzero(flips):
+                    w[int(pos)] = f"nv{novel_counter}"
+                    novel_counter += 1
         new_words.append(w)
         new_by_lang[lg].append(len(new_words) - 1)
         new_text.append(" ".join(w))
@@ -219,18 +241,23 @@ def _replicate_shifted(spark: SparkSession, sf_dir: str, table: str, factor: int
 
 
 def extend_corpus(
-    spark: SparkSession, sf_dir: str, factor: int, out_dir: str, seed: int = 42
+    spark: SparkSession,
+    sf_dir: str,
+    factor: int,
+    out_dir: str,
+    seed: int = 42,
+    longtail: float = 0.0,
 ) -> str:
     """Write a factor-x extension of the corpus at ``sf_dir`` into
     ``out_dir`` (all ten tables, same layout). Deterministic in
-    (sf_dir, factor, seed). Returns ``out_dir``."""
+    (sf_dir, factor, seed, longtail). Returns ``out_dir``."""
     if factor < 1:
         raise ValueError(f"factor must be >= 1, got {factor}")
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.RandomState(seed)
 
     pq.write_table(
-        _synth_documents(sf_dir, factor, rng),
+        _synth_documents(sf_dir, factor, rng, longtail=longtail),
         os.path.join(out_dir, "documents.parquet"),
     )
     pq.write_table(
