@@ -269,3 +269,31 @@ def test_no_keyless_round_robin_repartition_in_engine_source():
                         f"{ast.unparse(node)[:120]}"
                     )
     assert not offenders, "\n".join(offenders)
+
+
+def test_operators_catalog_is_current():
+    """OPERATORS.md (round 15) is generated from the live registry by
+    tools/gen_operators_md.py; this keyset-diff makes a new, renamed,
+    or re-classified key that ships without regenerating the catalog a
+    test failure — same discipline as the selfcheck keyset gate. Only
+    the derivable columns are pinned (key set and oracle kind); prose
+    drift is the generator's business, not a gate."""
+    import re
+
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "OPERATORS.md")
+    assert os.path.exists(path), "OPERATORS.md missing - run tools/gen_operators_md.py"
+    rows = {}
+    with open(path) as f:
+        for line in f:
+            m = re.match(r"\| ([a-z0-9_]+) \| (hash|rows-only) \|", line)
+            if m:
+                rows[m.group(1)] = m.group(2)
+    reg = load_registry()
+    assert set(rows) == set(reg), (
+        f"OPERATORS.md out of date: missing={sorted(set(reg) - set(rows))[:5]} "
+        f"stale={sorted(set(rows) - set(reg))[:5]} - regenerate with "
+        "tools/gen_operators_md.py"
+    )
+    for k, spec in reg.items():
+        want = "rows-only" if spec.rows_only else "hash"
+        assert rows[k] == want, f"{k}: catalog says {rows[k]}, registry says {want}"

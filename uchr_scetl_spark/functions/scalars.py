@@ -58,6 +58,8 @@ JSON_K_BIGINT_SQL = """TRY_CAST(
     """,
 )
 def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar-function battery (concat, substring, trim, pad, case,
+    instr...) — all JVM codegen expressions, zero UDFs."""
     p = load(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
@@ -93,6 +95,8 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/timestamp scalar battery (trunc, datediff, add_months,
+    extract...) under the pinned UTC session zone."""
     o = load(spark, sf_dir, "orders")
     od = F.col("o_orderdate")
     return o.select(
@@ -127,6 +131,8 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar battery (round, bround, abs, sign, log/exp, trig...)
+    with deterministic result shaping for hash comparison."""
     s = load(spark, sf_dir, "supplier")
     bal = F.col("s_acctbal")
     return s.select(
@@ -204,6 +210,8 @@ def fn_math_libm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional expression battery: CASE WHEN, coalesce, nullif,
+    nvl/nvl2, least/greatest."""
     c = load(spark, sf_dir, "customer")
     bal = F.col("c_acctbal")
     return c.select(
@@ -237,6 +245,9 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function battery (transform, filter, aggregate, zip_with,
+    sort_array...) — higher-order functions run as codegen lambda
+    expressions, not Python."""
     d = load(spark, sf_dir, "documents")
     e = load(spark, sf_dir, "embeddings")
     toks = F.split(F.col("text"), " ")
@@ -369,6 +380,8 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast matrix across numeric/string/date/timestamp plus try_cast NULL-
+    on-overflow semantics, ANSI-safe on both engines."""
     o = load(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",

@@ -46,6 +46,9 @@ def tokens(col: str = "text") -> F.Column:
     """,
 )
 def text_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics (counts, lengths, ratios) from one
+    whitespace-split pass — the quality-scoring primitive over
+    documents."""
     d = load(spark, sf_dir, "documents")
     t = d.select("doc_id", "lang", F.explode(tokens()).alias("tok"))
     return t.groupBy("lang").agg(

@@ -67,6 +67,9 @@ def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column COUNT DISTINCT per group — each distinct aggregate
+    expands to its own partial de-dup before the final merge, so no task
+    ever holds a full distinct set."""
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("n_parts"),
@@ -137,6 +140,9 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (flag, status, grand) in one pass — Spark
+    expands grouping sets map-side, so the shuffle still carries one
+    partial row per (set, group)."""
     li = load(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n"), F.sum("l_quantity").alias("sum_qty")
@@ -153,6 +159,8 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over status x priority — all four grouping sets from a single
+    scan via map-side expansion."""
     o = load(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n"), dec_sum("o_totalprice", "total")
@@ -191,6 +199,8 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING) — the predicate runs on the
+    aggregated relation, never on raw rows."""
     o = load(spark, sf_dir, "orders")
     return (
         o.groupBy("o_custkey")

@@ -36,6 +36,8 @@ _bucketed_lock = threading.Lock()
     """,
 )
 def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain equi inner join with the selective side filtered BEFORE the
+    join, so the pushed filter shrinks the shuffle."""
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
     return li.join(o, li.l_orderkey == o.o_orderkey, "inner").select(
@@ -80,6 +82,7 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer equi join preserving unmatched build-side rows as NULLs."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 490000)
     return c.join(o, c.c_custkey == o.o_custkey, "left").select(
@@ -102,6 +105,8 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two pre-aggregated nation profiles — aggregate
+    first, join the two tiny results."""
     c = (
         load(spark, sf_dir, "customer")
         .where(F.col("c_acctbal") > 9000)
@@ -128,6 +133,8 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS) — probe rows emit at most once and the build
+    side never materialises payload columns."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
@@ -144,6 +151,8 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS) — the complement of join_semi on the
+    same key."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
@@ -236,6 +245,8 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Designed small-side Cartesian product (region x nation, 5x25 rows) —
+    the one place a cross join is the intended plan."""
     r = load(spark, sf_dir, "region")
     n = load(spark, sf_dir, "nation")
     return r.crossJoin(n).select("r_name", "n_name", "n_regionkey")

@@ -21,6 +21,8 @@ from ..registry import query
     """,
 )
 def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two filtered projections — bag semantics, no exchange
+    beyond the scans."""
     c = load(spark, sf_dir, "customer")
     cols = ["c_custkey", "c_mktsegment", "c_acctbal"]
     a = c.where(F.col("c_mktsegment") == "BUILDING").select(*cols)
@@ -37,6 +39,8 @@ def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) — the union's de-dup is one hash aggregate on the
+    combined key set."""
     c = (
         load(spark, sf_dir, "customer")
         .where(F.col("c_acctbal") > 5000)
@@ -55,6 +59,8 @@ def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT via Spark's left-semi de-dup strategy on aligned
+    projections."""
     a = (
         load(spark, sf_dir, "customer")
         .where(F.col("c_mktsegment") == "BUILDING")

@@ -30,6 +30,8 @@ from ..registry import query
     """,
 )
 def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/row_number over a per-group ORDER BY window — one
+    hash exchange on the partition key, per-task sort."""
     o = load(spark, sf_dir, "orders")
     w_tiebreak = Window.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
@@ -99,6 +101,8 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) sums over an unbounded-preceding frame per key,
+    ordered by date."""
     o = load(spark, sf_dir, "orders")
     order = [F.col("o_orderdate"), F.col("o_orderkey")]
     run = (
@@ -195,6 +199,7 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def win_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile/percent_rank/cume_dist distribution windows per group."""
     c = load(spark, sf_dir, "customer")
     w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
     return c.select(
