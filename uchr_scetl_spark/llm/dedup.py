@@ -573,7 +573,8 @@ def cap_hot_postings(rows, key_col: str, cap: int):
     registry (a key with document frequency f contributes f² candidate
     pairs, so one boilerplate shingle at crawl scale is a 10¹²-pair
     blowup). One definition so the Spark semantics can never drift
-    between consumers (dedup_containment, the contrastive sampler);
+    between consumers (the contrastive sampler; dedup_containment
+    inlines the same window to keep _df for its prefix-filter rank);
     the mirrored oracle fragment is sql_df_cap_qualify below, and
     dedup_shingle_df_profile is the measurement that tunes ``cap``."""
     w = Window.partitionBy(key_col)
