@@ -34,12 +34,16 @@ one-time costs are paid before any measurement (same discipline as
 scaling_probe.py).
 
 Usage: python tools/scale_growth.py [-r REPS] [--factors 1,3,10]
-           [--json OUT] [sf_dir] [key ...]
+           [--json OUT] [--longtail F] [sf_dir] [key ...]
        default keys = the ABENCH.json slowest-25 cross-section.
+       --longtail 0.05 switches the generator to Heaps-law token
+       growth (5% of synthesised words are corpus-unique novel
+       tokens) — the regime split that separated corpus saturation
+       from algorithmic growth in the round-15 containment fix.
 
-Corpus dirs are cached under /tmp/uchr_scale_<factor>x_seed42 with a
-_UCHR_COMPLETE marker so re-runs (and the fix-then-re-measure loop)
-skip regeneration; delete the dirs to force a rebuild.
+Corpus dirs are cached under /tmp/uchr_scale_<base>_<factor>x[_ltN]_
+seed42 with a _UCHR_COMPLETE marker so re-runs (and the
+fix-then-re-measure loop) skip regeneration; delete to force rebuild.
 """
 
 from __future__ import annotations
