@@ -688,13 +688,24 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     inflate it — with the identical cap in the oracle. A production
     run over a duplicate-heavy corpus tunes the cap DOWN (or runs
     exact/near dedup first, as this registry's pipeline would)."""
+    return containment_pairs(spark, sf_dir, CONTAINMENT_DF_CAP)
+
+
+def containment_pairs(
+    spark: SparkSession, sf_dir: str, cap: int
+) -> DataFrame:
+    """dedup_containment's plan with the df cap as a parameter — the
+    registry key pins cap={CONTAINMENT_DF_CAP} (matching its oracle);
+    tools/scale_growth cap-valve probes run the SAME code path with a
+    tuned cap to measure the valve engaging on saturated corpora
+    (BASELINE.md round-15), instead of measuring a reimplementation."""
     sh = shingled_docs(spark, sf_dir).select(
         "doc_id", "n", F.explode("toks").alias("tok")
     )
     # inline cap_hot_postings, keeping _df for the rarest-first rank
     with_df = sh.withColumn(
         "_df", F.count("*").over(Window.partitionBy("tok"))
-    ).where(F.col("_df") <= CONTAINMENT_DF_CAP)
+    ).where(F.col("_df") <= cap)
     sized = with_df.withColumn(
         "m", F.count("*").over(Window.partitionBy("doc_id"))
     )
