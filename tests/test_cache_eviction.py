@@ -18,6 +18,7 @@ from uchr_scetl_spark import clear_caches, load_registry
 from uchr_scetl_spark.io import load
 from uchr_scetl_spark.llm import dedup, similarity, text
 from uchr_scetl_spark.operators import graph
+from uchr_scetl_spark.plans import tpch
 
 from .conftest import SF_SMOKE
 
@@ -50,6 +51,7 @@ def _memo_entries(sf_dir: str) -> int:
         similarity._ivf_centroids_memo,
         text._bpe_vocab_memo,
         graph._copurchase_memo,
+        tpch._partsupp_memo,
     )
     return sum(1 for m in memos for k in m if k[1] == sf_dir)
 
@@ -94,6 +96,21 @@ def test_rewritten_corpus_reread_after_clear(spark, mutable_corpus):
     # from the original corpus's
     stats = REGISTRY["text_bpe_apply_merges"].fn(spark, mutable_corpus).first()
     assert stats.n_vocab_words <= 8, stats
+
+
+def test_partsupp_memo_shared_and_evicted(spark, mutable_corpus):
+    """Round-15: the derived partsupp relation (full lineitem scan +
+    (part, supplier) DISTINCT) is built once per (app, corpus dir) and
+    shared by its five TPC-H consumers (Q2/Q9/Q11/Q16/Q20) instead of
+    being re-derived inside each; clear_caches evicts it per dir — the
+    same stale-cache contract as every other relation memo."""
+    df1 = tpch._partsupp(spark, mutable_corpus)
+    df2 = tpch._partsupp(spark, mutable_corpus)
+    assert df1 is df2  # memo hit: the SAME cached relation object
+    REGISTRY["tpch_q9"].fn(spark, mutable_corpus).count()
+    assert any(k[1] == mutable_corpus for k in tpch._partsupp_memo)
+    clear_caches(mutable_corpus)
+    assert not any(k[1] == mutable_corpus for k in tpch._partsupp_memo)
 
 
 def test_memo_get_is_race_free_and_prunes_dead_sessions(spark):

@@ -485,12 +485,17 @@ def test_hashing_features_exchanges_carry_long_keys_only(spark):
 
 
 def test_kmeans_assign_is_joinless_single_exchange(spark):
-    """The k-means assignment pass is a pure map against K literal
-    centroids (in-row zip_with fold): the final query's plan may
-    contain NO join operator of any kind, and its only exchange is the
-    K-row per-cluster stats aggregation (partial+final on `cluster`).
-    A join or a second exchange means the literal-centroid formulation
-    regressed to a centroid-relation join."""
+    """The k-means assignment pass is a pure map against the K
+    centroids (in-row zip_with fold), which since round 15 ride ONE
+    one-row broadcast crossJoin (the scalar-attach idiom — data, not
+    plan literals, so the codegen source is identical across Lloyd
+    rounds and the janino cache absorbs rounds 2..N): the final
+    query's plan may contain exactly ONE BroadcastNestedLoopJoin (the
+    one-row centroid attach) and NO per-row join of a centroid
+    RELATION, and its only shuffle is the K-row per-cluster stats
+    aggregation (partial+final on `cluster`). A hash/sort-merge join
+    or a second hash exchange means the scalar-attach formulation
+    regressed to a real centroid-relation join."""
     from uchr_scetl_spark.llm.similarity import clear_similarity_caches
 
     clear_similarity_caches(SF_SMOKE)
@@ -499,10 +504,10 @@ def test_kmeans_assign_is_joinless_single_exchange(spark):
         "SortMergeJoin",
         "BroadcastHashJoin",
         "ShuffledHashJoin",
-        "BroadcastNestedLoopJoin",
         "CartesianProduct",
     ):
         assert op not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "hashpartitioning(cluster" in plan, plan
 
@@ -1025,14 +1030,20 @@ def test_pq_assign_broadcasts_codebook(spark):
 
 
 def test_pq_adc_search_broadcasts_distance_table(spark):
-    """sim_topk_pq: the probe distance table (5*8*16 rows) must
-    BROADCAST into the codes relation; scoring is a partial+final sum;
-    the original vectors never join the scoring side (ADC reads codes,
-    not embeddings)."""
+    """sim_topk_pq (round-15 shape): the codebook and the probe
+    distance table ride one-row broadcast crossJoins
+    (BroadcastNestedLoopJoin scalar attaches — data, not literals),
+    codes and ADC scores are in-row folds, and the ONLY hash exchange
+    left is the per-probe top-k window — no per-(m, k) hash join, no
+    groupBy(vec_id) re-assembly shuffle, no Python node."""
     plan = plan_of(spark, "sim_topk_pq")
-    assert "BroadcastHashJoin" in plan, plan
-    assert "SortMergeJoin" not in plan, plan
-    assert plan.count("HashAggregate") >= 2, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert op not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "hashpartitioning(p_id" in plan, plan
+    assert "Window" in plan, plan
+    assert "ArrowEvalPython" not in plan and "FlatMapGroupsInPandas" not in plan, plan
 
 
 def test_cusum_one_exchange_serves_all_windows(spark):

@@ -19,7 +19,7 @@ from .session import configure, get_session  # noqa: F401
 def clear_caches(sf_dir: str | None = None) -> None:
     """Unpersist and drop every per-session relation memo (shingles,
     MinHash/SimHash signatures, verified pairs, IVF base + centroids,
-    weighted co-purchase edges) — all
+    weighted co-purchase edges, derived partsupp) — all
     entries, or just one corpus dir's. Long-lived sessions sweeping
     many corpus dirs should call this when retiring a dir; sessions
     re-reading a REWRITTEN dir must, or they'll be served stale cached
@@ -29,8 +29,10 @@ def clear_caches(sf_dir: str | None = None) -> None:
     from .llm.similarity import clear_similarity_caches
     from .llm.text import clear_text_caches
     from .operators.graph import clear_graph_caches
+    from .plans.tpch import clear_tpch_caches
 
     clear_dedup_caches(sf_dir)
     clear_similarity_caches(sf_dir)
     clear_text_caches(sf_dir)
     clear_graph_caches(sf_dir)
+    clear_tpch_caches(sf_dir)

@@ -396,29 +396,42 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    rows = shingle_rows(spark, sf_dir)
-    sizes = shingled_docs(spark, sf_dir).select("doc_id", "n")
-    # exact-Jaccard verify via shared-shingle counting joined to the
-    # (few) LSH candidates — no arrays are ever materialised per pair
-    inter_counts = (
-        candidates.join(
-            rows.select(F.col("doc_id").alias("a_id"), "shingle"), "a_id"
-        )
-        .join(
-            rows.select(F.col("doc_id").alias("b_id"), "shingle"),
-            ["b_id", "shingle"],
-        )
-        .groupBy("a_id", "b_id")
-        .agg(F.count("*").alias("inter"))
-    )
+    # Round-15: exact-Jaccard verify by ARRAY INTERSECTION of the two
+    # candidates' cached shingle arrays (the containment_pairs idiom)
+    # instead of the previous shared-shingle counting join. The count
+    # form re-shuffled the ENTIRE corpus-sized shingle-row relation by
+    # (doc_id, shingle) to serve a candidate set the LSH banding has
+    # already bounded; the array form touches only the candidate docs'
+    # rows of the doc-sized cached relation (two equi-joins AQE
+    # resolves to broadcasts while candidates are small) and computes
+    # |A∩B| in-row — per-pair work is O(|toks|) either way, but
+    # nothing corpus-sized is exchanged. A/B at sf0.1 (interleaved
+    # single-key bench runs, cold incl. shared memo builds, two
+    # 3-round sets, min): 1.65 s → 1.02 s and 1.58 s → 1.17 s; the two
+    # (doc_id, shingle) exchanges disappear from the plan
+    # (plans/r15/dedup_near_*.txt). Output bit-identical at all three
+    # SFs (toks are distinct per doc, so size(array_intersect) IS the
+    # shared-shingle count; oracle unchanged).
+    sh = shingled_docs(spark, sf_dir).select("doc_id", "toks", "n")
     verified = (
-        inter_counts.join(
-            sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("a_n")),
+        candidates.join(
+            sh.select(
+                F.col("doc_id").alias("a_id"),
+                F.col("toks").alias("a_toks"),
+                F.col("n").alias("a_n"),
+            ),
             "a_id",
         )
         .join(
-            sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("b_n")),
+            sh.select(
+                F.col("doc_id").alias("b_id"),
+                F.col("toks").alias("b_toks"),
+                F.col("n").alias("b_n"),
+            ),
             "b_id",
+        )
+        .withColumn(
+            "inter", F.size(F.array_intersect("a_toks", "b_toks"))
         )
         .withColumn(
             "jaccard",
@@ -531,30 +544,35 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    rows = shingle_rows(spark, sf_dir)
-    sizes = shingled_docs(spark, sf_dir).select("doc_id", "n")
-    inter_counts = (
-        candidates.join(
-            rows.select(F.col("doc_id").alias("new_id"), "shingle"), "new_id"
-        )
-        .join(
-            rows.select(F.col("doc_id").alias("index_id"), "shingle"),
-            ["index_id", "shingle"],
-        )
-        .groupBy("new_id", "index_id")
-        .agg(F.count("*").alias("inter"))
-    )
+    # Round-15: array-intersect verify off the cached shingled docs
+    # (same rewrite and rationale as dedup_near — the old
+    # shared-shingle counting join re-shuffled the corpus-sized
+    # shingle-row relation by (doc_id, shingle) for a candidate set
+    # the banding already bounded at O(|batch|); see dedup_near's
+    # comment for the A/B and plan evidence pattern). Bit-identical:
+    # toks are distinct per doc, so size(array_intersect) IS the
+    # shared-shingle count. A/B at sf0.1 (interleaved single-key
+    # bench runs, cold, two 3-round sets, min): 2.56 s → 2.12 s and
+    # 2.26 s → 1.83 s.
+    sh = shingled_docs(spark, sf_dir).select("doc_id", "toks", "n")
     verified = (
-        inter_counts.join(
-            sizes.select(F.col("doc_id").alias("new_id"), F.col("n").alias("a_n")),
+        candidates.join(
+            sh.select(
+                F.col("doc_id").alias("new_id"),
+                F.col("toks").alias("a_toks"),
+                F.col("n").alias("a_n"),
+            ),
             "new_id",
         )
         .join(
-            sizes.select(
-                F.col("doc_id").alias("index_id"), F.col("n").alias("b_n")
+            sh.select(
+                F.col("doc_id").alias("index_id"),
+                F.col("toks").alias("b_toks"),
+                F.col("n").alias("b_n"),
             ),
             "index_id",
         )
+        .withColumn("inter", F.size(F.array_intersect("a_toks", "b_toks")))
         .withColumn(
             "jaccard",
             F.col("inter").cast("double")

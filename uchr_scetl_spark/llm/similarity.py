@@ -1171,33 +1171,36 @@ def _kmeans_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return memo_get(_kmeans_q_memo, key, _build)
 
 
-def _q_dist2(col: str, cvals: list[int]):
-    """Squared L2 distance of bigint vector column ``col`` to the
-    LITERAL centroid ``cvals`` — a pure in-row zip_with/aggregate fold
-    (codegen, no join, no shuffle)."""
-    arr = F.array(*[F.lit(int(v)).cast("long") for v in cvals])
-    return F.aggregate(
-        F.zip_with(F.col(col), arr, lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-
-
 def _kmeans_assign_df(q: DataFrame, cents: list[list[int]]) -> DataFrame:
-    """Assignment pass: distance to each of the K literal centroids,
-    argmin with ties to the smallest cluster id via lexicographic
-    array_min over (d2, k) structs. Embarrassingly parallel — the
-    corpus is scanned once with zero shuffle."""
-    pairs = F.array(
-        *[
-            F.struct(
-                _q_dist2("qv", c).alias("d2"), F.lit(k).cast("int").alias("k")
-            )
-            for k, c in enumerate(cents)
-        ]
+    """Assignment pass: distance to each of the K centroids, argmin
+    with ties to the smallest cluster id via lexicographic array_min
+    over (d2, k) structs. Embarrassingly parallel — the corpus is
+    scanned once with zero shuffle (the centroid row rides a one-row
+    broadcast, the engine's scalar-attach idiom).
+
+    Round-15: centroids flow as broadcast DATA, not plan literals.
+    With K×dim literals baked into the expression, every Lloyd round
+    produced a brand-new codegen source and re-paid full plan
+    compilation — measured ~2 s per assignment pass at sf0.1 against
+    0.3 s for re-running the IDENTICAL plan (the profile in
+    OPTIMIZATION_r15.md). A constant expression tree over a one-row
+    crossJoin keeps the generated source identical across rounds, so
+    the codegen cache absorbs rounds 2..N; whole key (this change
+    plus the per-component centroid sums below) 6.17 s → 4.59 s cold
+    (interleaved single-key A/B at sf0.1, min of 3, same machine),
+    bit-identical output."""
+    spark = q.sparkSession
+    n_k = len(cents)
+    cdf = spark.createDataFrame(
+        [([[int(v) for v in c] for c in cents],)], "cs array<array<bigint>>"
     )
-    best = F.array_min(pairs)
-    return q.select(
+    best = F.expr(
+        f"array_min(transform(sequence(0, {n_k - 1}),"
+        " k -> struct(aggregate(zip_with(qv, cs[k],"
+        " (a, b) -> (a - b) * (a - b)),"
+        " 0L, (acc, x) -> acc + x) AS d2, k AS k)))"
+    )
+    return q.crossJoin(F.broadcast(cdf)).select(
         "vec_id",
         "qv",
         best["k"].alias("cluster"),
@@ -1233,20 +1236,35 @@ def _kmeans_centroids(spark: SparkSession, sf_dir: str) -> list[list[int]]:
         cents = [list(r.qv) for r in seeds]
         if not cents:
             return []
+        dim = len(cents[0])
         for _ in range(KMEANS_ASSIGN_ROUNDS):
+            # round-15: per-component sums as `dim` aggregate columns
+            # of one groupBy(cluster) — the old posexplode form
+            # amplified every vector to `dim` rows before the partial
+            # aggregate (64× row churn in the map stage for the same
+            # K×dim shuffle bytes); the column form reads each
+            # component in place. Same collect bound (K rows × dim+2
+            # cols), bit-identical centroids (integer sums in both
+            # shapes). Whole-key A/B with the data-flow centroids
+            # above: 6.17 s → 4.59 s cold (min of 3).
             rows = (
                 _kmeans_assign_df(q, cents)
-                .select("cluster", F.posexplode("qv").alias("pos", "x"))
-                .groupBy("cluster", "pos")
-                .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+                .groupBy("cluster")
+                .agg(
+                    F.count("*").alias("n"),
+                    *[
+                        F.sum(F.col("qv")[p]).alias(f"s{p}")
+                        for p in range(dim)
+                    ],
+                )
                 .collect()
             )
-            by_k: dict[int, dict[int, int]] = {}
-            for r in rows:
-                by_k.setdefault(r.cluster, {})[r.pos] = int(r.s) // int(r.n)
+            by_k = {
+                r.cluster: [int(r[f"s{p}"]) // int(r.n) for p in range(dim)]
+                for r in rows
+            }
             cents = [
-                [by_k[k][p] for p in sorted(by_k[k])] if k in by_k else cents[k]
-                for k in range(len(cents))
+                by_k[k] if k in by_k else cents[k] for k in range(len(cents))
             ]
         return cents
 
@@ -1741,43 +1759,51 @@ def _pq_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(k, sv): the {PQ_K}-entry codebook — quantized vectors of the
-    salted-md5 k-smallest seed draw, indexed in draw order."""
+def _pq_codebook_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-ROW (cs array<array<bigint>>) codebook relation: cs[k] =
+    the 64 quantized components of seed k — quantized vectors of the
+    salted-md5 k-smallest seed draw, indexed in (md5, vec_id) draw
+    order, exactly the oracle's ORDER BY (array_sort on the
+    (p, vec_id, qv) struct compares the md5 hex string with the same
+    binary collation as orderBy; vec_id is unique, so qv never
+    participates). Built fully IN-PLAN — TakeOrderedAndProject({PQ_K})
+    into a single-row collect_list aggregate — so the codebook rides
+    the broadcast crossJoin as DATA with NO driver round-trip at all
+    (the first round-15 cut collected it to Python and re-shipped it
+    via createDataFrame: one extra job + py4j hop per key, measured
+    ~0.4 s — see OPTIMIZATION_r15.md). Data-not-literals keeps the
+    codegen source constant across corpora (the kmeans
+    _kmeans_assign_df lesson)."""
     e = _pq_quantized(spark, sf_dir)
     pri = F.md5(F.concat(F.lit("pq:"), F.col("vec_id").cast("string")))
-    seeds = (
-        e.orderBy(pri, "vec_id")
-        .limit(PQ_K)
-        .select(F.col("qv").alias("sv"), pri.alias("p"))
-    )
-    w = Window.orderBy("p")
-    return seeds.select(
-        (F.row_number().over(w) - 1).cast("bigint").alias("k"), "sv"
-    )
-
-
-_PQ_SUBDIST = (
-    "aggregate(transform(sequence(1, 8),"
-    " i -> (element_at({a}, m * 8 + i) - element_at({b}, m * 8 + i))"
-    "    * (element_at({a}, m * 8 + i) - element_at({b}, m * 8 + i))),"
-    " 0L, (acc, x) -> acc + x)"
-)
-
-
-def _pq_best(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, m, (d, k) struct rows): per-vector per-subspace
-    distances to every codebook entry — argmin'd by the consumers."""
-    e = _pq_quantized(spark, sf_dir)
-    codebook = _pq_codebook(spark, sf_dir)
     return (
-        e.select(
-            "vec_id",
-            "qv",
-            F.explode(F.array(*[F.lit(m) for m in range(PQ_M)])).alias("m"),
+        e.select(pri.alias("p"), "vec_id", "qv")
+        .orderBy("p", "vec_id")
+        .limit(PQ_K)
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(p, vec_id, qv))),"
+                " s -> s.qv)"
+            ).alias("cs")
         )
-        .join(F.broadcast(codebook))
-        .withColumn("d", F.expr(_PQ_SUBDIST.format(a="qv", b="sv")))
+    )
+
+
+# codes array<int> for vector column ``qv`` against codebook column
+# ``cs``: per subspace m, argmin over the codebook entries of the
+# exact integer subspace distance, ties to the smallest k
+# (lexicographic array_min over (d, k) structs — the same tie-break
+# the old per-(m, k)-row F.min(struct) aggregate had). One constant
+# expression, fully in-row: no explode, no join, no shuffle. The
+# index-lambda form sizes itself to cs, so an empty/short codebook
+# (tiny corpus) needs no Python-side n_k or empty-guard branch.
+def _pq_codes() -> F.Column:
+    return F.expr(
+        f"transform(sequence(0, {PQ_M - 1}), m ->"
+        " array_min(transform(cs, (c, k) ->"
+        " struct(aggregate(zip_with(slice(qv, m * 8 + 1, 8),"
+        " slice(c, m * 8 + 1, 8), (a, b) -> (a - b) * (a - b)),"
+        " 0L, (acc, x) -> acc + x) AS d, k AS k))).k)"
     )
 
 
@@ -1838,25 +1864,34 @@ def embeddings_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     break on (distance, code) — so the assignment is bit-identical at
     any parallelism and against the oracle's QUALIFY formulation.
 
-    Scale shape: the codebook ({PQ_K} rows × 64 ints) BROADCASTS; the
-    per-vector work is an in-row m-explode joined against it
-    ({PQ_M}·{PQ_K} distance rows per vector, each an 8-term fold —
-    vectorized JVM codegen, no Python), then one groupBy(vec_id) with
-    per-subspace conditional argmin structs riding a single shuffle."""
-    best = F.struct("d", "k")
-    agg = _pq_best(spark, sf_dir).groupBy("vec_id").agg(
-        *[
-            F.min(F.when(F.col("m") == mm, best)).alias(f"b{mm}")
-            for mm in range(PQ_M)
-        ]
+    Scale shape (round-15 rewrite): the codebook ({PQ_K}×64 bigints)
+    is a one-row IN-PLAN aggregate (_pq_codebook_df — no driver
+    round-trip) riding a broadcast crossJoin as data, and every code
+    is an in-row argmin fold (_PQ_CODES) — the encode pass is a PURE
+    MAP over the corpus: zero shuffles, zero joins, no
+    {PQ_M}·{PQ_K}-row per-vector explode, no groupBy(vec_id)
+    re-assembly shuffle. The plan's only exchange is the 16-row
+    codebook broadcast (plans/r15/embeddings_pq_assign_after.txt);
+    output bit-identical at sf0.001/0.01/0.1 against the unchanged
+    oracle (A/B numbers in OPTIMIZATION_r15.md). At 100 TB an encode
+    pass that shuffles nothing is the difference between reading the
+    corpus once and paying a corpus-sized exchange for row
+    re-assembly."""
+    e = _pq_quantized(spark, sf_dir)
+    coded = e.crossJoin(F.broadcast(_pq_codebook_df(spark, sf_dir))).select(
+        "vec_id", _pq_codes().alias("codes")
     )
-    return agg.select(
+    return coded.select(
         "vec_id",
-        *[F.col(f"b{mm}.k").cast("int").alias(f"code_{mm}") for mm in range(PQ_M)],
-        sum(
-            [F.shiftleft(F.col(f"b{mm}.k"), 4 * mm) for mm in range(PQ_M)],
-            F.lit(0),
-        ).cast("bigint").alias("packed_code"),
+        *[
+            F.col("codes")[mm].cast("int").alias(f"code_{mm}")
+            for mm in range(PQ_M)
+        ],
+        F.expr(
+            "cast(aggregate(zip_with(codes, sequence(0,"
+            f" {PQ_M - 1}), (c, m) -> shiftleft(cast(c AS bigint), 4 * m)),"
+            " 0L, (acc, x) -> acc + x) AS bigint)"
+        ).alias("packed_code"),
     )
 
 
@@ -1940,40 +1975,64 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replicates it bit-exactly (unlike the LSH/IVF keys, which
     are rows-only, the PQ search path is fully hash-checked).
 
-    Scale shape: codes are one groupBy off the broadcast-codebook
-    explode; the {PQ_QUERY_K}·{PQ_M}·{PQ_K}-row distance table
-    BROADCASTS; scoring is one equi-join on (m, k) plus a
-    partial+final sum; top-k is a per-probe window over probe-bounded
-    groups."""
-    pb = _pq_best(spark, sf_dir)
-    codes = pb.groupBy("vec_id", "m").agg(
-        F.min(F.struct("d", "k")).getField("k").alias("k")
-    )
+    Scale shape (round-15 rewrite): the codebook AND the
+    {PQ_QUERY_K}-probe distance table ({PQ_QUERY_K}·{PQ_M}·{PQ_K} =
+    640 ints) are ONE one-row in-plan relation — probe draw and
+    codebook are each a TakeOrderedAndProject + single-row
+    collect_list aggregate, the distance table a constant transform
+    over that row — riding a broadcast crossJoin as DATA with no
+    driver round-trip (data, not literals, so the codegen source is
+    constant and compilation is paid once; the kmeans lesson).
+    Scoring is the textbook ADC inner loop IN-ROW: per vector, 8
+    argmin code folds plus, per probe, 8 distance-table lookups —
+    zero joins and zero shuffles before the final per-probe top-k
+    window. The old shape paid a {PQ_M}·{PQ_K}-row explode, a
+    groupBy(vec_id, m) code shuffle and a (m, k) join + second
+    groupBy (plans/r15/sim_topk_pq_{{before,after}}.txt; A/B numbers
+    in OPTIMIZATION_r15.md); output bit-identical at
+    sf0.001/0.01/0.1 against the unchanged oracle."""
     e = _pq_quantized(spark, sf_dir)
     pri = F.md5(F.concat(F.lit("pqq:"), F.col("vec_id").cast("string")))
-    probes = (
-        e.orderBy(pri, "vec_id")
+    probes_row = (
+        e.select(pri.alias("p"), "vec_id", "qv")
+        .orderBy("p", "vec_id")
         .limit(PQ_QUERY_K)
-        .select(F.col("vec_id").alias("p_id"), F.col("qv").alias("qp"))
-    )
-    codebook = _pq_codebook(spark, sf_dir)
-    dtable = (
-        probes.select(
-            "p_id",
-            "qp",
-            F.explode(F.array(*[F.lit(m) for m in range(PQ_M)])).alias("m"),
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(p, vec_id, qv))),"
+                " s -> struct(s.vec_id AS p_id, s.qv AS qp))"
+            ).alias("ps")
         )
-        .join(F.broadcast(codebook))
-        .select(
-            "p_id", "m", "k",
-            F.expr(_PQ_SUBDIST.format(a="qp", b="sv")).alias("dt"),
+    )
+    # dt[p][m][k]: probe p's exact integer distance to codebook entry
+    # k in subspace m — computed once on the single (cs, ps) row
+    one = probes_row.crossJoin(
+        F.broadcast(_pq_codebook_df(spark, sf_dir))
+    ).select(
+        "cs",
+        F.expr("transform(ps, pr -> pr.p_id)").alias("pids"),
+        F.expr(
+            f"transform(ps, pr -> transform(sequence(0, {PQ_M - 1}), m ->"
+            " transform(cs, c -> aggregate(zip_with("
+            " slice(pr.qp, m * 8 + 1, 8), slice(c, m * 8 + 1, 8),"
+            " (a, b) -> (a - b) * (a - b)),"
+            " 0L, (acc, x) -> acc + x))))"
+        ).alias("dt"),
+    )
+    coded = e.crossJoin(F.broadcast(one)).select(
+        "vec_id", "dt", "pids", _pq_codes().alias("codes")
+    )
+    per_probe = F.explode(
+        F.expr(
+            "transform(dt, (dpm, p) -> struct(pids[p] AS p_id,"
+            f" aggregate(sequence(0, {PQ_M - 1}), 0L,"
+            " (acc, m) -> acc + dpm[m][codes[m]]) AS score))"
         )
     )
     adc = (
-        codes.join(F.broadcast(dtable), ["m", "k"])
+        coded.select("vec_id", per_probe.alias("s"))
+        .select("vec_id", "s.p_id", "s.score")
         .where(F.col("vec_id") != F.col("p_id"))
-        .groupBy("p_id", "vec_id")
-        .agg(F.sum("dt").cast("bigint").alias("score"))
     )
     w = Window.partitionBy("p_id").orderBy("score", "vec_id")
     return (

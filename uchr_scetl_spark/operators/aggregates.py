@@ -659,13 +659,14 @@ def agg_percentile_exact_distributed(
          range of bounded size and NO task ever sees a whole group;
       2. per-(chunk, group) counts → cumulative chunk offsets (a
          window over the TINY P×|groups| chunk-count relation);
-      3. global rank of a row = its chunk's offset + its local
-         row_number within (chunk, group) — a window partitioned by
-         (chunk, group), i.e. bounded by chunk size, never by group
-         size;
-      4. broadcast-semi-join the ≤ 2·|quantiles| needed ranks per
-         group against the ranked rows; interpolate PERCENTILE_CONT
-         as lo·(hi−pos) + hi·(pos−lo) (the bit-exact form, see
+      3. map each needed global rank (≤ 2·|quantiles| per group) to
+         its ONE owning chunk via the chunk-offset table and a local
+         rank rank − off — tiny×tiny broadcast inequality join;
+      4. rank ONLY the targeted (chunk, group) slices (round 15: the
+         window runs over the ≤ |targets| slices that hold a needed
+         rank, never over the whole relation), pick the needed local
+         ranks, and interpolate PERCENTILE_CONT as
+         lo·(hi−pos) + hi·(pos−lo) (the bit-exact form, see
          _exact_price_quantiles).
 
     The sorted relation is persisted (memory-and-disk) because both
@@ -704,6 +705,7 @@ def agg_percentile_exact_distributed(
     offsets = chunk_counts.select(
         "chunk",
         "l_returnflag",
+        "c",
         (F.sum("c").over(w_off) - F.col("c")).alias("off"),
         F.sum("c").over(w_tot).alias("n"),
     ).cache()
@@ -732,29 +734,9 @@ def agg_percentile_exact_distributed(
             (F.ceil("pos") + 1).alias("hi_rank"),
         )
     )
-    # global rank per row; then keep only the ≤ 2·|qs| needed rows per
-    # group via a broadcast join on (group, rank)
-    w_loc = Window.partitionBy("chunk", "l_returnflag").orderBy(
-        "l_extendedprice"
-    )
-    ranked = (
-        srt.withColumn("lr", F.row_number().over(w_loc))
-        .join(
-            F.broadcast(offsets.select("chunk", "l_returnflag", "off")),
-            ["chunk", "l_returnflag"],
-        )
-        .select(
-            "l_returnflag",
-            (F.col("off") + F.col("lr")).alias("rank"),
-            "l_extendedprice",
-        )
-    )
     # each needed rank is tagged with its role (lo / hi endpoint of
-    # the interpolation), so ONE broadcast join over the ranked
-    # relation followed by a conditional-max pivot yields both
-    # endpoint values — no second rank-pick pass, no cached vals
-    # relation (a rank that is both lo and hi appears twice in the
-    # broadcast and pivots to v_lo = v_hi)
+    # the interpolation); a rank that is both lo and hi appears twice
+    # and pivots to v_lo = v_hi below
     roles = need.select(
         "l_returnflag",
         "qi",
@@ -770,7 +752,55 @@ def agg_percentile_exact_distributed(
         "l_returnflag", "qi", "pos", "n",
         F.col("nr.rank").alias("rank"), F.col("nr.role").alias("role"),
     )
-    picked = ranked.join(F.broadcast(roles), ["l_returnflag", "rank"])
+    # Round-15 TARGETED second pass (the first cut ranked EVERY row:
+    # a full hash exchange on (chunk, group) + sort + window over the
+    # whole persisted relation just to keep ≤ 2·|qs| rows per group —
+    # plans/r15/agg_percentile_exact_distributed_before.txt). Each
+    # needed global rank falls in exactly ONE chunk (the one whose
+    # [off, off+c] range contains it — both relations are tiny, so
+    # the inequality join is a broadcast nested loop over P×G vs
+    # G·2·|qs| rows), so only the targeted (chunk, group) slices of
+    # the persisted relation are ever sorted: the second pass is a
+    # cache-scan filter plus a window over ≤ |targets| chunk-slices,
+    # not over the corpus. The needed local rank is rank − off.
+    # A/B at sf0.1 (interleaved single-key bench runs, 3 rounds):
+    # never worse, min 4.59 s → 4.36 s — parity-to-slightly-better at
+    # test scale; the structural point is in the plan: the ranking
+    # Window's input is now PRE-FILTERED by a broadcast join against
+    # the tiny target set (plans/r15/..._after.txt, Window(47) ←
+    # Exchange ← BroadcastHashJoin ← InMemoryTableScan) instead of
+    # ranking the whole persisted relation (..._before.txt,
+    # Window(12) directly over it), which at 100 TB converts the
+    # second pass from corpus-sized to |targets|-sized. The after
+    # plan carries MORE total exchange nodes — all broadcasts of the
+    # tiny cached offsets/targets relations, whose subtree the plan
+    # text replicates per consumer but the cache computes once.
+    # Output bit-identical at all three SFs (oracle unchanged).
+    targets = roles.alias("rl").join(
+        F.broadcast(offsets.alias("ofs")),
+        (F.col("rl.l_returnflag") == F.col("ofs.l_returnflag"))
+        & (F.col("rl.rank") > F.col("ofs.off"))
+        & (F.col("rl.rank") <= F.col("ofs.off") + F.col("ofs.c")),
+    ).select(
+        F.col("ofs.chunk").alias("chunk"),
+        F.col("rl.l_returnflag").alias("l_returnflag"),
+        F.col("rl.qi").alias("qi"),
+        F.col("rl.pos").alias("pos"),
+        F.col("rl.n").alias("n"),
+        F.col("rl.role").alias("role"),
+        (F.col("rl.rank") - F.col("ofs.off")).alias("lr"),
+    )
+    w_loc = Window.partitionBy("chunk", "l_returnflag").orderBy(
+        "l_extendedprice"
+    )
+    sub = srt.join(
+        F.broadcast(targets.select("chunk", "l_returnflag").distinct()),
+        ["chunk", "l_returnflag"],
+    )
+    ranked_sub = sub.withColumn("lr", F.row_number().over(w_loc))
+    picked = ranked_sub.join(
+        F.broadcast(targets), ["chunk", "l_returnflag", "lr"]
+    )
     per_q = picked.groupBy("l_returnflag", "qi", "pos", "n").agg(
         F.max(
             F.when(F.col("role") == "lo", F.col("l_extendedprice"))
