@@ -374,16 +374,29 @@ def test_bpe_merge_rounds_scan_corpus_once(spark):
         )
         df = REGISTRY["text_bpe_merge_rounds"].fn(spark, out)
         plan = df._jdf.queryExecution().executedPlan().toString()
-        # every documents FileScan line in the display sits inside an
-        # InMemoryRelation's cached-plan subtree (they pair 1:1) —
-        # i.e. the only physical corpus read is the one-time cache
-        # fill
-        assert plan.count("documents.parquet") == plan.count(
-            "InMemoryRelation"
-        ), plan
-        assert "InMemoryTableScan" in plan, plan
-        assert "TakeOrderedAndProject" in plan, plan
-        assert "SortMergeJoin" not in plan, plan
+        # round 15: training runs eagerly inside _bpe_train (R
+        # bounded 1-row argmax collects over the cached vocabulary,
+        # memoized per corpus), so the RETURNED merge table is a
+        # union of one-row JVM literal relations — the corpus appears
+        # nowhere in the result plan and nothing shuffles or joins to
+        # produce three constant rows
+        assert "documents.parquet" not in plan, plan
+        # only the 3-row ORDER BY round sort may exchange — no
+        # aggregation/join shuffle survives into the result plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "Join" not in plan, plan
+        assert "Python" not in plan, plan  # no parallelize()-style RDD rows
+        # the corpus was still scanned exactly ONCE — into the cached
+        # vocabulary relation the trainer aggregates per round
+        from uchr_scetl_spark.llm import text as T
+
+        vocab = [v for k, v in T._bpe_vocab_memo.items() if k[1] == out]
+        assert len(vocab) == 1, list(T._bpe_vocab_memo)
+        vplan = vocab[0]._jdf.queryExecution().analyzed().toString()
+        assert vplan.count("documents.parquet") <= 1, vplan
+        assert [r for rs in (
+            [x for x in T._bpe_train_memo.items() if x[0][1] == out]
+        ) for r in rs], "train memo must hold the corpus's merges"
     finally:
         clear_caches(out)
         shutil.rmtree(out, ignore_errors=True)

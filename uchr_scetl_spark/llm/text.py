@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load
-from ..memo import memo_clear, memo_get
+from ..memo import memo_clear, memo_get, memo_get_heavy
 from ..registry import query
 from ..session import default_parallelism
 
@@ -1058,12 +1058,23 @@ def _bpe_sy() -> F.Column:
 # (appId, sf_dir) → cached chr(31)-wrapped vocabulary — shared by the
 # merge-table and apply keys; evicted via clear_text_caches/clear_caches
 _bpe_vocab_memo: dict[tuple[str, str], DataFrame] = {}
+# (appId, sf_dir) → (final re-segmented vocab DataFrame, per-round
+# merge-row tuples) — the TRAINED result. Round 15: the per-round
+# argmax is a bounded 1-row collect (an eager job), so an unmemoized
+# _bpe_train would re-run all R argmax jobs in EVERY consumer key
+# (text_bpe_apply_merges AND text_bpe_merge_rounds); the memo makes
+# training once-per-(session, corpus), which is also the only sane
+# production shape (nobody re-trains a tokenizer per downstream
+# query). Evicted with the vocab memo.
+_bpe_train_memo: dict[tuple[str, str], tuple] = {}
 
 
 def clear_text_caches(sf_dir: str | None = None) -> None:
-    """Unpersist and drop the BPE vocabulary memo — all entries, or one
-    corpus dir's (same contract as llm.dedup.clear_dedup_caches)."""
+    """Unpersist and drop the BPE vocabulary + trained-merges memos —
+    all entries, or one corpus dir's (same contract as
+    llm.dedup.clear_dedup_caches)."""
     memo_clear(_bpe_vocab_memo, sf_dir)
+    memo_clear(_bpe_train_memo, sf_dir)
 
 
 def _bpe_train(
@@ -1108,48 +1119,90 @@ def _bpe_train(
             .alias("s"),
         ).cache()
 
-    v = memo_get(_bpe_vocab_memo, key, _build)
-    # sy[i-1]/sy[i] is 0-based element access; the filter() guard
-    # yields an EMPTY index list for single-symbol words (sequence(1,0)
-    # would generate a DESCENDING [1,0] — a Spark footgun)
-    pairs = F.explode(
-        F.expr(
-            "transform(filter(sequence(1, size(sy)), i -> i < size(sy)),"
-            " i -> struct(sy[i-1] AS l, sy[i] AS r))"
-        )
-    )
-    per_round = []
-    for r in range(1, BPE_MERGE_ROUNDS + 1):
-        top1 = (
-            v.select("wc", _bpe_sy().alias("sy"))
-            .select("wc", pairs.alias("p"))
-            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-            .agg(F.sum("wc").alias("cnt"))
-            .orderBy(F.desc("cnt"), "l", "r")
-            .limit(1)
-        )
-        per_round.append(
-            top1.select(
-                F.lit(r).alias("round"),
-                F.col("l").alias("left_sym"),
-                F.col("r").alias("right_sym"),
-                F.col("cnt").alias("pair_count"),
+    # Round 15: each round's argmax is COLLECTED (one row — the
+    # bounded-collect exception, same as the kmeans centroid pull)
+    # and the re-segmentation applies it as literals. The previous
+    # form attached the 1-row argmax via crossJoin(broadcast(top1)),
+    # which embedded every earlier round's ENTIRE pair-count
+    # aggregation as a nested broadcast subquery inside every later
+    # round's plan — round r's argmax replayed rounds 1..r-1 before
+    # it could aggregate, and text_bpe_merge_rounds' union re-ran the
+    # whole pyramid once per branch. With the 1-row collect the loop
+    # is the textbook sequential BPE trainer: R tiny argmax jobs over
+    # a literal-replace chain on the CACHED vocab, nothing nested —
+    # and because the collects are eager, the WHOLE trained result is
+    # memoized per (session, corpus) so the second consumer key pays
+    # zero argmax jobs (see _bpe_train_memo). A/B + oracle evidence
+    # in OPTIMIZATION_r15.md. BPE training is inherently sequential
+    # in R; at 100 TB the vocab relation (the only thing scanned per
+    # round) is already ≪ corpus.
+    def _train() -> tuple[DataFrame, list[list[tuple]]]:
+        v = memo_get(_bpe_vocab_memo, key, _build)
+        # sy[i-1]/sy[i] is 0-based element access; the filter() guard
+        # yields an EMPTY index list for single-symbol words
+        # (sequence(1,0) would generate a DESCENDING [1,0] — a Spark
+        # footgun)
+        pairs = F.explode(
+            F.expr(
+                "transform(filter(sequence(1, size(sy)), i -> i < size(sy)),"
+                " i -> struct(sy[i-1] AS l, sy[i] AS r))"
             )
         )
-        v = v.crossJoin(F.broadcast(top1)).select(
-            "wc",
-            F.replace(
-                F.col("s"),
-                F.concat(
-                    F.lit(_BPE_SEP), F.col("l"), F.lit(_BPE_SEP),
-                    F.lit(_BPE_SEP), F.col("r"), F.lit(_BPE_SEP),
-                ),
-                F.concat(
-                    F.lit(_BPE_SEP), F.col("l"), F.col("r"), F.lit(_BPE_SEP)
-                ),
-            ).alias("s"),
+        rows: list[list[tuple]] = []
+        for r in range(1, BPE_MERGE_ROUNDS + 1):
+            top1 = (
+                v.select("wc", _bpe_sy().alias("sy"))
+                .select("wc", pairs.alias("p"))
+                .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+                .agg(F.sum("wc").alias("cnt"))
+                .orderBy(F.desc("cnt"), "l", "r")
+                .limit(1)
+                .collect()
+            )
+            if not top1:
+                # no pairs (empty/degenerate vocab): the old
+                # crossJoin(empty) semantics emptied the vocabulary
+                # and every later round's merge row — preserve both
+                rows.append([])
+                v = v.limit(0)
+                continue
+            l, rr, cnt = top1[0].l, top1[0].r, int(top1[0].cnt)
+            rows.append([(r, l, rr, cnt)])
+            v = v.select(
+                "wc",
+                F.replace(
+                    F.col("s"),
+                    F.lit(
+                        _BPE_SEP + l + _BPE_SEP + _BPE_SEP + rr + _BPE_SEP
+                    ),
+                    F.lit(_BPE_SEP + l + rr + _BPE_SEP),
+                ).alias("s"),
+            )
+        return v, rows
+
+    v, rows = memo_get_heavy(_bpe_train_memo, key, _train)
+    # one-row JVM relations (range(1) + literal projection), NOT
+    # createDataFrame(list): the latter parallelizes each tiny list
+    # across defaultParallelism partitions through the Python-RDD
+    # serializer — measured 2.6 s and 96 one-row Python tasks just to
+    # union the three merge rows at sf0.1
+    def _one_row(rs: list[tuple]) -> DataFrame:
+        if rs:
+            r, l, rr, cnt = rs[0]
+            return spark.range(1).select(
+                F.lit(r).cast("int").alias("round"),
+                F.lit(l).alias("left_sym"),
+                F.lit(rr).alias("right_sym"),
+                F.lit(cnt).cast("bigint").alias("pair_count"),
+            )
+        return spark.range(0).select(
+            F.lit(0).cast("int").alias("round"),
+            F.lit("").alias("left_sym"),
+            F.lit("").alias("right_sym"),
+            F.lit(0).cast("bigint").alias("pair_count"),
         )
-    return v, per_round
+
+    return v, [_one_row(rs) for rs in rows]
 
 
 @query("text_bpe_apply_merges", oracle=_bpe_apply_oracle())
