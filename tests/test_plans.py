@@ -173,14 +173,25 @@ def test_pagerank_checkpoint_truncates_lineage(spark):
 
 def test_q2_window_min_not_second_scan(spark):
     """Q2's correlated MIN subquery must decorrelate to ONE window over
-    the joined relation — the plan has a Window node and only one
-    lineitem-derived scan chain feeding partsupp (a naive translation
-    scans partsupp twice)."""
+    the joined relation — the plan has a Window node and exactly one
+    partsupp feed (a naive translation scans partsupp twice).
+
+    Round-15 shape: the derived partsupp arrives via the shared
+    session-memoized cache (one InMemoryTableScan), so the
+    lineitem distinct-pairs aggregation may appear ONLY inside the
+    cached relation's stored build plan — never as a fresh scan chain
+    in q2's own plan above it. (The old `count(ReadSchema) == 1`
+    assertion broke because a materialized InMemoryRelation prints its
+    AQE build plan twice — Final + Initial — for the one build.)"""
     plan = plan_of(spark, "tpch_q2")
     assert "Window" in plan, plan
-    # exactly one distinct-pairs aggregation (the derived partsupp),
-    # not two
-    assert plan.count("ReadSchema: struct<l_partkey:bigint,l_suppkey") == 1, plan
+    # exactly one partsupp feed, served by the shared cache
+    assert plan.count("InMemoryTableScan") == 1, plan
+    # no second derived-partsupp build outside the cache: q2's own plan
+    # (everything above the InMemoryRelation subtree) never scans
+    # lineitem's (l_partkey, l_suppkey) pair columns
+    own_plan = plan.split("InMemoryRelation", 1)[0]
+    assert "ReadSchema: struct<l_partkey:bigint,l_suppkey" not in own_plan, plan
 
 
 def test_q9_broadcasts_dimensions(spark):
