@@ -9,6 +9,8 @@ plans viable at 100 TB. Double sums go through the DECIMAL detour
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -657,11 +659,13 @@ def agg_percentile_exact_distributed(
       1. range-partition + sort by (group, value) — Spark's sampled
          RangePartitioner, so every chunk holds a contiguous value
          range of bounded size and NO task ever sees a whole group;
-      2. per-(chunk, group) counts → cumulative chunk offsets (a
-         window over the TINY P×|groups| chunk-count relation);
+      2. per-(chunk, group) counts → cumulative chunk offsets,
+         computed on the driver from the bounded P×|groups|
+         chunk-count collect (the same rows the previous form
+         broadcast into an inequality join — see the in-body note);
       3. map each needed global rank (≤ 2·|quantiles| per group) to
-         its ONE owning chunk via the chunk-offset table and a local
-         rank rank − off — tiny×tiny broadcast inequality join;
+         its ONE owning chunk and local rank rank − off, emitted as a
+         literal target relation;
       4. rank ONLY the targeted (chunk, group) slices (round 15: the
          window runs over the ≤ |targets| slices that hold a needed
          rank, never over the whole relation), pick the needed local
@@ -694,102 +698,81 @@ def agg_percentile_exact_distributed(
         .withColumn("chunk", F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    chunk_counts = srt.groupBy("chunk", "l_returnflag").agg(
-        F.count("*").alias("c")
+    # Round-15 TARGETED second pass, with the rank→(chunk, local rank)
+    # map computed ON THE DRIVER (second cut; guide §1.2 — fewer jobs
+    # beats micro-tuned jobs). The first cut ranked EVERY row of the
+    # persisted relation (a full (chunk, group) exchange + sort +
+    # window just to keep ≤ 2·|qs| rows per group —
+    # plans/r15/agg_percentile_exact_distributed_before.txt); the
+    # interim form mapped each needed global rank to its one owning
+    # chunk with a cached-offsets window + broadcast inequality join,
+    # which was structurally right but paid ~5 extra tiny Spark jobs
+    # (offsets cache materialization, P×G window, BNLJ broadcast, AQE
+    # replans) per invocation. The chunk-count table crossed the
+    # driver EITHER WAY — it was broadcast into that inequality join —
+    # so collecting it explicitly is the same P×|groups| bound (the
+    # bounded-collect exception documented for kmeans centroids / BPE
+    # argmax: partition-count × group-count rows of three scalars,
+    # metadata-sized at any corpus scale), and the offset arithmetic
+    # on ≤ 2·|qs| ranks per group is pure Python. pos = q·(n−1) is
+    # the same IEEE double product the old in-plan expression
+    # computed, so targets — and the interpolation downstream — stay
+    # bit-identical (oracle unchanged, verified at all three SFs).
+    # The collect is also the action that materializes the persist,
+    # exactly as the offsets-cache job was before.
+    rows = (
+        srt.groupBy("chunk", "l_returnflag")
+        .agg(F.count("*").alias("c"))
+        .collect()
     )
-    w_off = Window.partitionBy("l_returnflag").orderBy("chunk")
-    w_tot = Window.partitionBy("l_returnflag")
-    # cached: TINY (P×|groups| rows) but derived from a full pass over
-    # srt — without the cache every downstream consumer (need, wanted,
-    # v_lo, v_hi) would re-run the chunk-count scan
-    offsets = chunk_counts.select(
-        "chunk",
-        "l_returnflag",
-        "c",
-        (F.sum("c").over(w_off) - F.col("c")).alias("off"),
-        F.sum("c").over(w_tot).alias("n"),
-    ).cache()
-    # needed (group, rank) pairs: lo/hi ranks of each requested
-    # quantile, computed from the tiny per-group totals
-    q_structs = F.array(
-        *[
-            F.struct(F.lit(i).alias("qi"), F.lit(q).alias("q"))
-            for i, q in enumerate(qs)
-        ]
-    )
-    need = (
-        offsets.select("l_returnflag", "n")
-        .distinct()
-        .select("l_returnflag", "n", F.explode(q_structs).alias("s"))
-        .select(
-            "l_returnflag",
-            "n",
-            F.col("s.qi").alias("qi"),
-            F.col("s.q").alias("q"),
-            (F.col("s.q") * (F.col("n") - 1).cast("double")).alias("pos"),
+    by_g: dict = {}
+    for r in rows:
+        by_g.setdefault(r["l_returnflag"], []).append((r["chunk"], r["c"]))
+    t_structs = []
+    for g, chunks in sorted(by_g.items()):
+        chunks.sort()
+        n = sum(c for _, c in chunks)
+        for qi, q in enumerate(qs):
+            pos = q * (n - 1)
+            for rank, role in (
+                (math.floor(pos) + 1, "lo"),
+                (math.ceil(pos) + 1, "hi"),
+            ):
+                off = 0
+                for chunk, c in chunks:
+                    if off < rank <= off + c:
+                        t_structs.append(
+                            F.struct(
+                                F.lit(chunk).cast("int").alias("chunk"),
+                                F.lit(g).alias("l_returnflag"),
+                                F.lit(rank - off).cast("int").alias("lr"),
+                                F.lit(qi).cast("int").alias("qi"),
+                                F.lit(pos).cast("double").alias("pos"),
+                                F.lit(n).cast("long").alias("n"),
+                                F.lit(role).alias("role"),
+                            )
+                        )
+                        break
+                    off += c
+    if t_structs:
+        # one-row JVM literal relation (the BPE-trainer lesson:
+        # createDataFrame(tiny list) parallelizes across the default
+        # parallelism through the Python-RDD serializer)
+        targets = (
+            spark.range(1)
+            .select(F.explode(F.array(*t_structs)).alias("t"))
+            .select("t.*")
         )
-        .select(
-            "*",
-            (F.floor("pos") + 1).alias("lo_rank"),
-            (F.ceil("pos") + 1).alias("hi_rank"),
+    else:  # empty input: no group holds any row, result is empty
+        targets = spark.range(0).select(
+            F.lit(0).cast("int").alias("chunk"),
+            F.lit("").alias("l_returnflag"),
+            F.lit(0).cast("int").alias("lr"),
+            F.lit(0).cast("int").alias("qi"),
+            F.lit(0.0).alias("pos"),
+            F.lit(0).cast("long").alias("n"),
+            F.lit("").alias("role"),
         )
-    )
-    # each needed rank is tagged with its role (lo / hi endpoint of
-    # the interpolation); a rank that is both lo and hi appears twice
-    # and pivots to v_lo = v_hi below
-    roles = need.select(
-        "l_returnflag",
-        "qi",
-        "pos",
-        "n",
-        F.explode(
-            F.array(
-                F.struct(F.col("lo_rank").alias("rank"), F.lit("lo").alias("role")),
-                F.struct(F.col("hi_rank").alias("rank"), F.lit("hi").alias("role")),
-            )
-        ).alias("nr"),
-    ).select(
-        "l_returnflag", "qi", "pos", "n",
-        F.col("nr.rank").alias("rank"), F.col("nr.role").alias("role"),
-    )
-    # Round-15 TARGETED second pass (the first cut ranked EVERY row:
-    # a full hash exchange on (chunk, group) + sort + window over the
-    # whole persisted relation just to keep ≤ 2·|qs| rows per group —
-    # plans/r15/agg_percentile_exact_distributed_before.txt). Each
-    # needed global rank falls in exactly ONE chunk (the one whose
-    # [off, off+c] range contains it — both relations are tiny, so
-    # the inequality join is a broadcast nested loop over P×G vs
-    # G·2·|qs| rows), so only the targeted (chunk, group) slices of
-    # the persisted relation are ever sorted: the second pass is a
-    # cache-scan filter plus a window over ≤ |targets| chunk-slices,
-    # not over the corpus. The needed local rank is rank − off.
-    # A/B at sf0.1 (interleaved single-key bench runs, 3 rounds):
-    # never worse, min 4.59 s → 4.36 s — parity-to-slightly-better at
-    # test scale; the structural point is in the plan: the ranking
-    # Window's input is now PRE-FILTERED by a broadcast join against
-    # the tiny target set (plans/r15/..._after.txt, Window(47) ←
-    # Exchange ← BroadcastHashJoin ← InMemoryTableScan) instead of
-    # ranking the whole persisted relation (..._before.txt,
-    # Window(12) directly over it), which at 100 TB converts the
-    # second pass from corpus-sized to |targets|-sized. The after
-    # plan carries MORE total exchange nodes — all broadcasts of the
-    # tiny cached offsets/targets relations, whose subtree the plan
-    # text replicates per consumer but the cache computes once.
-    # Output bit-identical at all three SFs (oracle unchanged).
-    targets = roles.alias("rl").join(
-        F.broadcast(offsets.alias("ofs")),
-        (F.col("rl.l_returnflag") == F.col("ofs.l_returnflag"))
-        & (F.col("rl.rank") > F.col("ofs.off"))
-        & (F.col("rl.rank") <= F.col("ofs.off") + F.col("ofs.c")),
-    ).select(
-        F.col("ofs.chunk").alias("chunk"),
-        F.col("rl.l_returnflag").alias("l_returnflag"),
-        F.col("rl.qi").alias("qi"),
-        F.col("rl.pos").alias("pos"),
-        F.col("rl.n").alias("n"),
-        F.col("rl.role").alias("role"),
-        (F.col("rl.rank") - F.col("ofs.off")).alias("lr"),
-    )
     w_loc = Window.partitionBy("chunk", "l_returnflag").orderBy(
         "l_extendedprice"
     )
