@@ -427,6 +427,20 @@ def test_distributed_quantile_windows_are_chunk_bounded(spark):
     assert rn, plan
 
 
+def test_distributed_quantile_targets_are_literal(spark):
+    """Round-15 second cut: the rank→(chunk, local rank) map is
+    computed on the driver from the bounded chunk-count collect, so
+    the executed plan must carry NO BroadcastNestedLoopJoin (the old
+    inequality join) and no offsets-cache window — the only Window
+    left is the row_number over the targeted chunk-slices, and the
+    target relation enters as a literal (a Generate over a one-row
+    range, never a second pass over the persisted relation)."""
+    plan = plan_of(spark, "agg_percentile_exact_distributed")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("Window") == 1, plan
+    assert "Generate explode" in plan, plan
+
+
 def test_weighted_median_windows_are_chunk_bounded(spark):
     """Same contract for the weighted generalization: the big-side
     running-weight window partitions by (chunk, group) over a RANGE

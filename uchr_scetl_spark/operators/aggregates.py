@@ -728,8 +728,12 @@ def agg_percentile_exact_distributed(
     by_g: dict = {}
     for r in rows:
         by_g.setdefault(r["l_returnflag"], []).append((r["chunk"], r["c"]))
+    # a NULL group can never match the equi-joins below (NULL = NULL
+    # is not true) — the previous in-plan form dropped it the same
+    # way at its rank→chunk join, so skipping it here is behavior-
+    # preserving, and it keeps the determinism sort str-only
     t_structs = []
-    for g, chunks in sorted(by_g.items()):
+    for g, chunks in sorted(kv for kv in by_g.items() if kv[0] is not None):
         chunks.sort()
         n = sum(c for _, c in chunks)
         for qi, q in enumerate(qs):
