@@ -188,7 +188,35 @@ def main() -> int:
         )
     )
     if not full_only:
-        print(summary)
+        # Round-15 verdict item 1: the driver keeps only the LAST 2000
+        # chars of stdout, so the full 309-key map above always
+        # truncates and PERF per_query / scaling came back empty every
+        # round.  The FINAL line is a compact summary carrying per-key
+        # seconds for exactly the driver's oracle sample (the 50
+        # alphabetically-first registry keys, 2 decimals — ~1.5 KB,
+        # fits the tail) so the driver's per-query comparison and the
+        # low-core scaling ratios populate.  `value` stays the total
+        # over ALL keys; the full map line above is unchanged and
+        # remains the committed BENCH_LOCAL.json record.
+        sample = sorted(registry)[:50]
+        print(
+            json.dumps(
+                {
+                    "metric": "total_query_wall_seconds",
+                    "value": round(total, 3),
+                    "unit": "sec",
+                    "sf": sf,
+                    "n_keys": len(timings),
+                    "n_errors": len(timings) - len(ok),
+                    "queries": {
+                        k: round(timings[k], 2)
+                        for k in sample
+                        if k in timings
+                    },
+                    "summary": True,
+                }
+            )
+        )
     return 0
 
 
