@@ -1417,3 +1417,26 @@ def test_publish_checksum_canonicalization_is_unambiguous(spark):
     ).collect()
     canon = [r.canon for r in out]
     assert len(set(canon)) == len(canon), canon
+
+
+def test_distributed_quantile_boundary_branch_matches_small_p(spark, monkeypatch):
+    """agg_percentile_exact_distributed's two collect branches (small-P
+    whole-table collect vs large-P in-plan boundary reduction, gated on
+    _PCTL_BOUNDARY_COLLECT_GATE) must produce bit-identical results:
+    forcing the large-P branch at smoke scale and comparing against the
+    default branch pins the q·(n−1) / floor / ceil / rank−offset
+    arithmetic as engine-equivalent."""
+    from uchr_scetl_spark.operators import aggregates as A
+
+    key = "agg_percentile_exact_distributed"
+    fn = A.agg_percentile_exact_distributed
+    default_rows = sorted(
+        fn(spark, SF_SMOKE).collect(), key=lambda r: r["l_returnflag"]
+    )
+    monkeypatch.setattr(A, "_PCTL_BOUNDARY_COLLECT_GATE", 0)
+    forced_rows = sorted(
+        fn(spark, SF_SMOKE).collect(), key=lambda r: r["l_returnflag"]
+    )
+    assert len(default_rows) == len(forced_rows) > 0, key
+    for a, b in zip(default_rows, forced_rows):
+        assert a == b, (a, b)

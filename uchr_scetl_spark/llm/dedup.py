@@ -39,7 +39,7 @@ from ..io import load
 from ..registry import query
 from ..memo import memo_clear, memo_get
 from ..session import default_parallelism
-from ..session import stable_checkpoint
+from ..session import stable_checkpoint, stable_checkpoint_lazy
 
 # MinHash runs on 3-gram SHINGLES, not tokens: the corpus draws from a
 # tiny vocabulary, so token-SET Jaccard barely discriminates (22% of all
@@ -720,19 +720,36 @@ def containment_pairs(
     sh = shingled_docs(spark, sf_dir).select(
         "doc_id", "n", F.explode("toks").alias("tok")
     )
-    # inline cap_hot_postings, keeping _df for the rarest-first rank
-    with_df = sh.withColumn(
-        "_df", F.count("*").over(Window.partitionBy("tok"))
-    ).where(F.col("_df") <= cap)
-    sized = with_df.withColumn(
-        "m", F.count("*").over(Window.partitionBy("doc_id"))
+    # inline cap_hot_postings, keeping _df for the rarest-first rank.
+    # Round 16: the cap-filtered shingle-row relation is materialized
+    # ONCE behind a localCheckpoint — the r15 plan replayed this
+    # explode + tok-window subtree into four window/aggregate
+    # consumers (prefix, both join sides, ctoks) via ReusedExchange,
+    # re-running the window sort each time. The checkpoint is the
+    # cheap half of the r15 full restructure (whose collect_list
+    # re-sort measured SLOWER); m and rnk then ride ONE merged window
+    # node (same partition+order spec, full-frame count + row_number).
+    with_df = (
+        sh.withColumn("_df", F.count("*").over(Window.partitionBy("tok")))
+        .where(F.col("_df") <= cap)
+        .transform(stable_checkpoint_lazy)
     )
-    ranked = sized.withColumn(
-        "rnk",
-        F.row_number().over(
-            Window.partitionBy("doc_id").orderBy("_df", "tok")
-        ),
+    w_doc = Window.partitionBy("doc_id").orderBy("_df", "tok")
+    ranked = with_df.select(
+        "doc_id",
+        "n",
+        "tok",
+        "_df",
+        F.count("*")
+        .over(
+            w_doc.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("m"),
+        F.row_number().over(w_doc).alias("rnk"),
     )
+    sized = ranked
     prefix = ranked.where(
         F.col("rnk")
         <= F.col("m") - F.ceil(F.lit(CONTAINMENT_T) * F.col("n")) + 1

