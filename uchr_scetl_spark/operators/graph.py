@@ -135,6 +135,13 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # |parts-per-order|² rows through the join operator per order.
     ew = _copurchase_weighted(spark, sf_dir)
     small = _copurchase_is_small(spark, sf_dir)
+    # NOTE (round 16): dropping this checkpoint was tried (the cached
+    # ew relation is a barrier already) and measured SLOWER 5/5
+    # interleaved A/B rounds (min 4.23 → 5.15 s): edges_deg is rebuilt
+    # inside every iteration's DAG, and reading the checkpointed edge
+    # blocks beats replaying union+deg-broadcast per pass. BFS, whose
+    # loop references edges fewer times, wins the same removal — see
+    # graph_bfs_hops.
     edges = (
         ew.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionAll(ew.select(F.col("b").alias("src"), F.col("a").alias("dst")))
@@ -145,7 +152,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured ZERO win — ReusedExchange already covers the repeated
     # reference, so the extra storage buys nothing)
     edges_deg = edges.join(_bcast_if(deg, small), "src")
-    nodes = edges.select(F.col("src").alias("part_id")).distinct()
+    # round 16: the node set IS deg's key set (every node appears as a
+    # src in the two-sided union), so deriving it from deg removes the
+    # separate distinct — one whole exchange+aggregate over the edge
+    # relation (the distinct's partial output schema differs from
+    # deg's, so ReusedExchange could never merge them)
+    nodes = deg.select(F.col("src").alias("part_id"))
     nn = nodes.agg(F.count("*").alias("n"))
     # node-sized relation used every iteration: checkpoint once, not
     # re-derived (a distinct over edges) per pass
@@ -681,11 +693,11 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ew = _copurchase_weighted(spark, sf_dir)
     small = _copurchase_is_small(spark, sf_dir)
-    edges = (
-        ew.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionAll(ew.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-        .transform(stable_checkpoint_lazy)
-    )
+    # round 16: no checkpoint on edges — same rationale as
+    # graph_pagerank (the memoized cache below it is the barrier)
+    edges = ew.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(ew.select(F.col("b").alias("src"), F.col("a").alias("dst")))
     dist = (
         ew.agg(F.min("a").alias("part_id"))
         .select("part_id", F.lit(0).alias("hop"))
