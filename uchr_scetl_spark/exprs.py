@@ -94,3 +94,38 @@ def sql_floor_div(x: str, d: int, idiv: str) -> str:
         f"(({x}) {idiv} {d}"
         f" - CASE WHEN ({x}) % {d} < 0 THEN 1 ELSE 0 END)"
     )
+
+
+def literal_rows_df(spark, rows, schema: str):
+    """Tiny driver-computed result set as a one-row JVM literal
+    relation (``range(1)`` + explode of literal structs) — NEVER
+    ``createDataFrame``, whose ``parallelize`` fans even a 3-row list
+    across the default parallelism through the Python-RDD serializer
+    (measured: 32 near-empty Python tasks and ~0.3 s per tiny frame —
+    the round-15 BPE-trainer lesson, applied engine-wide in round 16).
+
+    ``schema`` is the usual "name type, name type" DDL string; values
+    are cast per field, so Python ints/bools/None land as the declared
+    Spark types exactly as they did through createDataFrame."""
+    fields = [
+        (f.strip().rsplit(" ", 1)[0], f.strip().rsplit(" ", 1)[1])
+        for f in schema.split(",")
+    ]
+    if not rows:
+        return spark.range(0).select(
+            *[F.lit(None).cast(t).alias(n) for n, t in fields]
+        )
+    structs = [
+        F.struct(
+            *[
+                F.lit(v).cast(t).alias(n)
+                for (n, t), v in zip(fields, row)
+            ]
+        )
+        for row in rows
+    ]
+    return (
+        spark.range(1)
+        .select(F.explode(F.array(*structs)).alias("_t"))
+        .select("_t.*")
+    )

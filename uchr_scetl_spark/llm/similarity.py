@@ -1191,8 +1191,21 @@ def _kmeans_assign_df(q: DataFrame, cents: list[list[int]]) -> DataFrame:
     bit-identical output."""
     spark = q.sparkSession
     n_k = len(cents)
-    cdf = spark.createDataFrame(
-        [([[int(v) for v in c] for c in cents],)], "cs array<array<bigint>>"
+    # round 16: one-row JVM literal projection instead of
+    # createDataFrame — a 1-row createDataFrame parallelizes across
+    # the default parallelism through the Python-RDD serializer (the
+    # BPE-trainer lesson: 32 near-empty Python tasks per pass, ×
+    # ROUNDS+1 passes here). The K×dim literals live on the ONE-ROW
+    # side only; the corpus-side distance fold still reads the `cs`
+    # attribute, so its codegen stays constant across Lloyd rounds
+    # (the round-15 invariant that made centroids-as-data win).
+    cdf = spark.range(1).select(
+        F.array(
+            *[
+                F.array(*[F.lit(int(v)).cast("bigint") for v in c])
+                for c in cents
+            ]
+        ).alias("cs")
     )
     best = F.expr(
         f"array_min(transform(sequence(0, {n_k - 1}),"

@@ -14,7 +14,8 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..exprs import dec_avg, dec_sum, sql_dec_avg, sql_dec_sum
+from ..exprs import (dec_avg, dec_sum, literal_rows_df, sql_dec_avg,
+                      sql_dec_sum)
 from ..io import load
 from ..registry import query
 from ..session import stable_checkpoint_lazy
@@ -1422,7 +1423,10 @@ def agg_count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 bool(est <= r.n_exact + eps_slack),
             )
         )
-    return spark.createDataFrame(out, schema)
+    # round 16: JVM literal relation, not createDataFrame (see
+    # exprs.literal_rows_df — avoids a 32-task Python-RDD scan for a
+    # _CMS_TOP-row result)
+    return literal_rows_df(spark, out, schema)
 
 
 DECAY_MAX_AGE_Q = 12  # clamp: orders older than 12 quarters share weight 1

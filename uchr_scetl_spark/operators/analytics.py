@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..exprs import sql_floor_div
+from ..exprs import literal_rows_df, sql_floor_div
 from ..io import load
 from ..registry import query
 from ..session import stable_checkpoint
@@ -1364,7 +1364,10 @@ def events_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
             1_000_000 - (p_wo * 1_000_000) // p_all if p_all > 0 else None
         )
         rows.append((c, p_all, p_wo, removal))
-    return spark.createDataFrame(
+    # round 16: JVM literal relation, not createDataFrame (see
+    # exprs.literal_rows_df)
+    return literal_rows_df(
+        spark,
         rows,
         "channel string, p_conv_all_ppm long, p_conv_without_ppm long,"
         " removal_effect_ppm long",

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 import threading
 
 from ..io import load, scratch_dir
-from ..exprs import dec_sum
+from ..exprs import dec_sum, literal_rows_df
 from ..memo import memo_get_heavy
 from ..registry import query
 from ..session import conf_isolated_session, stable_checkpoint
@@ -1593,7 +1593,10 @@ def etl_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = scratch_dir("uchr_observe_")
     observed.write.mode("overwrite").parquet(out)
     m = obs.get
-    return spark.createDataFrame(
+    # round 16: JVM literal relation, not createDataFrame (see
+    # exprs.literal_rows_df)
+    return literal_rows_df(
+        spark,
         [
             (
                 "orders_load",
@@ -1603,8 +1606,6 @@ def etl_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                 m["n_nonpositive"],
             )
         ],
-        schema=(
-            "pipeline string, n_rows bigint, n_null_price bigint, "
-            "sum_price_cents bigint, n_nonpositive bigint"
-        ),
+        "pipeline string, n_rows bigint, n_null_price bigint, "
+        "sum_price_cents bigint, n_nonpositive bigint",
     )
